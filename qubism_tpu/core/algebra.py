@@ -9,7 +9,7 @@ an explicit surface to exercise.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as jnp
 
 
 # -- VectorSpace (Algebra.hs:17-28) -----------------------------------------

@@ -23,7 +23,6 @@ import cmath
 import math
 from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,38 +90,35 @@ class Gate:
     def __call__(self, sv: StateVec) -> StateVec:
         if sv.n != self.n:
             raise ValueError(f"gate on {self.n} qubits applied to {sv.n}-qubit state")
-        amps = sv.amps
+        return StateVec(self.n, self._apply_planar(sv.planar))
+
+    def _apply_planar(self, planar):
         for p in self.prims:
             if p.diag:
-                amps = _apply.apply_diag(amps, jnp.asarray(p.u), p.targets, self.n)
+                planar = _apply.apply_diag(planar, p.u, p.targets, self.n)
             else:
-                amps = _apply.apply_gate(amps, jnp.asarray(p.u), p.targets, self.n)
-        return StateVec(self.n, amps)
+                planar = _apply.apply_gate(planar, p.u, p.targets, self.n)
+        return planar
 
     # -- materialization & comparison -----------------------------------------
 
-    def matrix(self, dtype=None) -> jnp.ndarray:
-        """Dense 2^n x 2^n matrix (tests / small n only)."""
-        dtype = dtype or config.dtype
+    def matrix(self, dtype=np.complex128) -> np.ndarray:
+        """Dense 2^n x 2^n matrix, host-side numpy (tests / small n only)."""
         dim = 1 << self.n
-        cols = jnp.eye(dim, dtype=dtype)  # columns are basis states
-        apply_all = jax.vmap(self._apply_amps, in_axes=1, out_axes=1)
-        return apply_all(cols)
-
-    def _apply_amps(self, amps: jnp.ndarray) -> jnp.ndarray:
-        for p in self.prims:
-            if p.diag:
-                amps = _apply.apply_diag(amps, jnp.asarray(p.u), p.targets, self.n)
-            else:
-                amps = _apply.apply_gate(amps, jnp.asarray(p.u), p.targets, self.n)
-        return amps
+        cols = []
+        for j in range(dim):
+            e = np.zeros(dim, dtype=np.complex128)
+            e[j] = 1
+            planar = jnp.asarray(_apply.planar_from_complex(e))
+            cols.append(_apply.complex_from_planar(self._apply_planar(planar)))
+        return np.stack(cols, axis=1).astype(dtype)
 
     def __eq__(self, other) -> bool:
         """Approximate equality via dense matrices, 1e-6 L2 (QGate.hs:54-56)."""
         if not isinstance(other, Gate) or other.n != self.n:
             return NotImplemented if not isinstance(other, Gate) else False
-        d = self.matrix(jnp.complex64) - other.matrix(jnp.complex64)
-        return float(jnp.linalg.norm(d)) < TOLERANCE
+        d = self.matrix() - other.matrix()
+        return float(np.linalg.norm(d)) < TOLERANCE
 
     def __hash__(self):  # pragma: no cover
         raise TypeError("Gate is unhashable (approximate equality)")

@@ -1,0 +1,125 @@
+"""CLI + REPL tests (the reference had none): file mode, REPL persistence,
+atomic failed lines, :q, :dump, flags."""
+
+import io
+import os
+
+from qubism_tpu.cli import Repl, eval_file, main
+
+EXAMPLES = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_eval_file_prints_done(capsys):
+    code = eval_file(os.path.join(EXAMPLES, "errorCorrection.qasm"), seed=0)
+    out = capsys.readouterr().out
+    assert code == 0
+    assert out.strip().endswith("Done.")
+
+
+def test_eval_file_parse_error(tmp_path, capsys):
+    f = tmp_path / "bad.qasm"
+    f.write_text("qreg q[2]; bogus !;")
+    code = eval_file(str(f))
+    out = capsys.readouterr().out
+    assert code == 1
+    assert "Undeclared identifier: bogus" in out or "unexpected" in out
+
+
+def test_eval_file_runtime_error(tmp_path, capsys):
+    f = tmp_path / "bad.qasm"
+    f.write_text("qreg a[2]; qreg b[3]; CX a,b;")
+    code = eval_file(str(f))
+    out = capsys.readouterr().out
+    assert code == 1
+    assert "ERROR on line" in out
+
+
+def test_eval_missing_file(capsys):
+    assert eval_file("/nonexistent/foo.qasm") == 2
+
+
+def test_main_with_file():
+    assert main([os.path.join(EXAMPLES, "rippleCarryAdder.qasm"), "--seed", "0"]) == 0
+
+
+def test_repl_state_persists():
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    assert r.line("qreg q[1]; creg c[1];")
+    assert r.line("U(pi,0,pi) q[0];")
+    assert r.line("measure q[0] -> c[0];")
+    assert str(r.prog.cregs["c"]) == "1"
+
+
+def test_repl_failed_line_atomic():
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    r.line("qreg q[2]; creg c[2];")
+    svs = dict(r.prog.stvecs)
+    idt = dict(r.pstate.id_table)
+    # runtime failure mid-line: the whole line must roll back
+    r.line("qreg extra[1]; creg c2[3]; measure q -> c2;")
+    assert "ERROR on line" in out.getvalue()
+    assert dict(r.prog.stvecs) == svs
+    assert "extra" not in r.prog.qregs
+    assert dict(r.pstate.id_table) == idt  # parser table also rolled back
+
+
+def test_repl_parse_error_keeps_state():
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    r.line("qreg q[1];")
+    r.line("qreg q[1];")  # redeclaration: parse error
+    assert "Redeclaration of q" in out.getvalue()
+    assert "q" in r.prog.qregs
+
+
+def test_repl_quit():
+    r = Repl(seed=0, out=io.StringIO())
+    assert r.line(":q") is False
+
+
+def test_repl_dump():
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    r.line("qreg q[1];")
+    r.line(":dump;")
+    assert "Dump of the internal state" in out.getvalue()
+
+
+def test_repl_include():
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    assert r.line(f'include "{EXAMPLES}/qelib1.inc";')
+    assert r.line("qreg q[1]; creg c[1]; x q[0]; measure q[0] -> c[0];")
+    assert str(r.prog.cregs["c"]) == "1"
+
+
+def test_repl_run_loop_with_stdin():
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    r.run(infile=io.StringIO("qreg q[1];\n:q\n"))
+    assert out.getvalue().count("QASM> ") == 2
+
+
+def test_shots_flag(tmp_path, capsys):
+    f = tmp_path / "bell.qasm"
+    f.write_text(
+        "qreg q[2]; U(pi/2,0,pi) q[0]; CX q[0],q[1];"
+    )
+    code = main([str(f), "--seed", "1", "--shots", "64"])
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "Counts for state vector q" in out
+    # only |00> and |11> may appear for a Bell state
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("|"):
+            assert line.startswith("|00>") or line.startswith("|11>")
+
+
+def test_dump_state_flag(tmp_path, capsys):
+    f = tmp_path / "t.qasm"
+    f.write_text("qreg q[1];")
+    assert main([str(f), "--dump-state"]) == 0
+    assert "Dump of the internal state" in capsys.readouterr().out

@@ -134,7 +134,9 @@ def test_apply_gate_arbitrary_target_order(rng):
     v = (v / np.linalg.norm(v)).astype(np.complex64)
     cx = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
     # control qubit 2, target qubit 0 — unsorted targets
-    got = np.asarray(apply_gate(jnp.asarray(v), jnp.asarray(cx, dtype=jnp.complex64), (2, 0), n))
+    from qubism_tpu.ops.apply import complex_from_planar, planar_from_complex
+
+    got = complex_from_planar(apply_gate(jnp.asarray(planar_from_complex(v)), cx, (2, 0), n))
     # dense reference: embed via permutation of kron(cx, I) with qubit order (2,0,1)
     full = np.zeros((8, 8), dtype=complex)
     for idx in range(8):
