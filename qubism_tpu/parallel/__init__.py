@@ -1,0 +1,4 @@
+"""Multi-device scaling: amplitude sharding, qubit-relabeling swaps."""
+
+from .mesh import make_mesh  # noqa: F401
+from .sharded import ShardedSim  # noqa: F401
