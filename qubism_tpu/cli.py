@@ -43,6 +43,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="print the final internal state (like a trailing :dump)")
     p.add_argument("--dtype", choices=["complex64", "complex128"], default=None,
                    help="amplitude dtype (default complex64)")
+    p.add_argument("--compile", action="store_true", dest="compile_mode",
+                   help="lower the program to fused XLA segments (fast path; "
+                        "registers are laid out in one state vector up front)")
     p.add_argument("--reference-compat", action="store_true",
                    help="replicate the reference's numerical quirks "
                         "(buggy u3, sqrt-Born sampling, truncated pi)")
@@ -59,7 +62,7 @@ def _apply_flags(args):
 
 
 def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
-              shots: int | None = None, out=None) -> int:
+              shots: int | None = None, out=None, compile_mode: bool = False) -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -74,27 +77,41 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         out.write(e.pretty())
         return 1
     try:
-        ps = run_program(ast, seed=seed)
+        if compile_mode:
+            from .run.compiler import CompiledProgram
+
+            prog = CompiledProgram(ast)
+            state, cregs, key = prog.run(seed=seed, dump_writer=out.write)
+            if dump_state:
+                out.write(prog._pretty(state, cregs))
+            if shots and prog.n:
+                _print_counts_for(state, prog.n, "(x)".join(prog.layout), shots, key, out)
+        else:
+            ps = run_program(ast, seed=seed)
+            if dump_state:
+                out.write(ps.pretty())
+            if shots:
+                _print_shot_counts(ps, shots, out)
     except QasmRuntimeError as e:
         print(e, file=out)
         return 1
-    if dump_state:
-        out.write(ps.pretty())
-    if shots:
-        _print_shot_counts(ps, shots, out)
     print("Done.", file=out)
     return 0
 
 
 def _print_shot_counts(ps: ProgState, shots: int, out):
-    from .ops.sample import sample_counts
-
     for name in sorted(ps.stvecs):
         sv = ps.stvecs[name]
-        counts = sample_counts(sv.planar, sv.n, shots, ps.key)
-        print(f"Counts for state vector {name} ({shots} shots):", file=out)
-        for basis, c in sorted(counts.items()):
-            print(f"  |{basis}>: {c}", file=out)
+        _print_counts_for(sv.planar, sv.n, name, shots, ps.key, out)
+
+
+def _print_counts_for(planar, n, name, shots, key, out):
+    from .ops.sample import sample_counts
+
+    counts = sample_counts(planar, n, shots, key)
+    print(f"Counts for state vector {name} ({shots} shots):", file=out)
+    for basis, c in sorted(counts.items()):
+        print(f"  |{basis}>: {c}", file=out)
 
 
 class Repl:
@@ -109,8 +126,11 @@ class Repl:
 
     def line(self, text: str) -> bool:
         """Process one input line. Returns False when the REPL should exit."""
-        if text.strip() == ":q":
+        stripped = text.strip()
+        if stripped == ":q":
             return False
+        if stripped.startswith(":save ") or stripped.startswith(":load "):
+            return self._checkpoint_cmd(stripped)
         try:
             ast, pstate2 = parse_openqasm_incremental(self.pstate, text)
         except QasmParseError as e:
@@ -126,6 +146,30 @@ class Repl:
             return True  # discard: both parser and program state stay put
         self.pstate = pstate2
         self.prog = new
+        return True
+
+    def _checkpoint_cmd(self, stripped: str) -> bool:
+        """``:save <path>`` / ``:load <path>``: checkpoint/resume the full
+        session (simulator state + parser symbol table). Extension over the
+        reference, which only checkpoints in memory."""
+        from .utils.checkpoint import load_progstate, save_progstate
+
+        cmd, _, path = stripped.partition(" ")
+        path = path.strip()
+        try:
+            if cmd == ":save":
+                save_progstate(self.prog, path, self.pstate)
+                print(f"Saved session to {path}", file=self.out)
+            else:
+                ps, pstate = load_progstate(path)
+                if ps.key is None:
+                    ps.key = self.prog.key
+                self.prog = ps
+                if pstate is not None:
+                    self.pstate = pstate
+                print(f"Loaded session from {path}", file=self.out)
+        except OSError as e:
+            print(f"qubism: {e}", file=self.out)
         return True
 
     def run(self, infile=sys.stdin):
@@ -145,7 +189,7 @@ def main(argv=None) -> int:
     _apply_flags(args)
     if args.file:
         return eval_file(args.file, seed=args.seed, dump_state=args.dump_state,
-                         shots=args.shots)
+                         shots=args.shots, compile_mode=args.compile_mode)
     Repl(seed=args.seed).run()
     return 0
 

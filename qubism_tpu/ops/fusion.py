@@ -22,6 +22,7 @@ in-place in HBM (peak memory ~one state vector, not two).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -153,34 +154,56 @@ def _apply_diag_layer_traced(state: jnp.ndarray, layer: DiagLayer, n: int) -> jn
 
 
 class CompiledCircuit:
-    """A measurement-free circuit segment compiled into one XLA program.
+    """A measurement-free circuit segment compiled into XLA programs.
 
     Applies with buffer donation: ``state = circuit(state)`` reuses the HBM
     buffer, so peak memory stays ~one amplitude vector.
+
+    For large states the fused op stream is split into chunks of
+    ``chunk_passes`` ops, each jitted separately: XLA compile time (and the
+    compiler's own memory) scales badly with monolithic program size at
+    multi-GiB buffer shapes, while per-chunk dispatch overhead is microseconds
+    against ~10ms per pass. ``chunk_passes=None`` picks a default by n.
     """
 
-    def __init__(self, n: int, prims, max_block: int = DEFAULT_MAX_BLOCK, optimize: bool = True):
+    def __init__(self, n: int, prims, max_block: int = DEFAULT_MAX_BLOCK,
+                 optimize: bool = True, chunk_passes: int | None = None):
         self.n = n
         self.prims = tuple(prims)
         self.ops = fuse(self.prims, n, max_block) if optimize else [
             DenseOp(*_prim_sorted_dense(p)) for p in self.prims
         ]
-        self._fn = jax.jit(self._run, donate_argnums=0)
+        if chunk_passes is None:
+            chunk_passes = len(self.ops) if n <= 22 else 4
+        self.chunk_passes = max(1, chunk_passes)
+        self._chunks = [
+            self.ops[i : i + self.chunk_passes]
+            for i in range(0, len(self.ops), self.chunk_passes)
+        ]
+        self._fns = [
+            jax.jit(functools.partial(self._run_ops, tuple(chunk)), donate_argnums=0)
+            for chunk in self._chunks
+        ]
 
     @property
     def num_passes(self) -> int:
         return len(self.ops)
 
-    def _run(self, state: jnp.ndarray) -> jnp.ndarray:
-        for op in self.ops:
+    def _run_ops(self, ops, state: jnp.ndarray) -> jnp.ndarray:
+        for op in ops:
             if isinstance(op, DiagLayer):
                 state = _apply_diag_layer_traced(state, op, self.n)
             else:
                 state = _apply_dense_traced(state, op.u, op.targets, self.n)
         return state
 
+    def _run(self, state: jnp.ndarray) -> jnp.ndarray:
+        return self._run_ops(tuple(self.ops), state)
+
     def __call__(self, state: jnp.ndarray) -> jnp.ndarray:
-        return self._fn(state)
+        for fn in self._fns:
+            state = fn(state)
+        return state
 
     def lower_text(self) -> str:  # pragma: no cover - debugging aid
         return jax.jit(self._run).lower(

@@ -1,0 +1,231 @@
+"""Whole-program compiler: QASM AST → gate-stream IR → fused XLA segments.
+
+The interpreter (:mod:`qubism_tpu.run.interpreter`) is the semantics
+reference: host-driven, one device step per primitive, lazy register fusion.
+This module is the performance path (the CLI's ``--compile`` flag and the
+benchmark driver): it statically elaborates the program — expanding user
+gates, binding parameters, resolving register views to absolute qubits — into
+a flat event stream, then compiles every measurement-free run of unitaries
+into one fused, buffer-donating XLA program (:class:`CompiledCircuit`).
+
+Trade-off vs the interpreter: all quantum registers are laid out in one
+state vector up front (declaration order), giving whole-program gate fusion
+at the cost of the reference's lazy-register-fusion memory optimization
+(ProgState.hs:137-166). Mid-circuit measurement, reset and creg-conditional
+ops remain host-synchronizing boundaries, exactly as in the interpreter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..core.creg import CReg
+from ..core.gates import Prim, is_diagonal, u3_matrix
+from ..ops import measure as _measure
+from ..ops.apply import zero_state
+from ..ops.fusion import CompiledCircuit
+from ..qasm import ast as A
+from .interpreter import Interpreter, _CNOT
+from .progstate import CustomGate, ProgState, QasmRuntimeError, blank_state
+
+# -- event IR -----------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EvGates:
+    prims: tuple[Prim, ...]
+
+
+@dataclass(frozen=True)
+class EvMeasure:
+    qubits: tuple[int, ...]        # absolute qubit indices, in order
+    creg: str
+    bit_index: int | None          # None = whole register write
+
+
+@dataclass(frozen=True)
+class EvReset:
+    qubits: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class EvCond:
+    creg: str
+    value: int
+    body: tuple
+
+
+@dataclass(frozen=True)
+class EvDump:
+    pass
+
+
+class _Elaborator(Interpreter):
+    """Static elaborator: reuses the interpreter's dispatch/binding logic but
+    *records* primitives and events instead of touching device state."""
+
+    def __init__(self, ps: ProgState):
+        super().__init__(ps)
+        self.layout: dict[str, int] = {}  # qreg name -> first absolute qubit
+        self.n = 0
+        self.events: list = []
+        self._sink: list | None = None  # redirection for Cond bodies
+
+    # -- event plumbing ---------------------------------------------------------
+
+    def _emit(self, ev):
+        target = self._sink if self._sink is not None else self.events
+        if isinstance(ev, EvGates) and target and isinstance(target[-1], EvGates):
+            target[-1] = EvGates(target[-1].prims + ev.prims)
+        else:
+            target.append(ev)
+
+    def _abs_qubits(self, arg: A.Arg) -> list[int]:
+        ps = self.ps
+        view = ps.find(arg.name, ps.qregs)
+        base = self.layout[arg.name]
+        if isinstance(arg, A.ArgBit):
+            self._check_index(arg, view.size)
+            return [base + arg.index]
+        return [base + k for k in range(view.size)]
+
+    # -- overridden statement handlers ----------------------------------------------
+
+    def run_stmt(self, stmt: A.Stmt):
+        if isinstance(stmt, A.PosInfo):
+            self.ps.pos = stmt.pos
+            self.run_stmt(stmt.stmt)
+        elif isinstance(stmt, A.QRegDecl):
+            self.ps.add_qreg(stmt.name, stmt.size)
+            # replace the engine-allocated state with a placeholder: the
+            # compiled program owns one flat layout instead
+            self.ps.stvecs[stmt.name] = None
+            self.layout[stmt.name] = self.n
+            self.n += stmt.size
+        elif isinstance(stmt, A.Cond):
+            # creg values are runtime data: record a conditional event
+            self.ps.find(stmt.creg, self.ps.cregs)  # existence check
+            prev, self._sink = self._sink, []
+            try:
+                self.run_qop(stmt.op)
+            finally:
+                body, self._sink = self._sink, prev
+            self._emit(EvCond(stmt.creg, stmt.value, tuple(body)))
+        else:
+            super().run_stmt(stmt)
+
+    def run_qop(self, op: A.QuantumOp):
+        if isinstance(op, A.Measure):
+            src, tgt = op.source, op.target
+            qubits = tuple(self._abs_qubits(src))
+            ps = self.ps
+            cr = ps.find(tgt.name, ps.cregs)
+            if isinstance(tgt, A.ArgBit):
+                if not tgt.index < cr.size:
+                    ps.runtime_error(f"Index out of bounds when writing to {tgt.name}")
+                self._emit(EvMeasure(qubits, tgt.name, tgt.index))
+            else:
+                if len(qubits) != cr.size:
+                    ps.runtime_error(f"Mismatched size on overwrite of {tgt.name}")
+                self._emit(EvMeasure(qubits, tgt.name, None))
+        elif isinstance(op, A.Reset):
+            self._emit(EvReset(tuple(self._abs_qubits(op.arg))))
+        else:
+            super().run_qop(op)
+
+    def run_uop(self, op: A.UnitaryOp):
+        if isinstance(op, A.U):
+            u = u3_matrix(self.eval_expr(op.theta), self.eval_expr(op.phi),
+                          self.eval_expr(op.lam))
+            diag = is_diagonal(u)
+            table = np.diag(u).copy() if diag else u
+            prims = tuple(Prim(table, (q,), diag) for q in self._abs_qubits(op.arg))
+            self._emit(EvGates(prims))
+        elif isinstance(op, A.CX):
+            self.cx(op.control, op.target)
+        elif isinstance(op, A.Dump):
+            self._emit(EvDump())
+        else:
+            super().run_uop(op)  # Func expansion / Barrier
+
+    def _apply_2q(self, u, qr1, i, qr2, j):
+        q1 = self.layout[qr1] + i
+        q2 = self.layout[qr2] + j
+        if q1 == q2:
+            self.ps.runtime_error(f"CX with identical control and target qubit: {qr1}[{i}]")
+        self._emit(EvGates((Prim(u, (q1, q2)),)))
+
+class CompiledProgram:
+    """A QASM program lowered to fused segments + host-level control flow."""
+
+    def __init__(self, ast, max_block: int = 5):
+        ps = blank_state(0)
+        elab = _Elaborator(ps)
+        for stmt in ast:
+            elab.run_stmt(stmt)
+        self.n = elab.n
+        self.events = list(elab.events)
+        self.cregs0 = dict(ps.cregs)
+        self.layout = dict(elab.layout)
+        self.qreg_sizes = {name: ps.qregs[name].size for name in ps.qregs}
+        self.max_block = max_block
+        self._segments: dict[int, CompiledCircuit] = {}
+
+    def _segment(self, key: int, prims) -> CompiledCircuit:
+        if key not in self._segments:
+            self._segments[key] = CompiledCircuit(self.n, prims, self.max_block)
+        return self._segments[key]
+
+    def run(self, seed: int | None = None, dump_writer=None):
+        """Execute. Returns (planar_state, cregs dict, key)."""
+        dump_writer = dump_writer or (lambda s: None)
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        state = zero_state(self.n) if self.n else None
+        cregs = dict(self.cregs0)
+
+        def exec_events(events, state, key, path="r"):
+            for i, ev in enumerate(events):
+                if isinstance(ev, EvGates):
+                    state = self._segment(id(ev), ev.prims)(state)
+                elif isinstance(ev, EvMeasure):
+                    bits = []
+                    for q in ev.qubits:
+                        outcome, state, key = _measure.measure_qubit(state, key, q, self.n)
+                        bits.append(int(outcome))
+                    if ev.bit_index is None:
+                        cregs[ev.creg] = CReg.of(bits)
+                    else:
+                        cregs[ev.creg] = cregs[ev.creg].set_bit(ev.bit_index, bits[0])
+                elif isinstance(ev, EvReset):
+                    for q in ev.qubits:
+                        state = _measure.collapse(state, np.int32(0), q, self.n)
+                elif isinstance(ev, EvCond):
+                    if cregs[ev.creg].to_natural() == ev.value:
+                        state, key = exec_events(ev.body, state, key, path + f".c{i}")
+                elif isinstance(ev, EvDump):
+                    dump_writer(self._pretty(state, cregs))
+            return state, key
+
+        state, key = exec_events(self.events, state, key)
+        return state, cregs, key
+
+    def _pretty(self, state, cregs) -> str:
+        from ..core.statevec import StateVec
+
+        name = "(x)".join(self.layout) if self.layout else ""
+        out = ["Dump of the internal state: \n\n"]
+        if state is not None:
+            out.append(f"State Vector {name}:\n{StateVec(self.n, state)}")
+        out.append("\n")
+        for reg, base in sorted(self.layout.items()):
+            out.append(
+                f"QReg {reg}[{self.qreg_sizes[reg]}] -- targets state vector "
+                f'"{name}" starting at qubit {base}\n'
+            )
+        out.append("\n")
+        for cname in sorted(cregs):
+            out.append(f"CReg {cname}[{cregs[cname].size}] = {cregs[cname]}\n")
+        return "".join(out)

@@ -1,0 +1,162 @@
+"""Compiled-mode (whole-program fusion) vs interpreted-mode equivalence:
+the fast path must reproduce the semantics reference on all example programs
+and on targeted mid-circuit-measurement/conditional cases."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from qubism_tpu.ops.apply import complex_from_planar
+from qubism_tpu.qasm.parser import parse_openqasm
+from qubism_tpu.run.compiler import CompiledProgram, EvCond, EvGates, EvMeasure
+from qubism_tpu.run.interpreter import run_program
+from qubism_tpu.run.progstate import QasmRuntimeError
+
+EXAMPLES = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def parse_file(name):
+    path = os.path.join(EXAMPLES, name)
+    with open(path) as f:
+        return parse_openqasm(path, f.read())
+
+
+def parse_src(src, with_qelib=True):
+    if with_qelib:
+        src = f'include "{EXAMPLES}/qelib1.inc";\n' + src
+    return parse_openqasm("<test>", src)
+
+
+def test_error_correction_compiled():
+    ast = parse_file("errorCorrection.qasm")
+    prog = CompiledProgram(ast)
+    for seed in range(4):
+        _, cregs, _ = prog.run(seed=seed)
+        assert str(cregs["c"]) == "000"
+        assert str(cregs["syn"]) == "10"
+
+
+def test_adder_compiled():
+    ast = parse_file("rippleCarryAdder.qasm")
+    _, cregs, _ = CompiledProgram(ast).run(seed=0)
+    assert cregs["ans"].to_natural() == 16
+
+
+def test_teleportation_compiled_deterministic():
+    src = """
+    qreg q[3]; creg c0[1]; creg c1[1]; creg c2[1];
+    x q[0];
+    h q[1]; cx q[1],q[2];
+    cx q[0],q[1]; h q[0];
+    measure q[0] -> c0[0];
+    measure q[1] -> c1[0];
+    if(c0==1) z q[2];
+    if(c1==1) x q[2];
+    measure q[2] -> c2[0];
+    """
+    prog = CompiledProgram(parse_src(src))
+    for seed in range(6):
+        _, cregs, _ = prog.run(seed=seed)
+        assert str(cregs["c2"]) == "1"
+
+
+def test_compiled_matches_interpreter_amplitudes():
+    """Measurement-free program: amplitudes must agree with the interpreter
+    across multiple registers (compiled mode pre-fuses the layout)."""
+    src = """
+    qreg a[2]; qreg b[2];
+    h a[0];
+    cx a[0],b[1];
+    cu1(pi/4) a[1],b[0];
+    x b[0];
+    """
+    ast = parse_src(src)
+    ps = run_program(ast, seed=0)
+    # interpreter: a and b fused into one statevec "a(x)b" by the cross CX
+    ref = ps.stvecs["a(x)b"].amps
+    prog = CompiledProgram(ast)
+    state, _, _ = prog.run(seed=0)
+    got = complex_from_planar(state)
+    assert np.linalg.norm(got - ref) < 1e-5
+
+
+def test_compiled_same_outcomes_as_interpreter():
+    """Same seed => identical measurement outcomes (same key-split order)."""
+    ast = parse_file("inverseQFT.qasm")
+    prog = CompiledProgram(ast)
+    for seed in (0, 1, 7, 42):
+        ps = run_program(ast, seed=seed)
+        _, cregs, _ = prog.run(seed=seed)
+        assert str(cregs["c"]) == str(ps.cregs["c"])
+
+
+def test_conditional_measure_in_compiled_mode():
+    src = """
+    qreg q[2]; creg c[1]; creg out[1];
+    x q[0];
+    measure q[0] -> c[0];
+    if(c==1) measure q[1] -> out[0];
+    """
+    prog = CompiledProgram(parse_src(src))
+    _, cregs, _ = prog.run(seed=0)
+    assert str(cregs["c"]) == "1"
+    assert str(cregs["out"]) == "0"
+
+
+def test_reset_in_compiled_mode():
+    src = "qreg q[2]; creg c[2]; x q[0]; x q[1]; reset q[0]; measure q -> c;"
+    _, cregs, _ = CompiledProgram(parse_src(src)).run(seed=0)
+    assert str(cregs["c"]) == "01"
+
+
+def test_event_stream_structure():
+    src = """
+    qreg q[2]; creg c[2];
+    h q[0]; cx q[0],q[1];
+    measure q[0] -> c[0];
+    if(c==1) x q[1];
+    h q[1];
+    """
+    prog = CompiledProgram(parse_src(src))
+    kinds = [type(e).__name__ for e in prog.events]
+    assert kinds == ["EvGates", "EvMeasure", "EvCond", "EvGates"]
+    cond = prog.events[2]
+    assert isinstance(cond, EvCond) and len(cond.body) == 1
+    assert isinstance(cond.body[0], EvGates)
+
+
+def test_compiled_runtime_errors_surface():
+    with pytest.raises(QasmRuntimeError, match="different sizes"):
+        CompiledProgram(parse_src("qreg a[2]; qreg b[3]; CX a,b;", with_qelib=False))
+
+
+def test_compiled_dump():
+    src = "qreg a[1]; qreg b[1]; creg c[1]; h a[0]; :dump;"
+    out = []
+    CompiledProgram(parse_src(src)).run(seed=0, dump_writer=out.append)
+    dump = "".join(out)
+    assert "Dump of the internal state" in dump
+    assert "a(x)b" in dump
+
+
+def test_cli_compile_flag(tmp_path, capsys):
+    from qubism_tpu.cli import main
+
+    assert main([os.path.join(EXAMPLES, "rippleCarryAdder.qasm"),
+                 "--seed", "0", "--compile"]) == 0
+    assert capsys.readouterr().out.strip().endswith("Done.")
+
+
+def test_cli_compile_with_shots(tmp_path, capsys):
+    from qubism_tpu.cli import main
+
+    f = tmp_path / "ghz.qasm"
+    f.write_text("qreg q[3]; U(pi/2,0,pi) q[0]; CX q[0],q[1]; CX q[1],q[2];")
+    assert main([str(f), "--compile", "--shots", "32", "--seed", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "Counts" in out
+    for line in out.splitlines():
+        if line.strip().startswith("|"):
+            assert line.strip().startswith(("|000>", "|111>"))

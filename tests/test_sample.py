@@ -1,0 +1,68 @@
+"""Shot-sampler statistics: chi-squared goodness of fit against |psi|^2,
+plus hierarchical-sampler edge cases."""
+
+import jax
+import numpy as np
+import pytest
+
+from qubism_tpu.ops.apply import planar_from_complex
+from qubism_tpu.ops.sample import sample_counts, sample_indices
+
+
+def planar_state(amps):
+    amps = np.asarray(amps, dtype=complex)
+    amps = amps / np.linalg.norm(amps)
+    import jax.numpy as jnp
+
+    return jnp.asarray(planar_from_complex(amps)), amps
+
+
+def chi2(observed, expected_probs, shots):
+    expected = expected_probs * shots
+    mask = expected > 5
+    return float(np.sum((observed[mask] - expected[mask]) ** 2 / expected[mask])), int(mask.sum())
+
+
+@pytest.mark.parametrize("n,seed", [(4, 0), (6, 1), (9, 2)])
+def test_chi_squared_random_state(n, seed):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    planar, amps = planar_state(v)
+    probs = np.abs(amps) ** 2
+    shots = 20000
+    idx = np.asarray(sample_indices(planar, n, shots, jax.random.PRNGKey(seed)))
+    hist = np.bincount(idx, minlength=1 << n)
+    stat, dof = chi2(hist, probs, shots)
+    # chi2 critical value ~ dof + 4*sqrt(2*dof) (way beyond p=0.999)
+    assert stat < dof + 4 * np.sqrt(2 * dof) + 10
+
+
+def test_deterministic_state_sampling():
+    planar, _ = planar_state([0, 0, 1, 0])
+    counts = sample_counts(planar, 2, 100, jax.random.PRNGKey(0))
+    assert counts == {"10": 100}
+
+
+def test_sampling_reproducible():
+    planar, _ = planar_state(np.ones(16))
+    a = np.asarray(sample_indices(planar, 4, 256, jax.random.PRNGKey(5)))
+    b = np.asarray(sample_indices(planar, 4, 256, jax.random.PRNGKey(5)))
+    assert np.array_equal(a, b)
+
+
+def test_odd_qubit_count_chunking():
+    # n odd exercises the m = n//2 chunk split
+    planar, amps = planar_state(np.arange(1, 33))
+    probs = np.abs(amps) ** 2
+    idx = np.asarray(sample_indices(planar, 5, 8192, jax.random.PRNGKey(9)))
+    hist = np.bincount(idx, minlength=32) / 8192
+    assert 0.5 * np.abs(hist - probs).sum() < 0.05
+
+
+def test_zero_amplitude_regions_never_sampled():
+    amps = np.zeros(64)
+    amps[7] = 1 / np.sqrt(2)
+    amps[42] = 1 / np.sqrt(2)
+    planar, _ = planar_state(amps)
+    idx = np.asarray(sample_indices(planar, 6, 4096, jax.random.PRNGKey(3)))
+    assert set(np.unique(idx)) <= {7, 42}
