@@ -56,11 +56,13 @@ def main():
         try:
             t0 = time.time()
             circ = CompiledCircuit(n, qft_prims(n))
-            state = jax.block_until_ready(zero_state(n))
+            state = zero_state(n)
+            _ = float(state[0][0])
             log(f"n={n}: {len(qft_prims(n))} prims fused into {circ.num_passes} passes; "
                 f"state alloc ok ({time.time() - t0:.1f}s)")
             t0 = time.time()
-            state = jax.block_until_ready(circ(state))  # compile + warmup
+            state = circ(state)  # compile + warmup
+            _ = float(state[0][0])
             log(f"n={n}: compile+first-run {time.time() - t0:.1f}s")
             break
         except Exception as e:  # OOM or backend limits: shrink
@@ -76,11 +78,13 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         state = circ(state)
-    jax.block_until_ready(state)
+    # forced scalar readback: block_until_ready through remote-execution
+    # tunnels has been observed to return before the work is done
+    _ = float(state[0][0])
     dt = (time.time() - t0) / reps
 
     passes = circ.num_passes
-    bytes_per_pass = 2 * (8 * (1 << n))  # read + write planar f32 (8B/amp)
+    bytes_per_pass = 2 * (8 * (1 << n))  # read + write both f32 planes (8B/amp)
     achieved_bw = passes * bytes_per_pass / dt
     bw_frac = achieved_bw / peak_bw(dev)
     layers_per_sec = passes / dt

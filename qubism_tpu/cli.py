@@ -102,13 +102,13 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
 def _print_shot_counts(ps: ProgState, shots: int, out):
     for name in sorted(ps.stvecs):
         sv = ps.stvecs[name]
-        _print_counts_for(sv.planar, sv.n, name, shots, ps.key, out)
+        _print_counts_for(sv.planes, sv.n, name, shots, ps.key, out)
 
 
-def _print_counts_for(planar, n, name, shots, key, out):
+def _print_counts_for(planes, n, name, shots, key, out):
     from .ops.sample import sample_counts
 
-    counts = sample_counts(planar, n, shots, key)
+    counts = sample_counts(planes, n, shots, key)
     print(f"Counts for state vector {name} ({shots} shots):", file=out)
     for basis, c in sorted(counts.items()):
         print(f"  |{basis}>: {c}", file=out)

@@ -90,15 +90,15 @@ class Gate:
     def __call__(self, sv: StateVec) -> StateVec:
         if sv.n != self.n:
             raise ValueError(f"gate on {self.n} qubits applied to {sv.n}-qubit state")
-        return StateVec(self.n, self._apply_planar(sv.planar))
+        return StateVec(self.n, self._apply_planes(sv.planes))
 
-    def _apply_planar(self, planar):
+    def _apply_planes(self, planes):
         for p in self.prims:
             if p.diag:
-                planar = _apply.apply_diag(planar, p.u, p.targets, self.n)
+                planes = _apply.apply_diag(planes, p.u, p.targets, self.n)
             else:
-                planar = _apply.apply_gate(planar, p.u, p.targets, self.n)
-        return planar
+                planes = _apply.apply_gate(planes, p.u, p.targets, self.n)
+        return planes
 
     # -- materialization & comparison -----------------------------------------
 
@@ -109,8 +109,9 @@ class Gate:
         for j in range(dim):
             e = np.zeros(dim, dtype=np.complex128)
             e[j] = 1
-            planar = jnp.asarray(_apply.planar_from_complex(e))
-            cols.append(_apply.complex_from_planar(self._apply_planar(planar)))
+            re, im = _apply.planes_from_complex(e)
+            planes = (jnp.asarray(re), jnp.asarray(im))
+            cols.append(_apply.complex_from_planes(self._apply_planes(planes)))
         return np.stack(cols, axis=1).astype(dtype)
 
     def __eq__(self, other) -> bool:

@@ -26,27 +26,34 @@ from .creg import CReg
 
 
 class StateVec:
-    """An n-qubit pure state: planar (2, 2^n) float32 amplitudes on device."""
+    """An n-qubit pure state: (re, im) float32 plane pair on device.
 
-    __slots__ = ("n", "planar")
+    The planes are SEPARATE device buffers (a fused (2, 2^n) buffer would be
+    8 GiB at n=30, beyond what TPU compilers accept as one allocation)."""
+
+    __slots__ = ("n", "planes")
 
     def __init__(self, n: int, data):
-        """``data`` is either a planar (2, 2^n) real array (device or host)
-        or a 1-D complex amplitude vector (host-side; converted)."""
-        if isinstance(data, jnp.ndarray) and data.ndim == 2:
-            planar = data
+        """``data`` is an (re, im) pair of (2^n,) real arrays, a stacked
+        (2, 2^n) real array, or a 1-D complex amplitude vector (host)."""
+        if isinstance(data, (tuple, list)) and len(data) == 2:
+            planes = (jnp.asarray(data[0], dtype=jnp.float32).reshape(-1),
+                      jnp.asarray(data[1], dtype=jnp.float32).reshape(-1))
         else:
             arr = np.asarray(data)
             if arr.ndim == 1:
-                planar = jnp.asarray(_apply.planar_from_complex(arr))
+                re, im = _apply.planes_from_complex(arr)
+                planes = (jnp.asarray(re), jnp.asarray(im))
             elif arr.ndim == 2 and arr.shape[0] == 2:
-                planar = jnp.asarray(arr, dtype=jnp.float32)
+                planes = (jnp.asarray(arr[0], dtype=jnp.float32),
+                          jnp.asarray(arr[1], dtype=jnp.float32))
             else:
                 raise ValueError(f"bad amplitude data shape {arr.shape}")
-        if planar.shape != (2, 1 << n):
-            raise ValueError(f"amplitude data of shape {planar.shape} is not (2, 2^{n})")
+        if planes[0].shape != (1 << n,):
+            raise ValueError(
+                f"amplitude data of shape {planes[0].shape} is not (2^{n},)")
         object.__setattr__(self, "n", n)
-        object.__setattr__(self, "planar", planar)
+        object.__setattr__(self, "planes", planes)
 
     # -- constructors (mirror mkStateVec / mkQubit, StateVec.hs:78-89) ------
 
@@ -74,7 +81,12 @@ class StateVec:
     @property
     def amps(self) -> np.ndarray:
         """Host-side numpy complex128 amplitude vector (device_get)."""
-        return _apply.complex_from_planar(self.planar)
+        return _apply.complex_from_planes(self.planes)
+
+    @property
+    def planar(self) -> np.ndarray:
+        """Host-side stacked (2, 2^n) float32 view (for tests/checkpointing)."""
+        return np.stack([np.asarray(jax.device_get(p)) for p in self.planes])
 
     @property
     def dimension(self) -> int:
@@ -84,35 +96,36 @@ class StateVec:
     # -- basic ops -----------------------------------------------------------
 
     def normalize(self) -> "StateVec":
-        return StateVec(self.n, _apply.normalize(self.planar))
+        return StateVec(self.n, _apply.normalize(self.planes))
 
     def tensor(self, other: "StateVec") -> "StateVec":
         """self ⊗ other: self's qubits become the most significant bits."""
-        return StateVec(self.n + other.n, _apply.tensor(self.planar, other.planar))
+        return StateVec(self.n + other.n, _apply.tensor(self.planes, other.planes))
 
     def inner(self, other: "StateVec") -> complex:
         """<self|other> (conjugate-linear in self); host-side complex."""
-        re, im = np.asarray(jax.device_get(_apply.inner_planar(self.planar, other.planar)))
+        re, im = np.asarray(jax.device_get(_apply.inner_planes(self.planes, other.planes)))
         return complex(re, im)
 
     def norm(self) -> float:
-        return float(jnp.sqrt(jnp.sum(self.planar * self.planar)))
+        re, im = self.planes
+        return float(jnp.sqrt(jnp.sum(re * re) + jnp.sum(im * im)))
 
     # -- measurement ---------------------------------------------------------
 
     def prob_one(self, i: int) -> float:
-        return float(_measure.prob_one(self.planar, i, self.n))
+        return float(_measure.prob_one(self.planes, i, self.n))
 
     def collapse(self, i: int, outcome) -> "StateVec":
         """Project qubit i onto outcome (0/1) and renormalize
         (reference ``collapse``, StateVec.hs:104-114)."""
-        out = _measure.collapse(self.planar, jnp.int32(int(outcome)), i, self.n)
+        out = _measure.collapse(self.planes, jnp.int32(int(outcome)), i, self.n)
         return StateVec(self.n, out)
 
     def measure_qubit(self, i: int, key: jax.Array):
         """Sample qubit i and collapse. Returns (bit, StateVec, key')."""
-        outcome, planar, key = _measure.measure_qubit(self.planar, key, i, self.n)
-        return int(outcome), StateVec(self.n, planar), key
+        outcome, planes, key = _measure.measure_qubit(self.planes, key, i, self.n)
+        return int(outcome), StateVec(self.n, planes), key
 
     def measure(self, key: jax.Array):
         """Measure all qubits sequentially in index order (reference
@@ -130,8 +143,9 @@ class StateVec:
         """Approximate equality: L2 distance < 1e-6 (StateVec.hs:47-49)."""
         if not isinstance(other, StateVec) or other.n != self.n:
             return NotImplemented if not isinstance(other, StateVec) else False
-        d = self.planar - other.planar
-        return float(jnp.sqrt(jnp.sum(d * d))) < TOLERANCE
+        dr = self.planes[0] - other.planes[0]
+        di = self.planes[1] - other.planes[1]
+        return float(jnp.sqrt(jnp.sum(dr * dr) + jnp.sum(di * di))) < TOLERANCE
 
     def __hash__(self):  # pragma: no cover - states are not hashable
         raise TypeError("StateVec is unhashable (approximate equality)")

@@ -73,6 +73,19 @@ def _prim_sorted_dense(p: Prim) -> tuple[np.ndarray, tuple[int, ...]]:
     return u, targets
 
 
+def _union_ok(union: tuple[int, ...], n: int, max_block: int) -> bool:
+    """Fusion admission: a block touching the lane region (last 7 qubits)
+    expands over the whole 128-lane block at apply time, so its cost is set
+    by its ROW bits — allow at most 1 (2*2^1*128-wide matmul, ~2x the
+    bandwidth-bound cost); pure-lane unions are free regardless of size.
+    Row-only unions are capped by max_block as usual."""
+    b = max(n - _apply._COL, 0)
+    row = [t for t in union if t < b]
+    if any(t >= b for t in union):
+        return len(row) <= 1
+    return len(union) <= max_block
+
+
 def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK) -> list:
     """Greedy fusion: prims -> [DenseOp | DiagLayer]."""
     blocks: list[DenseOp] = []
@@ -91,7 +104,7 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK) -> list:
             cur_u, cur_t = u, t
             continue
         union = tuple(sorted(set(cur_t) | set(t)))
-        if len(union) <= max_block:
+        if _union_ok(union, n, max_block):
             a = _expand(cur_u, cur_t, union)
             b = _expand(u, t, union)
             cur_u, cur_t = b @ a, union  # p applies after the block
@@ -114,43 +127,22 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK) -> list:
     return out
 
 
-def _apply_dense_traced(state: jnp.ndarray, u: np.ndarray, targets: tuple[int, ...], n: int) -> jnp.ndarray:
-    """Inside-jit dense block application (matrix becomes an XLA constant)."""
-    k = len(targets)
-    dims, tpos = _apply._segment_shape(n, targets)
-    st = _apply.as_complex(state).reshape(dims)
-    uc = jax.lax.complex(
-        jnp.asarray(u.real, dtype=state.dtype), jnp.asarray(u.imag, dtype=state.dtype)
-    ).reshape((2,) * (2 * k))
-    rank = len(dims)
-    st_sub = list(_apply._LETTERS[:rank])
-    out_letters = _apply._LETTERS[rank : rank + k]
-    u_sub = list(out_letters)
-    out_sub = list(st_sub)
-    for j, pth in enumerate(tpos):
-        u_sub.append(st_sub[pth])
-        out_sub[pth] = out_letters[j]
-    spec = f"{''.join(u_sub)},{''.join(st_sub)}->{''.join(out_sub)}"
-    out = jnp.einsum(spec, uc, st, precision=jax.lax.Precision.HIGHEST).reshape(-1)
-    return _apply.as_planar(out)
+def _apply_dense_traced(planes, u: np.ndarray, targets: tuple[int, ...], n: int):
+    """Inside-jit dense block application (matrix becomes an XLA constant):
+    row-qubit butterfly or lane-block matmul, zero entries skipped."""
+    return _apply.apply_gate_traced(planes, u, targets, n)
 
 
-def _apply_diag_layer_traced(state: jnp.ndarray, layer: DiagLayer, n: int) -> jnp.ndarray:
-    """Inside-jit fused diagonal pass: one elementwise kernel for all factors."""
-    st = _apply.as_complex(state)
-    full = (1 << n,)
-    acc = st
+def _apply_diag_layer_traced(planes, layer: DiagLayer, n: int):
+    """Inside-jit fused diagonal pass: one elementwise sweep for all factors
+    (tables are constants; the lane expansion constant-folds)."""
+    xr, xi = planes
     for d, targets in layer.factors:
-        k = len(targets)
-        dims, tpos = _apply._segment_shape(n, targets)
-        bshape = [1] * len(dims)
-        for p in tpos:
-            bshape[p] = 2
-        dc = jax.lax.complex(
-            jnp.asarray(d.real, dtype=state.dtype), jnp.asarray(d.imag, dtype=state.dtype)
-        ).reshape(bshape)
-        acc = (acc.reshape(dims) * dc).reshape(full)
-    return _apply.as_planar(acc)
+        dr = jnp.asarray(d.real.astype(np.float32))
+        di = jnp.asarray(d.imag.astype(np.float32))
+        tr, ti, row, has_lane = _apply.expand_diag_traced(dr, di, n, targets)
+        xr, xi = _apply.diag_factor_traced(xr, xi, tr, ti, row, has_lane, n)
+    return (xr, xi)
 
 
 class CompiledCircuit:
@@ -167,12 +159,26 @@ class CompiledCircuit:
     """
 
     def __init__(self, n: int, prims, max_block: int = DEFAULT_MAX_BLOCK,
-                 optimize: bool = True, chunk_passes: int | None = None):
+                 optimize: bool = True, chunk_passes: int | None = None,
+                 use_pallas: bool | None = None, virtual_shards: int | None = None):
         self.n = n
         self.prims = tuple(prims)
         self.ops = fuse(self.prims, n, max_block) if optimize else [
             DenseOp(*_prim_sorted_dense(p)) for p in self.prims
         ]
+        if use_pallas is None:
+            # the XLA backend does not fuse multi-op elementwise chains on
+            # TPU (one HBM pass per op, and slow ones); Pallas kernels give
+            # single-sweep ops and in-place aliasing (keeps peak HBM at one
+            # state vector)
+            use_pallas = jax.default_backend() == "tpu" and n >= 14
+        self.use_pallas = use_pallas
+        if virtual_shards is None:
+            # TPU compilers reject several op patterns on > 2^29-element
+            # buffers; past n=29 the state is held as 2^v on-chip shards of
+            # n-v qubits each (the single-chip analog of mesh sharding)
+            virtual_shards = max(0, n - 29) if jax.default_backend() == "tpu" else 0
+        self.v = virtual_shards
         if chunk_passes is None:
             chunk_passes = len(self.ops) if n <= 22 else 4
         self.chunk_passes = max(1, chunk_passes)
@@ -180,32 +186,191 @@ class CompiledCircuit:
             self.ops[i : i + self.chunk_passes]
             for i in range(0, len(self.ops), self.chunk_passes)
         ]
-        self._fns = [
-            jax.jit(functools.partial(self._run_ops, tuple(chunk)), donate_argnums=0)
-            for chunk in self._chunks
-        ]
+        if self.v == 0:
+            self._fns = [
+                jax.jit(functools.partial(self._run_ops, tuple(chunk)), donate_argnums=0)
+                for chunk in self._chunks
+            ]
+        else:
+            self._build_sharded()
 
     @property
     def num_passes(self) -> int:
         return len(self.ops)
 
-    def _run_ops(self, ops, state: jnp.ndarray) -> jnp.ndarray:
+    def _run_ops(self, ops, state):
         for op in ops:
-            if isinstance(op, DiagLayer):
-                state = _apply_diag_layer_traced(state, op, self.n)
-            else:
-                state = _apply_dense_traced(state, op.u, op.targets, self.n)
+            state = self._run_op(op, state)
         return state
 
-    def _run(self, state: jnp.ndarray) -> jnp.ndarray:
+    def _run_op(self, op, state):
+        return self._run_op_at(op, state, self.n)
+
+    def _run_op_at(self, op, state, n):
+        from . import kernels
+
+        if isinstance(op, DiagLayer):
+            if self.use_pallas:
+                return kernels.diag_layer(state, op.factors, n)
+            return _apply_diag_layer_traced(state, op, n)
+        if self.use_pallas and op.targets:
+            dims, tpos, lane = _apply.plan_view(n, op.targets)
+            b = max(n - _apply._COL, 0)
+            if lane and all(t >= b for t in op.targets):
+                u = _apply.expand_for_view(op.u, n, op.targets)
+                return kernels.lane_gate(state, u, n)
+            if not lane and len(op.targets) <= 3:
+                return kernels.row_gate(state, op.u, op.targets, n)
+            # straddling or very wide blocks: XLA fallback
+        return _apply_dense_traced(state, op.u, op.targets, n)
+
+    def _run(self, state):
         return self._run_ops(tuple(self.ops), state)
 
-    def __call__(self, state: jnp.ndarray) -> jnp.ndarray:
+    # -- virtual on-chip sharding (n > 29) ----------------------------------------
+
+    def init_state(self):
+        """The |0...0> state in this circuit's representation: a plane pair
+        for v=0, else a tuple of 2^v shard plane pairs."""
+        if self.v == 0:
+            return _apply.zero_state(self.n)
+        shards = []
+        for s in range(1 << self.v):
+            re = jnp.zeros(1 << (self.n - self.v), jnp.float32)
+            if s == 0:
+                re = re.at[0].set(1)
+            shards.append((re, jnp.zeros(1 << (self.n - self.v), jnp.float32)))
+        return tuple(shards)
+
+    def state_to_complex(self, state):
+        """Host-side numpy complex amplitudes for any representation."""
+        import numpy as _np
+
+        if self.v == 0:
+            return _apply.complex_from_planes(state)
+        return _np.concatenate([_apply.complex_from_planes(sh) for sh in state])
+
+    def _split_op_sharded(self, op):
+        """Specialize one fused op for the 2^v shards. Returns
+        ("per_shard", [op_for_shard_s]) or ("cross", DenseOp)."""
+        v, m = self.v, self.n - self.v
+        if isinstance(op, DiagLayer):
+            per = []
+            for s in range(1 << v):
+                facs = []
+                for d, targets in op.factors:
+                    virt = [t for t in targets if t < v]
+                    real = tuple(t - v for t in targets if t >= v)
+                    if virt:
+                        # fix the virtual bits to this shard's values
+                        dk = d.reshape((2,) * len(targets))
+                        idx = tuple(
+                            ((s >> (v - 1 - t)) & 1) if t < v else slice(None)
+                            for t in targets
+                        )
+                        dsub = np.asarray(dk[idx]).reshape(-1)
+                    else:
+                        dsub = d
+                    facs.append((dsub, real))
+                per.append(DiagLayer(tuple(facs)))
+            return ("per_shard", per)
+        if all(t >= v for t in op.targets):
+            shifted = DenseOp(op.u, tuple(t - v for t in op.targets))
+            return ("per_shard", [shifted] * (1 << v))
+        return ("cross", op)
+
+    def _build_sharded(self):
+        v, m = self.v, self.n - self.v
+        self._events = [self._split_op_sharded(op) for op in self.ops]
+        self._shard_fn_cache: dict = {}
+        self._cross_fns: dict = {}
+
+    def _cross_fn(self, op: DenseOp):
+        """Dense op involving virtual bits: block-decompose over shards.
+        out_s = sum_s' A[s,s'] applied to shard s' on the remaining targets."""
+        key = id(op)
+        if key not in self._cross_fns:
+            v, m = self.v, self.n - self.v
+            nvirt = sum(1 for t in op.targets if t < v)
+            rest = tuple(t - v for t in op.targets if t >= v)
+            h = 1 << len(rest)
+            S = 1 << v
+            # virtual targets are the leading bits of the matrix index iff
+            # targets are sorted (they are) — matrix blocks:
+            vbits = [t for t in op.targets if t < v]
+
+            def shard_block_index(s):
+                # bits of the matrix's virtual-target group for shard s
+                out = 0
+                for t in vbits:
+                    out = (out << 1) | ((s >> (v - 1 - t)) & 1)
+                return out
+
+            def run(shards):
+                outs = []
+                for s_out in range(S):
+                    acc = None
+                    for s_in in range(S):
+                        bi, bj = shard_block_index(s_out), shard_block_index(s_in)
+                        # shards whose non-target virtual bits differ don't mix
+                        mask = 0
+                        for t in range(v):
+                            if t not in vbits:
+                                mask |= 1 << (v - 1 - t)
+                        if (s_out & mask) != (s_in & mask):
+                            continue
+                        blk = op.u[bi * h : (bi + 1) * h, bj * h : (bj + 1) * h]
+                        if not blk.any():
+                            continue
+                        if rest:
+                            term = _apply.apply_gate_traced(shards[s_in], blk, rest, m)
+                        else:
+                            c = complex(blk[0, 0])
+                            xr, xi = shards[s_in]
+                            term = (np.float32(c.real) * xr - np.float32(c.imag) * xi,
+                                    np.float32(c.real) * xi + np.float32(c.imag) * xr)
+                        if acc is None:
+                            acc = term
+                        else:
+                            acc = (acc[0] + term[0], acc[1] + term[1])
+                    if acc is None:
+                        z = jnp.zeros_like(shards[s_out][0])
+                        acc = (z, z)
+                    outs.append(acc)
+                return tuple(outs)
+
+            self._cross_fns[key] = jax.jit(run, donate_argnums=0)
+        return self._cross_fns[key]
+
+    def _shard_fn(self, op):
+        """Jitted single-shard application of a per-shard op."""
+        key = id(op)
+        if key not in self._shard_fn_cache:
+            m = self.n - self.v
+
+            def run(planes, op=op):
+                return self._run_op_at(op, planes, m)
+
+            self._shard_fn_cache[key] = jax.jit(run, donate_argnums=0)
+        return self._shard_fn_cache[key]
+
+    def _call_sharded(self, shards):
+        shards = list(shards)
+        for kind, payload in self._events:
+            if kind == "cross":
+                shards = list(self._cross_fn(payload)(tuple(shards)))
+            else:
+                for s in range(len(shards)):
+                    shards[s] = self._shard_fn(payload[s])(shards[s])
+        return tuple(shards)
+
+    def __call__(self, state):
+        if self.v:
+            return self._call_sharded(state)
         for fn in self._fns:
             state = fn(state)
         return state
 
     def lower_text(self) -> str:  # pragma: no cover - debugging aid
-        return jax.jit(self._run).lower(
-            jax.ShapeDtypeStruct((2, 1 << self.n), jnp.float32)
-        ).as_text()
+        shape = jax.ShapeDtypeStruct((1 << self.n,), jnp.float32)
+        return jax.jit(self._run).lower((shape, shape)).as_text()

@@ -1,0 +1,339 @@
+"""Pallas TPU kernels — the speed-of-light path.
+
+The XLA backend applies one HBM pass per *operation* (measured: it does not
+fuse broadcast-multiply chains or reversed views into single sweeps on this
+TPU), so deep circuits pay one full state read+write per gate. These kernels
+restore the intended cost model:
+
+* :func:`row_gate` — strided index-pair butterfly for dense gates on "row"
+  qubits (pair stride >= 128): each grid block holds all 2^k target-bit
+  combinations in VMEM and recombines them with constant coefficients —
+  one read+write of the state per gate, pure VPU.
+* :func:`diag_layer` — an ENTIRE layer of commuting diagonal factors
+  (controlled-phase ladders, CZ bricks, rz...) in ONE pass: per block, the
+  phase product is evaluated from index bits via iota/shift/select, then
+  multiplied in. 16 factors cost the same single sweep as one.
+* :func:`lane_gate` — dense gates on the last 7 ("lane") qubits as 128-wide
+  real matmuls on the MXU, with the gate expanded over the lane block.
+
+All kernels run **in place** (``input_output_aliases``): peak HBM stays one
+state vector, which is what makes n=30 (2 x 4 GiB planes) fit on a 16 GiB
+chip.
+
+Blocks are (rows, C) tiles with C a multiple of 128 (lane tiling) and the
+pair axis kept inside the block, so no kernel ever materializes a
+small-trailing-dim view (see ops/apply.py's layout discipline).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .apply import _COL, Planes
+
+#: target elements per block per plane (f32): 8192 lanes x 8 sublanes
+_BLOCK_C = 8192
+_BLOCK_ROWS = 8
+
+#: set True to run kernels in interpreter mode (CPU tests)
+INTERPRET = False
+
+
+def _interpret():
+    if INTERPRET:
+        return True
+    return jax.default_backend() not in ("tpu",)
+
+
+# ---------------------------------------------------------------------------
+# Row-qubit dense gates (pair stride >= 2^_COL)
+# ---------------------------------------------------------------------------
+
+
+def _row_plan(n: int, targets: tuple[int, ...]):
+    """View + block plan for a dense gate on sorted row targets.
+
+    View: interleaved (seg, 2, seg, 2, ..., tail) with the trailing segment
+    tail = 2^(n-1-max(targets)) >= 2^_COL split as (B, C) when large.
+    Blocks slice every non-target axis; each block holds all 2^k combos.
+    """
+    k = len(targets)
+    dims: list[int] = []
+    tpos: list[int] = []
+    prev = 0
+    for t in targets:
+        if t - prev > 0:
+            dims.append(1 << (t - prev))
+        tpos.append(len(dims))
+        dims.append(2)
+        prev = t + 1
+    tail = 1 << (n - prev)
+    if tail > _BLOCK_C:
+        dims.append(tail // _BLOCK_C)
+        dims.append(_BLOCK_C)
+    else:
+        dims.append(tail)
+    return tuple(dims), tuple(tpos)
+
+
+def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
+    """Apply a dense gate (complex (2^k, 2^k), sorted row targets) in place."""
+    k = len(targets)
+    dims, tpos = _row_plan(n, targets)
+    rank = len(dims)
+
+    # grid over all non-target axes, with the trailing axis kept whole when
+    # it is the C block and sliced by _BLOCK_ROWS-ish chunks otherwise
+    grid_axes = [a for a in range(rank) if a not in tpos]
+    block_shape = [1] * rank
+    for p in tpos:
+        block_shape[p] = 2
+    block_shape[-1] = dims[-1]  # full trailing dim (>= 128)
+    if rank - 1 in grid_axes:
+        grid_axes.remove(rank - 1)
+    # give the block some sublane depth on the last gridded axis if possible
+    if grid_axes and grid_axes[-1] == rank - 2 and rank - 2 not in tpos:
+        depth = min(dims[rank - 2], _BLOCK_ROWS)
+        if dims[rank - 2] % depth == 0:
+            block_shape[rank - 2] = depth
+    grid = tuple(
+        dims[a] // block_shape[a] for a in grid_axes
+    )
+
+    def index_map(*gids):
+        out = [0] * rank
+        for g, a in zip(gids, grid_axes):
+            out[a] = g
+        return tuple(out)
+
+    spec = pl.BlockSpec(tuple(block_shape), index_map, memory_space=pltpu.VMEM)
+
+    # constant coefficient tables: coef[i][j] complex
+    cu = np.asarray(u, dtype=np.complex128)
+
+    def kernel(re_ref, im_ref, ro_ref, io_ref):
+        def slot(j):
+            idx = [0] * rank
+            for b, p in enumerate(tpos):
+                idx[p] = (j >> (k - 1 - b)) & 1
+            idx[-1] = slice(None)
+            if block_shape[-2] > 1 and (rank - 2) not in tpos:
+                idx[-2] = slice(None)
+            return tuple(idx)
+
+        xs = [(re_ref[slot(j)], im_ref[slot(j)]) for j in range(1 << k)]
+        for i in range(1 << k):
+            yr, yi = None, None
+            for j in range(1 << k):
+                z = cu[i, j]
+                if z == 0:
+                    continue
+                cr, ci = np.float32(z.real), np.float32(z.imag)
+                xr, xi = xs[j]
+                tr = cr * xr - ci * xi
+                ti = cr * xi + ci * xr
+                yr = tr if yr is None else yr + tr
+                yi = ti if yi is None else yi + ti
+            if yr is None:
+                yr = jnp.zeros_like(xs[0][0])
+                yi = jnp.zeros_like(xs[0][1])
+            ro_ref[slot(i)] = yr
+            io_ref[slot(i)] = yi
+
+    re, im = planes
+    shape = jax.ShapeDtypeStruct(tuple(dims), jnp.float32)
+    ro, io = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        grid=grid,
+        input_output_aliases={0: 0, 1: 1},
+        interpret=_interpret(),
+    )(re.reshape(dims), im.reshape(dims))
+    return (ro.reshape(-1), io.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# Fused diagonal layer
+# ---------------------------------------------------------------------------
+
+
+def _diag_tables(factors, n: int, C: int):
+    """Host-side decomposition of a diagonal layer over the (R, C) view.
+
+    Every factor's value is multilinear in its target bits. Factors entirely
+    within the row bits fold into one complex row-phase vector Prow[r];
+    factors within the col bits fold into Pcol[c]; a factor straddling the
+    split (one row bit b_r, one col bit b_c; tables are <= 2 qubits after
+    fusion) becomes X[c] + B[r] * Y[c] with host-precomputed vectors.
+
+    Returns (row_tables (F_r, R) f32, col_tables (F_c, C) f32) where
+    row_tables = [Prow_re, Prow_im, B_1, ..., B_S] and
+    col_tables = [Pcol_re, Pcol_im, X_1re, X_1im, Y_1re, Y_1im, ...].
+    The total phase is
+      P = Prow * Pcol * prod_s (X_s + B_s * Y_s).
+    """
+    R = 1 << (n - (C.bit_length() - 1))
+    log_c = C.bit_length() - 1
+    rows = np.arange(R, dtype=np.int64)
+    cols = np.arange(C, dtype=np.int64)
+
+    def bitvec(t):
+        pos = n - 1 - t
+        if pos >= log_c:
+            return ((rows >> (pos - log_c)) & 1), True
+        return ((cols >> pos) & 1), False
+
+    prow = np.ones(R, dtype=np.complex128)
+    pcol = np.ones(C, dtype=np.complex128)
+    straddle = []
+    for d, targets in factors:
+        d = np.asarray(d, dtype=np.complex128)
+        k = len(targets)
+        vecs = [bitvec(t) for t in targets]
+        if all(is_row for _, is_row in vecs):
+            idx = np.zeros(R, dtype=np.int64)
+            for bv, _ in vecs:
+                idx = (idx << 1) | bv
+            prow *= d[idx]
+        elif all(not is_row for _, is_row in vecs):
+            idx = np.zeros(C, dtype=np.int64)
+            for bv, _ in vecs:
+                idx = (idx << 1) | bv
+            pcol *= d[idx]
+        else:
+            if k != 2:
+                raise ValueError("straddling diagonal factors must be 2-qubit")
+            (b0, r0), (b1, r1) = vecs
+            if r0:
+                br, bc = b0, b1
+                d2 = d.reshape(2, 2)          # [b_row, b_col]
+            else:
+                br, bc = b1, b0
+                d2 = d.reshape(2, 2).T
+            # v = X[c] + B[r] * Y[c]
+            x = d2[0, 0] * (1 - bc) + d2[0, 1] * bc
+            y = (d2[1, 0] - d2[0, 0]) * (1 - bc) + (d2[1, 1] - d2[0, 1]) * bc
+            straddle.append((br.astype(np.float32), x, y))
+
+    row_tables = [prow.real.astype(np.float32), prow.imag.astype(np.float32)]
+    col_tables = [pcol.real.astype(np.float32), pcol.imag.astype(np.float32)]
+    for br, x, y in straddle:
+        row_tables.append(br)
+        col_tables.extend([x.real.astype(np.float32), x.imag.astype(np.float32),
+                           y.real.astype(np.float32), y.imag.astype(np.float32)])
+    return np.stack(row_tables), np.stack(col_tables), len(straddle)
+
+
+def diag_layer(planes: Planes, factors, n: int) -> Planes:
+    """Multiply in a whole layer of diagonal factors in ONE pass.
+
+    ``factors``: sequence of (diag table (2^k,) complex, sorted targets).
+    The phase field over the (R, C) view is decomposed host-side into
+    row/col vectors (see _diag_tables); the kernel is a short FMA chain —
+    no iota, no selects, one read+write of the state.
+    """
+    # BR must be lane-aligned (128) because the row tables' blocks use it as
+    # their last dim; C stays a multiple of 128 for the state blocks
+    C = min(2048, 1 << n)
+    R = (1 << n) // C
+    BR = min(R, 128)
+    row_t, col_t, S = _diag_tables(factors, n, C)
+
+    def pad8(a):
+        f = a.shape[0]
+        pad = (-f) % 8
+        if pad:
+            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+        return a
+
+    row_t, col_t = pad8(row_t), pad8(col_t)
+    FR, FC = row_t.shape[0], col_t.shape[0]
+
+    def kernel(re_ref, im_ref, rt_ref, ct_ref, ro_ref, io_ref):
+        # phase P = Prow * Pcol * prod_s (X_s + B_s * Y_s)
+        prr = rt_ref[0, :].reshape(BR, 1)
+        pri = rt_ref[1, :].reshape(BR, 1)
+        pcr = ct_ref[0, :].reshape(1, C)
+        pci = ct_ref[1, :].reshape(1, C)
+        pr = prr * pcr - pri * pci
+        pi = prr * pci + pri * pcr
+        for si in range(S):
+            b = rt_ref[2 + si, :].reshape(BR, 1)
+            xr = ct_ref[2 + 4 * si, :].reshape(1, C)
+            xi = ct_ref[3 + 4 * si, :].reshape(1, C)
+            yr = ct_ref[4 + 4 * si, :].reshape(1, C)
+            yi = ct_ref[5 + 4 * si, :].reshape(1, C)
+            vr = xr + b * yr
+            vi = xi + b * yi
+            pr, pi = pr * vr - pi * vi, pr * vi + pi * vr
+        xr_ = re_ref[...]
+        xi_ = im_ref[...]
+        ro_ref[...] = xr_ * pr - xi_ * pi
+        io_ref[...] = xr_ * pi + xi_ * pr
+
+    spec = pl.BlockSpec((BR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rt_spec = pl.BlockSpec((FR, BR), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ct_spec = pl.BlockSpec((FC, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    re, im = planes
+    shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
+    ro, io = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape),
+        in_specs=[spec, spec, rt_spec, ct_spec],
+        out_specs=(spec, spec),
+        grid=(R // BR,),
+        input_output_aliases={0: 0, 1: 1},
+        interpret=_interpret(),
+    )(re.reshape(R, C), im.reshape(R, C), jnp.asarray(row_t), jnp.asarray(col_t))
+    return (ro.reshape(-1), io.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# Lane-block dense gates (targets within the last _COL qubits)
+# ---------------------------------------------------------------------------
+
+
+def lane_gate(planes: Planes, u: np.ndarray, n: int) -> Planes:
+    """Apply a dense gate pre-expanded over the whole lane block
+    (u: (2^_COL, 2^_COL) complex) as MXU matmuls, in place."""
+    lanes = 1 << min(n, _COL)
+    R = (1 << n) // lanes
+    BR = min(R, 512)
+    mr = np.ascontiguousarray(u.real.astype(np.float32).T)  # (in, out)
+    mi = np.ascontiguousarray(u.imag.astype(np.float32).T)
+
+    def kernel(re_ref, im_ref, mr_ref, mi_ref, ro_ref, io_ref):
+        xr = re_ref[...]
+        xi = im_ref[...]
+        mrc = mr_ref[...]
+        mic = mi_ref[...]
+        hi = jax.lax.Precision.HIGHEST
+        rr = jnp.dot(xr, mrc, precision=hi, preferred_element_type=jnp.float32)
+        ii = jnp.dot(xi, mic, precision=hi, preferred_element_type=jnp.float32)
+        ri = jnp.dot(xr, mic, precision=hi, preferred_element_type=jnp.float32)
+        ir = jnp.dot(xi, mrc, precision=hi, preferred_element_type=jnp.float32)
+        ro_ref[...] = rr - ii
+        io_ref[...] = ri + ir
+
+    spec = pl.BlockSpec((BR, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((lanes, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    re, im = planes
+    shape = jax.ShapeDtypeStruct((R, lanes), jnp.float32)
+    ro, io = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape),
+        in_specs=[spec, spec, mspec, mspec],
+        out_specs=(spec, spec),
+        grid=(R // BR,),
+        input_output_aliases={0: 0, 1: 1},
+        interpret=_interpret(),
+    )(re.reshape(R, lanes), im.reshape(R, lanes), jnp.asarray(mr), jnp.asarray(mi))
+    return (ro.reshape(-1), io.reshape(-1))

@@ -1,9 +1,13 @@
-"""Measurement, collapse and reset primitives (planar-layout states).
+"""Measurement, collapse and reset primitives (split-plane states).
 
 Replaces the reference's measurement path (src/Qubism/StateVec.hs:104-137)
 with on-device fused kernels and explicit, splittable JAX PRNG keys (the
 reference uses an ambient global StdGen and is irreproducible). States are
-planar float32 (2, 2^n) arrays — see :mod:`qubism_tpu.ops.apply`.
+(re, im) pairs of float32 (2^n,) arrays — see :mod:`qubism_tpu.ops.apply`.
+
+The same TPU layout discipline applies: a qubit in the lane block (last 7)
+is handled with a per-lane bit mask over a (rows, 128) view instead of a
+reshape with a small trailing dim.
 
 Born rule: the reference samples with ``r < sqrt(p)`` (quirk, see
 SURVEY.md §2.4.2). We default to the correct ``r < p``; the quirk is
@@ -16,57 +20,90 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import config
+from .apply import _COL, Planes
 
 
-def _split4(n: int, q: int) -> tuple[int, int, int, int]:
-    """(2, outer, 2, inner) reshape dims isolating qubit q of a planar state."""
-    return (2, 1 << q, 2, 1 << (n - q - 1))
+def _lane_bits(n: int, q: int) -> np.ndarray:
+    """(lanes,) int32 indicator of bit(q)==1 within the lane block."""
+    lanes = 1 << min(n, _COL)
+    return (((np.arange(lanes) >> (n - 1 - q)) & 1)).astype(np.int32)
+
+
+def prob_one_traced(planes: Planes, q: int, n: int) -> jnp.ndarray:
+    """Inside-jit Born probability that measuring qubit q yields 1."""
+    b = max(n - _COL, 0)
+    re, im = planes
+    if q < b:
+        r = re.reshape(1 << q, 2, -1)
+        i = im.reshape(1 << q, 2, -1)
+        return jnp.sum(r[:, 1, :] ** 2) + jnp.sum(i[:, 1, :] ** 2)
+    lanes = 1 << (n - b)
+    mask = jnp.asarray(_lane_bits(n, q).astype(np.float32)).reshape(1, lanes)
+    r = re.reshape(-1, lanes)
+    i = im.reshape(-1, lanes)
+    return jnp.sum((r * r + i * i) * mask)
+
+
+def collapse_traced(planes: Planes, outcome, q: int, n: int,
+                    norm_reduce=lambda x: x) -> Planes:
+    """Inside-jit projection of qubit q onto ``outcome`` + renormalize.
+    ``norm_reduce`` lets sharded callers psum the squared norm."""
+    b = max(n - _COL, 0)
+    re, im = planes
+    if q < b:
+        r = re.reshape(1 << q, 2, -1)
+        i = im.reshape(1 << q, 2, -1)
+        sel = jnp.arange(2).reshape(1, 2, 1) == outcome
+    else:
+        lanes = 1 << (n - b)
+        r = re.reshape(-1, lanes)
+        i = im.reshape(-1, lanes)
+        sel = jnp.asarray(_lane_bits(n, q)).reshape(1, lanes) == outcome
+    mr = jnp.where(sel, r, 0)
+    mi = jnp.where(sel, i, 0)
+    nrm = jnp.sqrt(norm_reduce(jnp.sum(mr * mr) + jnp.sum(mi * mi)))
+    scale = 1.0 / jnp.where(nrm == 0, 1, nrm)
+    return ((mr * scale).reshape(-1), (mi * scale).reshape(-1))
 
 
 @functools.partial(jax.jit, static_argnames=("q", "n"))
-def prob_one(state: jnp.ndarray, q: int, n: int) -> jnp.ndarray:
+def prob_one(planes: Planes, q: int, n: int) -> jnp.ndarray:
     """Born probability that measuring qubit q yields 1."""
-    st = state.reshape(_split4(n, q))
-    return jnp.sum(st[:, :, 1, :] ** 2)
-
-
-def _collapse(st: jnp.ndarray, outcome: jnp.ndarray) -> jnp.ndarray:
-    """Mask the incompatible half of a (2, A, 2, B)-shaped state and
-    renormalize (reference ``collapse``, StateVec.hs:104-114). Zero-norm
-    results return the zero vector instead of NaNs."""
-    sel = jnp.arange(2).reshape(1, 1, 2, 1) == outcome
-    masked = jnp.where(sel, st, 0)
-    nrm = jnp.sqrt(jnp.sum(masked * masked))
-    return masked / jnp.where(nrm == 0, 1, nrm)
+    return prob_one_traced(planes, q, n)
 
 
 @functools.partial(jax.jit, static_argnames=("q", "n"))
-def collapse(state: jnp.ndarray, outcome: jnp.ndarray, q: int, n: int) -> jnp.ndarray:
-    """Project qubit q onto ``outcome`` (0/1) and renormalize."""
-    st = state.reshape(_split4(n, q))
-    return _collapse(st, outcome).reshape(2, -1)
+def collapse(planes: Planes, outcome: jnp.ndarray, q: int, n: int) -> Planes:
+    """Project qubit q onto ``outcome`` (0/1) and renormalize.
+
+    Mirrors reference ``collapse`` (src/Qubism/StateVec.hs:104-114): mask the
+    incompatible half, then L2-normalize. A zero-norm result (projecting onto
+    an impossible outcome) returns the zero vector instead of NaNs.
+    """
+    return collapse_traced(planes, outcome, q, n)
 
 
 @functools.partial(jax.jit, static_argnames=("q", "n", "sqrt_born"))
-def _measure_qubit_impl(state, key, q: int, n: int, sqrt_born: bool):
-    st = state.reshape(_split4(n, q))
-    p1 = jnp.sum(st[:, :, 1, :] ** 2)
+def _measure_qubit_impl(planes, key, q: int, n: int, sqrt_born: bool):
+    p1 = prob_one_traced(planes, q, n)
     threshold = jnp.sqrt(p1) if sqrt_born else p1
     key, sub = jax.random.split(key)
     r = jax.random.uniform(sub, dtype=threshold.dtype)
     outcome = (r < threshold).astype(jnp.int32)
-    new_state = _collapse(st, outcome).reshape(2, -1)
-    return outcome, new_state, key
+    new_planes = collapse_traced(planes, outcome, q, n)
+    return outcome, new_planes, key
 
 
-def measure_qubit(state: jnp.ndarray, key: jax.Array, q: int, n: int):
-    """Sample qubit q, collapse the state. Returns (outcome, state', key')."""
-    return _measure_qubit_impl(state, key, q, n, config.reference_sqrt_born)
+def measure_qubit(planes: Planes, key: jax.Array, q: int, n: int):
+    """Sample qubit q, collapse the state. Returns (outcome, planes', key')."""
+    return _measure_qubit_impl(planes, key, q, n, config.reference_sqrt_born)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def probabilities(state: jnp.ndarray, n: int) -> jnp.ndarray:
+def probabilities(planes: Planes, n: int) -> jnp.ndarray:
     """|psi|^2 over the computational basis, shape (2^n,) float32."""
-    return jnp.sum(state * state, axis=0)
+    re, im = planes
+    return re * re + im * im

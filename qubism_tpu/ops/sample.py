@@ -24,10 +24,11 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("n", "shots"), donate_argnums=())
-def sample_indices(amps: jnp.ndarray, n: int, shots: int, key: jax.Array) -> jnp.ndarray:
-    """Sample ``shots`` basis-state indices from the planar (2, 2^n) state.
+def sample_indices(planes, n: int, shots: int, key: jax.Array) -> jnp.ndarray:
+    """Sample ``shots`` basis-state indices from an (re, im) state.
     Returns (shots,) int32."""
-    p = jnp.sum(amps * amps, axis=0)
+    re, im = planes
+    p = re * re + im * im
     m = max(0, n // 2)          # 2^m chunks
     r = n - m                   # chunk size 2^r
     P = p.reshape(1 << m, 1 << r)
@@ -56,10 +57,10 @@ def sample_indices(amps: jnp.ndarray, n: int, shots: int, key: jax.Array) -> jnp
     return (c.astype(jnp.int32) * (1 << r) + lo).astype(jnp.int32)
 
 
-def sample_counts(amps: jnp.ndarray, n: int, shots: int, key: jax.Array | None = None) -> dict[str, int]:
+def sample_counts(planes, n: int, shots: int, key: jax.Array | None = None) -> dict[str, int]:
     """Sample and histogram: returns {big-endian bitstring: count}."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    idx = np.asarray(jax.device_get(sample_indices(amps, n, shots, key)))
+    idx = np.asarray(jax.device_get(sample_indices(planes, n, shots, key)))
     vals, counts = np.unique(idx, return_counts=True)
     return {format(int(v), f"0{n}b"): int(c) for v, c in zip(vals, counts)}

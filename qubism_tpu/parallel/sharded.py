@@ -1,9 +1,9 @@
 """Amplitude-sharded simulation over a TPU mesh.
 
 The one parallelism axis of a state-vector simulator is the amplitude index:
-the planar (2, 2^n) state is sharded along the amplitude axis over a 1-D
-mesh of D = 2^d devices, so the **top d index bits (big-endian qubits
-0..d-1) select the device** and the remaining n-d bits are shard-local.
+the (re, im) plane pair is sharded along the amplitude axis over a 1-D mesh
+of D = 2^d devices, so the **top d index bits (big-endian qubits 0..d-1)
+select the device** and the remaining n-d bits are shard-local.
 
 Operation taxonomy (SURVEY.md §2.3):
 
@@ -26,7 +26,6 @@ unchanged on a TPU slice.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
@@ -36,9 +35,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.gates import Prim
 from ..ops import apply as _apply
+from ..ops.measure import collapse_traced, prob_one_traced
 from .mesh import make_mesh
 
 AXIS = "amp"
+
+#: shard_map spec for an (re, im) plane pair
+_STATE_SPEC = (P(AXIS), P(AXIS))
 
 
 class ShardedSim:
@@ -46,7 +49,7 @@ class ShardedSim:
 
     def __init__(self, n: int, mesh: Mesh | None = None):
         self.mesh = mesh if mesh is not None else make_mesh()
-        (self.D,) = (self.mesh.devices.size,)
+        self.D = self.mesh.devices.size
         self.d = int(math.log2(self.D))
         if (1 << self.d) != self.D:
             raise ValueError(f"mesh size {self.D} is not a power of two")
@@ -56,20 +59,20 @@ class ShardedSim:
         # logical qubit -> physical bit position (and inverse)
         self.perm = list(range(n))
         self.inv = list(range(n))
-        self.sharding = NamedSharding(self.mesh, P(None, AXIS))
-        self.planar = jax.jit(
-            lambda: _apply.zero_state(n), out_shardings=self.sharding
+        sh = NamedSharding(self.mesh, P(AXIS))
+        self.planes = jax.jit(
+            lambda: _apply.zero_state(n), out_shardings=(sh, sh)
         )()
         self._cache: dict = {}
 
     # -- shard_map plumbing ---------------------------------------------------
 
-    def _smap(self, body, out_specs=P(None, AXIS), in_extra=()):
+    def _smap(self, body, out_specs=_STATE_SPEC, in_extra=()):
         return jax.jit(
             jax.shard_map(
                 body,
                 mesh=self.mesh,
-                in_specs=(P(None, AXIS),) + tuple(in_extra),
+                in_specs=(_STATE_SPEC,) + tuple(in_extra),
                 out_specs=out_specs,
             )
         )
@@ -94,23 +97,25 @@ class ShardedSim:
     def _swap_fn(self, pg: int, pl: int):
         key = ("swap", pg, pl)
         if key not in self._cache:
-            d, n_local, D = self.d, self.n_local, self.D
+            d, D = self.d, self.D
             gmask = 1 << (d - 1 - pg)
-            l_loc = pl - d
-            a = 1 << l_loc
+            a = 1 << (pl - d)
             pairs = [(i, i ^ gmask) for i in range(D)]
 
-            def body(blk):  # blk: (2, 2^{n_local})
-                idx = jax.lax.axis_index(AXIS)
-                bit = (idx & gmask) > 0
-                blk4 = blk.reshape(2, a, 2, -1)
-                half0, half1 = blk4[:, :, 0, :], blk4[:, :, 1, :]
+            def swap_plane(x, bit):
+                x3 = x.reshape(a, 2, -1)
+                half0, half1 = x3[:, 0, :], x3[:, 1, :]
                 send = jnp.where(bit, half0, half1)   # the λ = 1-β half leaves
                 recv = jax.lax.ppermute(send, AXIS, pairs)
                 keep = jnp.where(bit, half1, half0)   # the λ = β half stays
                 new0 = jnp.where(bit, recv, keep)
                 new1 = jnp.where(bit, keep, recv)
-                return jnp.stack([new0, new1], axis=2).reshape(2, -1)
+                return jnp.stack([new0, new1], axis=1).reshape(-1)
+
+            def body(planes):
+                idx = jax.lax.axis_index(AXIS)
+                bit = (idx & gmask) > 0
+                return (swap_plane(planes[0], bit), swap_plane(planes[1], bit))
 
             self._cache[key] = self._smap(body)
         return self._cache[key]
@@ -118,11 +123,14 @@ class ShardedSim:
     def swap_global_local(self, pg: int, pl: int):
         """Exchange global physical position pg (< d) with local pl (>= d)."""
         assert pg < self.d <= pl
-        self.planar = self._swap_fn(pg, pl)(self.planar)
+        self.planes = self._swap_fn(pg, pl)(self.planes)
         self._swap_positions(pg, pl)
 
     def _pick_local_slot(self, avoid: set[int]) -> int:
-        for pos in range(self.n - 1, self.d - 1, -1):
+        # prefer OUTERMOST local positions: the swap kernel's view then keeps
+        # a large trailing dim (TPU tiling), and the new local qubit lands in
+        # the cheap "row" region of subsequent gate applications
+        for pos in range(self.d, self.n):
             if pos not in avoid:
                 return pos
         raise RuntimeError("no free local position for qubit swap")
@@ -147,10 +155,14 @@ class ShardedSim:
         if key not in self._cache:
             n_local = self.n_local
 
-            def body(blk, u_planar):
-                return _apply._apply_gate_impl(blk, u_planar, local_targets, n_local)
+            def body(planes, op):
+                dims, tpos, lane = _apply.plan_view(n_local, local_targets)
+                if lane:
+                    return _apply.apply_gate_lane_traced(planes, op, dims, tpos)
+                table = _apply._row_table_dyn(op[0], op[1], dims, tpos)
+                return _apply.apply_gate_row_traced(planes, table, dims, tpos)
 
-            self._cache[key] = self._smap(body, in_extra=(P(),))
+            self._cache[key] = self._smap(body, in_extra=((P(), P()),))
         return self._cache[key]
 
     def _global_diag_fn(self, gpos: tuple[int, ...], lpos: tuple[int, ...]):
@@ -160,23 +172,29 @@ class ShardedSim:
             kg, kl = len(gpos), len(lpos)
             local_targets = tuple(p - d for p in lpos)
 
-            def body(blk, table_planar):
-                # table axes: global bits (MSB-first) then local bits
+            def body(planes, table):
+                # table = (d_r, d_i), axes: global bits (MSB-first) then local
                 idx = jax.lax.axis_index(AXIS)
                 gidx = jnp.int32(0)
                 for g in gpos:
                     bit = ((idx >> (d - 1 - g)) & 1).astype(jnp.int32)
                     gidx = (gidx << 1) | bit
-                row = jax.lax.dynamic_index_in_dim(
-                    table_planar.reshape(2, 1 << kg, 1 << kl), gidx, axis=1,
-                    keepdims=False,
-                )  # (2, 2^kl) planar
+                rows = tuple(
+                    jax.lax.dynamic_index_in_dim(
+                        t.reshape(1 << kg, 1 << kl), gidx, axis=0, keepdims=False
+                    )
+                    for t in table
+                )  # ((2^kl,), (2^kl,))
                 if kl == 0:
-                    z = _apply.as_complex(blk) * _apply.as_complex(row)[0]
-                    return _apply.as_planar(z)
-                return _apply._apply_diag_impl(blk, row, local_targets, n_local)
+                    rr, ri = rows[0][0], rows[1][0]
+                    return (planes[0] * rr - planes[1] * ri,
+                            planes[0] * ri + planes[1] * rr)
+                tr, ti, rrow, has_lane = _apply.expand_diag_traced(
+                    rows[0], rows[1], n_local, local_targets)
+                return _apply.diag_factor_traced(
+                    planes[0], planes[1], tr, ti, rrow, has_lane, n_local)
 
-            self._cache[key] = self._smap(body, in_extra=(P(),))
+            self._cache[key] = self._smap(body, in_extra=((P(), P()),))
         return self._cache[key]
 
     def apply_prim(self, p: Prim):
@@ -192,15 +210,17 @@ class ShardedSim:
             kg = sum(1 for x in sphys if x < self.d)
             gpos, lpos = tuple(sphys[:kg]), tuple(sphys[kg:])
             fn = self._global_diag_fn(gpos, lpos)
-            table = jnp.asarray(_apply.planar_from_complex(dn.reshape(1 << kg, 1 << len(lpos))))
-            self.planar = fn(self.planar, table)
+            table = (jnp.asarray(dn.real.astype(np.float32)),
+                     jnp.asarray(dn.imag.astype(np.float32)))
+            self.planes = fn(self.planes, table)
         else:
             phys = self.localize(tuple(p.targets))
             u = np.asarray(p.dense(), dtype=np.complex128)
             u, sorted_phys = _apply._sort_targets(u, phys)
             local_targets = tuple(x - self.d for x in sorted_phys)
+            ur, ui = _apply.prepare_gate(u, local_targets, self.n_local)
             fn = self._local_dense_fn(local_targets)
-            self.planar = fn(self.planar, jnp.asarray(_apply.planar_from_complex(u)))
+            self.planes = fn(self.planes, (jnp.asarray(ur), jnp.asarray(ui)))
 
     def apply(self, prims):
         for p in prims:
@@ -217,15 +237,14 @@ class ShardedSim:
             if phys >= self.d:
                 lq = phys - d
 
-                def body(blk):
-                    st = blk.reshape(2, 1 << lq, 2, -1)
-                    return jax.lax.psum(jnp.sum(st[:, :, 1, :] ** 2), AXIS)
+                def body(planes):
+                    return jax.lax.psum(prob_one_traced(planes, lq, n_local), AXIS)
             else:
                 gmask = 1 << (d - 1 - phys)
 
-                def body(blk):
+                def body(planes):
                     idx = jax.lax.axis_index(AXIS)
-                    mass = jnp.sum(blk * blk)
+                    mass = jnp.sum(planes[0] ** 2) + jnp.sum(planes[1] ** 2)
                     return jax.lax.psum(jnp.where((idx & gmask) > 0, mass, 0.0), AXIS)
 
             self._cache[key] = self._smap(body, out_specs=P())
@@ -239,31 +258,30 @@ class ShardedSim:
             if phys >= self.d:
                 lq = phys - d
 
-                def body(blk, outcome):
-                    st = blk.reshape(2, 1 << lq, 2, -1)
-                    sel = jnp.arange(2).reshape(1, 1, 2, 1) == outcome
-                    masked = jnp.where(sel, st, 0)
-                    nrm = jnp.sqrt(jax.lax.psum(jnp.sum(masked * masked), AXIS))
-                    return (masked / jnp.where(nrm == 0, 1, nrm)).reshape(2, -1)
+                def body(planes, outcome):
+                    return collapse_traced(planes, outcome, lq, n_local,
+                                           norm_reduce=lambda x: jax.lax.psum(x, AXIS))
             else:
                 gmask = 1 << (d - 1 - phys)
 
-                def body(blk, outcome):
+                def body(planes, outcome):
                     idx = jax.lax.axis_index(AXIS)
                     bit = ((idx & gmask) > 0).astype(jnp.int32)
-                    masked = jnp.where(bit == outcome, blk, jnp.zeros_like(blk))
-                    nrm = jnp.sqrt(jax.lax.psum(jnp.sum(masked * masked), AXIS))
-                    return masked / jnp.where(nrm == 0, 1, nrm)
+                    mr = jnp.where(bit == outcome, planes[0], jnp.zeros_like(planes[0]))
+                    mi = jnp.where(bit == outcome, planes[1], jnp.zeros_like(planes[1]))
+                    nrm = jnp.sqrt(jax.lax.psum(jnp.sum(mr * mr) + jnp.sum(mi * mi), AXIS))
+                    scale = 1.0 / jnp.where(nrm == 0, 1, nrm)
+                    return (mr * scale, mi * scale)
 
             self._cache[key] = self._smap(body, in_extra=(P(),))
         return self._cache[key]
 
     def prob_one(self, logical_q: int) -> float:
-        return float(self._prob_one_fn(self.perm[logical_q])(self.planar))
+        return float(self._prob_one_fn(self.perm[logical_q])(self.planes))
 
     def collapse(self, logical_q: int, outcome: int):
         fn = self._collapse_fn(self.perm[logical_q])
-        self.planar = fn(self.planar, jnp.int32(outcome))
+        self.planes = fn(self.planes, jnp.int32(outcome))
         return self
 
     def measure_qubit(self, logical_q: int, key: jax.Array):
@@ -278,15 +296,15 @@ class ShardedSim:
     def _sample_fn(self, shots: int):
         key = ("sample", shots)
         if key not in self._cache:
-            d, n_local, D = self.d, self.n_local, self.D
+            n_local, D = self.n_local, self.D
 
-            def body(blk, u):  # u: (shots,) replicated uniforms in [0,1)
+            def body(planes, u):  # u: (shots,) replicated uniforms in [0,1)
                 i = jax.lax.axis_index(AXIS)
-                p = jnp.sum(blk * blk, axis=0)  # (2^{n_local},)
+                re, im = planes
+                p = re * re + im * im
                 local_cdf = jnp.cumsum(p)
                 mass = local_cdf[-1]
-                # device CDF: all-gather the D masses (tiny)
-                masses = jax.lax.all_gather(mass, AXIS)  # (D,)
+                masses = jax.lax.all_gather(mass, AXIS)  # (D,) — tiny
                 dev_cdf = jnp.cumsum(masses)
                 total = dev_cdf[-1]
                 uu = u * total
@@ -303,10 +321,10 @@ class ShardedSim:
         return self._cache[key]
 
     def sample(self, shots: int, key: jax.Array) -> np.ndarray:
-        """Sample basis-state indices (in PHYSICAL bit order, then converted
-        to logical order host-side). Returns (shots,) int64 numpy."""
+        """Sample basis-state indices (converted to logical qubit order).
+        Returns (shots,) int64 numpy."""
         u = jax.random.uniform(key, (shots,), dtype=jnp.float32)
-        phys_idx = np.asarray(jax.device_get(self._sample_fn(shots)(self.planar, u)))
+        phys_idx = np.asarray(jax.device_get(self._sample_fn(shots)(self.planes, u)))
         return self._to_logical_indices(phys_idx)
 
     def _to_logical_indices(self, phys_idx: np.ndarray) -> np.ndarray:
@@ -323,7 +341,7 @@ class ShardedSim:
 
     def amplitudes(self) -> np.ndarray:
         """Gather to host in LOGICAL qubit order (small n only)."""
-        z = _apply.complex_from_planar(self.planar)
+        z = _apply.complex_from_planes(self.planes)
         if self.perm == list(range(self.n)):
             return z
         t = z.reshape((2,) * self.n)

@@ -133,15 +133,15 @@ class Interpreter:
             qubits = [view.start + arg.index]
         else:
             qubits = [view.start + k for k in range(view.size)]
-        planar = sv.planar
+        planes = sv.planes
         for q in qubits:
             if diag:
-                planar = _apply.apply_diag(planar, table, (q,), sv.n)
+                planes = _apply.apply_diag(planes, table, (q,), sv.n)
             else:
-                planar = _apply.apply_gate(planar, table, (q,), sv.n)
+                planes = _apply.apply_gate(planes, table, (q,), sv.n)
         # write to the BACKING state vector (the reference writes under the
         # QReg's name here, orphaning the update after fusion — bug)
-        ps.write_statevec(StateVec(sv.n, planar), view.target)
+        ps.write_statevec(StateVec(sv.n, planes), view.target)
 
     def _check_index(self, arg: A.ArgBit, size: int):
         if not (0 <= arg.index < size):
@@ -159,8 +159,8 @@ class Interpreter:
         q2 = ps.find(qr2, ps.qregs).start + j
         if q1 == q2:
             ps.runtime_error(f"CX with identical control and target qubit: {qr1}[{i}]")
-        planar = _apply.apply_gate(sv.planar, u, (q1, q2), sv.n)
-        ps.write_statevec(StateVec(sv.n, planar), target)
+        planes = _apply.apply_gate(sv.planes, u, (q1, q2), sv.n)
+        ps.write_statevec(StateVec(sv.n, planes), target)
 
     def cx(self, arg1: A.Arg, arg2: A.Arg):
         """CX over all four argument-shape combos (Simulation.hs:158-173)."""
@@ -220,10 +220,10 @@ class Interpreter:
             qubits = [view.start + arg.index]
         else:
             qubits = [view.start + k for k in range(view.size)]
-        planar = sv.planar
+        planes = sv.planes
         for q in qubits:
-            planar = _measure.collapse(planar, jnp.int32(0), q, sv.n)
-        ps.write_statevec(StateVec(sv.n, planar), view.target)
+            planes = _measure.collapse(planes, jnp.int32(0), q, sv.n)
+        ps.write_statevec(StateVec(sv.n, planes), view.target)
 
     # -- user gates (Simulation.hs:175-207) ----------------------------------------------
 

@@ -1,0 +1,154 @@
+"""Pallas kernel correctness (interpreter mode on CPU): the speed-of-light
+kernels must agree with the XLA reference path to 1e-6."""
+
+import math
+
+import numpy as np
+import pytest
+
+import qubism_tpu.ops.kernels as K
+from qubism_tpu.core.gates import Prim, u3_matrix
+from qubism_tpu.ops.apply import (
+    apply_diag,
+    apply_gate,
+    complex_from_planes,
+    expand_for_view,
+    zero_state,
+)
+
+H = np.array([[1, 1], [1, -1]], dtype=complex) / math.sqrt(2)
+CX = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    K.INTERPRET = True
+    yield
+    K.INTERPRET = False
+
+
+def rand_planes(n, seed):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    v /= np.linalg.norm(v)
+    import jax.numpy as jnp
+
+    return (jnp.asarray(v.real.astype(np.float32)), jnp.asarray(v.imag.astype(np.float32))), v
+
+
+@pytest.mark.parametrize("n,targets", [
+    (8, (0,)), (8, (3,)), (10, (0, 4)), (10, (2, 3)), (9, (0, 1)),
+    (15, (2,)),  # tail split into (B, C) with _BLOCK_C
+])
+def test_row_gate_matches_reference(n, targets):
+    planes, _ = rand_planes(n, 42)
+    k = len(targets)
+    rng = np.random.default_rng(1)
+    if k == 1:
+        u = u3_matrix(*rng.uniform(0, 2 * math.pi, 3), reference_bug=False)
+    else:
+        u = CX
+    expected = complex_from_planes(apply_gate(planes, u, targets, n))
+    got = complex_from_planes(K.row_gate(planes, u, targets, n))
+    assert np.linalg.norm(got - expected) < 1e-5
+
+
+def test_row_gate_h_on_zero_state():
+    n = 9
+    got = complex_from_planes(K.row_gate(zero_state(n), H, (0,), n))
+    expected = np.zeros(1 << n, dtype=complex)
+    expected[0] = expected[1 << (n - 1)] = 1 / math.sqrt(2)
+    assert np.linalg.norm(got - expected) < 1e-6
+
+
+@pytest.mark.parametrize("n", [8, 11])
+def test_diag_layer_matches_reference(n):
+    planes, _ = rand_planes(n, 7)
+    cz = np.array([1, 1, 1, -1], dtype=complex)
+    cu1 = np.array([1, 1, 1, np.exp(0.3j)], dtype=complex)
+    ph = np.array([1, 1j], dtype=complex)
+    factors = [(cz, (0, n - 1)), (cu1, (1, 2)), (ph, (n - 2,)), (cu1, (0, n - 2))]
+    expected = planes
+    for d, t in factors:
+        expected = apply_diag(expected, d, t, n)
+    expected = complex_from_planes(expected)
+    got = complex_from_planes(K.diag_layer(planes, factors, n))
+    assert np.linalg.norm(got - expected) < 1e-5
+
+
+@pytest.mark.parametrize("n", [8, 10])
+def test_lane_gate_matches_reference(n):
+    planes, _ = rand_planes(n, 3)
+    q = n - 2  # lane qubit
+    expected = complex_from_planes(apply_gate(planes, H, (q,), n))
+    u = expand_for_view(H, n, (q,))
+    got = complex_from_planes(K.lane_gate(planes, u, n))
+    assert np.linalg.norm(got - expected) < 1e-5
+
+
+def test_lane_gate_two_targets(n=9):
+    planes, _ = rand_planes(n, 5)
+    targets = (n - 3, n - 1)
+    expected = complex_from_planes(apply_gate(planes, CX, targets, n))
+    u = expand_for_view(CX, n, targets)
+    got = complex_from_planes(K.lane_gate(planes, u, n))
+    assert np.linalg.norm(got - expected) < 1e-5
+
+
+def test_compiled_circuit_pallas_backend_matches():
+    """Full fused executor with the Pallas backend (interpret mode) vs the
+    XLA backend on a QFT."""
+    from qubism_tpu.models.circuits import qft_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+
+    n = 10
+    a = CompiledCircuit(n, qft_prims(n), use_pallas=False)
+    b = CompiledCircuit(n, qft_prims(n), use_pallas=True)
+    ra = complex_from_planes(a(zero_state(n)))
+    rb = complex_from_planes(b(zero_state(n)))
+    assert np.linalg.norm(ra - rb) < 1e-5
+
+
+def test_diag_layer_chunked_many_straddles():
+    """More straddling factors than _MAX_STRADDLE: multi-pass chunking."""
+    n = 16
+    planes, _ = rand_planes(n, 11)
+    cu1 = lambda l: np.array([1, 1, 1, np.exp(1j * l)], dtype=complex)  # noqa: E731
+    factors = [(cu1(0.1 * j), (2, j)) for j in range(6, n)]  # 10 straddles at C=2048
+    expected = planes
+    from qubism_tpu.ops.apply import apply_diag
+
+    for d, t in factors:
+        expected = apply_diag(expected, d, t, n)
+    expected = complex_from_planes(expected)
+    got = complex_from_planes(K.diag_layer(planes, factors, n))
+    assert np.linalg.norm(got - expected) < 1e-5
+
+
+def test_virtual_sharded_executor_matches():
+    """virtual_shards=1/2 must reproduce the unsharded result exactly
+    (random circuit incl. gates and diagonals on the virtual qubits)."""
+    from qubism_tpu.models.circuits import qft_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+    from tests.test_fusion import random_prims
+
+    n = 8
+    for prims in (qft_prims(n), random_prims(n, 30, 3)):
+        ref = CompiledCircuit(n, prims, use_pallas=False, virtual_shards=0)
+        expected = ref.state_to_complex(ref(ref.init_state()))
+        for v in (1, 2):
+            circ = CompiledCircuit(n, prims, use_pallas=False, virtual_shards=v)
+            got = circ.state_to_complex(circ(circ.init_state()))
+            assert np.linalg.norm(got - expected) < 1e-5, (v,)
+
+
+def test_virtual_sharded_pallas_interpret():
+    from qubism_tpu.models.circuits import qft_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+
+    n = 9
+    ref = CompiledCircuit(n, qft_prims(n), use_pallas=False, virtual_shards=0)
+    expected = ref.state_to_complex(ref(ref.init_state()))
+    circ = CompiledCircuit(n, qft_prims(n), use_pallas=True, virtual_shards=1)
+    got = circ.state_to_complex(circ(circ.init_state()))
+    assert np.linalg.norm(got - expected) < 1e-5
