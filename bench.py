@@ -38,11 +38,23 @@ def peak_bw(device) -> float:
     return 50e9
 
 
+def enable_cache():
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
     import jax
 
+    enable_cache()
+
     from qubism_tpu.models.circuits import qft_prims
-    from qubism_tpu.ops.apply import zero_state
     from qubism_tpu.ops.fusion import CompiledCircuit
 
     dev = jax.devices()[0]
@@ -50,19 +62,22 @@ def main():
     target_n = 30 if on_tpu else 20
     log(f"device: {dev} ({getattr(dev, 'device_kind', '?')}), target n={target_n}")
 
+    def sync(circ, st):
+        x = st[0][0] if circ.v == 0 else st[0][0][0]
+        return float(x[0]) if getattr(x, "shape", ()) else float(x)
+
     state = None
     n = target_n
     while n >= 16:
         try:
             t0 = time.time()
             circ = CompiledCircuit(n, qft_prims(n))
-            state = zero_state(n)
-            _ = float(state[0][0])
-            log(f"n={n}: {len(qft_prims(n))} prims fused into {circ.num_passes} passes; "
-                f"state alloc ok ({time.time() - t0:.1f}s)")
+            state = circ.init_state()
+            log(f"n={n}: {len(qft_prims(n))} prims fused into {circ.num_passes} passes "
+                f"(v={circ.v} on-chip shards); state alloc ok ({time.time() - t0:.1f}s)")
             t0 = time.time()
             state = circ(state)  # compile + warmup
-            _ = float(state[0][0])
+            _ = sync(circ, state)
             log(f"n={n}: compile+first-run {time.time() - t0:.1f}s")
             break
         except Exception as e:  # OOM or backend limits: shrink
@@ -80,7 +95,7 @@ def main():
         state = circ(state)
     # forced scalar readback: block_until_ready through remote-execution
     # tunnels has been observed to return before the work is done
-    _ = float(state[0][0])
+    _ = sync(circ, state)
     dt = (time.time() - t0) / reps
 
     passes = circ.num_passes

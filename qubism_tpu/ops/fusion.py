@@ -73,12 +73,17 @@ def _prim_sorted_dense(p: Prim) -> tuple[np.ndarray, tuple[int, ...]]:
     return u, targets
 
 
-def _union_ok(union: tuple[int, ...], n: int, max_block: int) -> bool:
+def _union_ok(union: tuple[int, ...], n: int, max_block: int,
+              keep_separate_below: int = 0) -> bool:
     """Fusion admission: a block touching the lane region (last 7 qubits)
     expands over the whole 128-lane block at apply time, so its cost is set
     by its ROW bits — allow at most 1 (2*2^1*128-wide matmul, ~2x the
     bandwidth-bound cost); pure-lane unions are free regardless of size.
     Row-only unions are capped by max_block as usual."""
+    if any(t < keep_separate_below for t in union) and len(union) > 1:
+        # gates on virtual-shard qubits stay unfused: the cross-shard
+        # executor handles single prims cheaply (zero/identity block elision)
+        return False
     b = max(n - _apply._COL, 0)
     row = [t for t in union if t < b]
     if any(t >= b for t in union):
@@ -86,7 +91,8 @@ def _union_ok(union: tuple[int, ...], n: int, max_block: int) -> bool:
     return len(union) <= max_block
 
 
-def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK) -> list:
+def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
+         keep_separate_below: int = 0) -> list:
     """Greedy fusion: prims -> [DenseOp | DiagLayer]."""
     blocks: list[DenseOp] = []
     cur_u: np.ndarray | None = None
@@ -104,7 +110,7 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK) -> list:
             cur_u, cur_t = u, t
             continue
         union = tuple(sorted(set(cur_t) | set(t)))
-        if _union_ok(union, n, max_block):
+        if _union_ok(union, n, max_block, keep_separate_below):
             a = _expand(cur_u, cur_t, union)
             b = _expand(u, t, union)
             cur_u, cur_t = b @ a, union  # p applies after the block
@@ -163,9 +169,12 @@ class CompiledCircuit:
                  use_pallas: bool | None = None, virtual_shards: int | None = None):
         self.n = n
         self.prims = tuple(prims)
-        self.ops = fuse(self.prims, n, max_block) if optimize else [
-            DenseOp(*_prim_sorted_dense(p)) for p in self.prims
-        ]
+        if virtual_shards is None:
+            # TPU compilers reject several op patterns on > 2^29-element
+            # buffers; past n=29 the state is held as 2^v on-chip shards of
+            # n-v qubits each (the single-chip analog of mesh sharding)
+            virtual_shards = max(0, n - 29) if jax.default_backend() == "tpu" else 0
+        self.v = virtual_shards
         if use_pallas is None:
             # the XLA backend does not fuse multi-op elementwise chains on
             # TPU (one HBM pass per op, and slow ones); Pallas kernels give
@@ -173,26 +182,29 @@ class CompiledCircuit:
             # state vector)
             use_pallas = jax.default_backend() == "tpu" and n >= 14
         self.use_pallas = use_pallas
-        if virtual_shards is None:
-            # TPU compilers reject several op patterns on > 2^29-element
-            # buffers; past n=29 the state is held as 2^v on-chip shards of
-            # n-v qubits each (the single-chip analog of mesh sharding)
-            virtual_shards = max(0, n - 29) if jax.default_backend() == "tpu" else 0
-        self.v = virtual_shards
+        if use_pallas:
+            # the pallas row kernel handles <= 2 targets; wider blocks would
+            # fall back to the slow XLA path
+            max_block = min(max_block, 2)
+        self.ops = fuse(self.prims, n, max_block, self.v) if optimize else [
+            DenseOp(*_prim_sorted_dense(p)) for p in self.prims
+        ]
         if chunk_passes is None:
             chunk_passes = len(self.ops) if n <= 22 else 4
         self.chunk_passes = max(1, chunk_passes)
-        self._chunks = [
-            self.ops[i : i + self.chunk_passes]
-            for i in range(0, len(self.ops), self.chunk_passes)
-        ]
-        if self.v == 0:
+        if self.v > 0:
+            self._build_sharded()
+        elif use_pallas:
+            self._fns = None  # kernels are individually jitted + cached
+        else:
+            self._chunks = [
+                self.ops[i : i + self.chunk_passes]
+                for i in range(0, len(self.ops), self.chunk_passes)
+            ]
             self._fns = [
                 jax.jit(functools.partial(self._run_ops, tuple(chunk)), donate_argnums=0)
                 for chunk in self._chunks
             ]
-        else:
-            self._build_sharded()
 
     @property
     def num_passes(self) -> int:
@@ -287,78 +299,121 @@ class CompiledCircuit:
 
     def _cross_fn(self, op: DenseOp):
         """Dense op involving virtual bits: block-decompose over shards.
-        out_s = sum_s' A[s,s'] applied to shard s' on the remaining targets."""
+        out_s = sum_s' A[s,s'] applied to shard s' on the remaining targets.
+
+        Memory-lean: identity blocks are passthrough, zero blocks skipped
+        (so virtually-controlled gates reduce to per-shard ops), and each
+        output shard is computed by its own jit so peak HBM stays ~state +
+        one shard."""
         key = id(op)
         if key not in self._cross_fns:
             v, m = self.v, self.n - self.v
-            nvirt = sum(1 for t in op.targets if t < v)
             rest = tuple(t - v for t in op.targets if t >= v)
             h = 1 << len(rest)
             S = 1 << v
-            # virtual targets are the leading bits of the matrix index iff
-            # targets are sorted (they are) — matrix blocks:
             vbits = [t for t in op.targets if t < v]
 
             def shard_block_index(s):
-                # bits of the matrix's virtual-target group for shard s
                 out = 0
                 for t in vbits:
                     out = (out << 1) | ((s >> (v - 1 - t)) & 1)
                 return out
 
-            def run(shards):
-                outs = []
-                for s_out in range(S):
+            mask = 0
+            for t in range(v):
+                if t not in vbits:
+                    mask |= 1 << (v - 1 - t)
+
+            eye = np.eye(h)
+
+            def term_kind(blk):
+                if not blk.any():
+                    return "zero"
+                if np.allclose(blk, eye, atol=1e-14):
+                    return "ident"
+                return "mat"
+
+            def analyze_out(s_out):
+                terms = []
+                for s_in in range(S):
+                    if (s_out & mask) != (s_in & mask):
+                        continue
+                    bi, bj = shard_block_index(s_out), shard_block_index(s_in)
+                    blk = op.u[bi * h : (bi + 1) * h, bj * h : (bj + 1) * h]
+                    kind = term_kind(blk)
+                    if kind != "zero":
+                        terms.append((s_in, kind, blk))
+                if len(terms) == 1 and terms[0][1] == "ident":
+                    return ("passthrough", terms[0][0], [])
+                reads = [t[0] for t in terms]
+
+                def run(*inputs):
+                    by_sin = dict(zip(reads, inputs))
                     acc = None
-                    for s_in in range(S):
-                        bi, bj = shard_block_index(s_out), shard_block_index(s_in)
-                        # shards whose non-target virtual bits differ don't mix
-                        mask = 0
-                        for t in range(v):
-                            if t not in vbits:
-                                mask |= 1 << (v - 1 - t)
-                        if (s_out & mask) != (s_in & mask):
-                            continue
-                        blk = op.u[bi * h : (bi + 1) * h, bj * h : (bj + 1) * h]
-                        if not blk.any():
-                            continue
-                        if rest:
-                            term = _apply.apply_gate_traced(shards[s_in], blk, rest, m)
+                    for s_in, kind, blk in terms:
+                        if kind == "ident":
+                            term = by_sin[s_in]
+                        elif rest:
+                            term = _apply.apply_gate_traced(by_sin[s_in], blk, rest, m)
                         else:
                             c = complex(blk[0, 0])
-                            xr, xi = shards[s_in]
+                            xr, xi = by_sin[s_in]
                             term = (np.float32(c.real) * xr - np.float32(c.imag) * xi,
                                     np.float32(c.real) * xi + np.float32(c.imag) * xr)
-                        if acc is None:
-                            acc = term
-                        else:
-                            acc = (acc[0] + term[0], acc[1] + term[1])
-                    if acc is None:
-                        z = jnp.zeros_like(shards[s_out][0])
-                        acc = (z, z)
-                    outs.append(acc)
-                return tuple(outs)
+                        acc = term if acc is None else (acc[0] + term[0], acc[1] + term[1])
+                    return acc
 
-            self._cross_fns[key] = jax.jit(run, donate_argnums=0)
+                return ("jit", run, reads)
+
+            out_plans = [analyze_out(s) for s in range(S)]
+            passthrough_srcs = {p for k, p, _ in out_plans if k == "passthrough"}
+            # the LAST jit output may donate its inputs (nothing reads the old
+            # shards afterwards) — this keeps peak HBM at ~state + one shard
+            last_jit = max((i for i, (k, _, _) in enumerate(out_plans) if k == "jit"),
+                           default=None)
+            compiled = []
+            for i, (kind, payload, reads) in enumerate(out_plans):
+                if kind == "jit":
+                    donate = (i == last_jit)
+                    argnums = tuple(
+                        j for j, s_in in enumerate(reads)
+                        if donate and s_in not in passthrough_srcs
+                    )
+                    compiled.append(("jit", jax.jit(payload, donate_argnums=argnums), reads))
+                else:
+                    compiled.append((kind, payload, reads))
+
+            def apply_cross(shards):
+                new = []
+                for kind, payload, reads in compiled:
+                    if kind == "passthrough":
+                        new.append(shards[payload])
+                    else:
+                        new.append(payload(*(shards[s] for s in reads)))
+                return tuple(new)
+
+            self._cross_fns[key] = apply_cross
         return self._cross_fns[key]
 
     def _shard_fn(self, op):
-        """Jitted single-shard application of a per-shard op."""
+        """Single-shard application (kernels are individually jitted and
+        compile-cached; the XLA path wraps in a cached jit)."""
         key = id(op)
         if key not in self._shard_fn_cache:
             m = self.n - self.v
-
-            def run(planes, op=op):
-                return self._run_op_at(op, planes, m)
-
-            self._shard_fn_cache[key] = jax.jit(run, donate_argnums=0)
+            if self.use_pallas:
+                self._shard_fn_cache[key] = lambda planes, op=op: self._run_op_at(op, planes, m)
+            else:
+                self._shard_fn_cache[key] = jax.jit(
+                    lambda planes, op=op: self._run_op_at(op, planes, m),
+                    donate_argnums=0)
         return self._shard_fn_cache[key]
 
     def _call_sharded(self, shards):
         shards = list(shards)
         for kind, payload in self._events:
             if kind == "cross":
-                shards = list(self._cross_fn(payload)(tuple(shards)))
+                shards = list(self._cross_fn(payload)(shards))
             else:
                 for s in range(len(shards)):
                     shards[s] = self._shard_fn(payload[s])(shards[s])
@@ -367,6 +422,10 @@ class CompiledCircuit:
     def __call__(self, state):
         if self.v:
             return self._call_sharded(state)
+        if self._fns is None:  # pallas backend: kernels are self-jitted
+            for op in self.ops:
+                state = self._run_op(op, state)
+            return state
         for fn in self._fns:
             state = fn(state)
         return state

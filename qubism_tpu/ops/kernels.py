@@ -82,14 +82,15 @@ def _row_plan(n: int, targets: tuple[int, ...]):
     return tuple(dims), tuple(tpos)
 
 
-def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
-    """Apply a dense gate (complex (2^k, 2^k), sorted row targets) in place."""
+@functools.lru_cache(maxsize=None)
+def _row_gate_fn(targets: tuple[int, ...], n: int):
+    """Cached jitted kernel for dense row gates on ``targets`` (sorted).
+    Gate coefficients are an SMEM argument, so every gate with the same
+    target positions shares ONE compile."""
     k = len(targets)
     dims, tpos = _row_plan(n, targets)
     rank = len(dims)
 
-    # grid over all non-target axes, with the trailing axis kept whole when
-    # it is the C block and sliced by _BLOCK_ROWS-ish chunks otherwise
     grid_axes = [a for a in range(rank) if a not in tpos]
     block_shape = [1] * rank
     for p in tpos:
@@ -97,14 +98,11 @@ def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) ->
     block_shape[-1] = dims[-1]  # full trailing dim (>= 128)
     if rank - 1 in grid_axes:
         grid_axes.remove(rank - 1)
-    # give the block some sublane depth on the last gridded axis if possible
     if grid_axes and grid_axes[-1] == rank - 2 and rank - 2 not in tpos:
         depth = min(dims[rank - 2], _BLOCK_ROWS)
         if dims[rank - 2] % depth == 0:
             block_shape[rank - 2] = depth
-    grid = tuple(
-        dims[a] // block_shape[a] for a in grid_axes
-    )
+    grid = tuple(dims[a] // block_shape[a] for a in grid_axes)
 
     def index_map(*gids):
         out = [0] * rank
@@ -113,11 +111,10 @@ def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) ->
         return tuple(out)
 
     spec = pl.BlockSpec(tuple(block_shape), index_map, memory_space=pltpu.VMEM)
+    cf_spec = pl.BlockSpec((2, 1 << k, 1 << k),
+                           (lambda *gids: (0, 0, 0)), memory_space=pltpu.SMEM)
 
-    # constant coefficient tables: coef[i][j] complex
-    cu = np.asarray(u, dtype=np.complex128)
-
-    def kernel(re_ref, im_ref, ro_ref, io_ref):
+    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
         def slot(j):
             idx = [0] * rank
             for b, p in enumerate(tpos):
@@ -131,33 +128,39 @@ def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) ->
         for i in range(1 << k):
             yr, yi = None, None
             for j in range(1 << k):
-                z = cu[i, j]
-                if z == 0:
-                    continue
-                cr, ci = np.float32(z.real), np.float32(z.imag)
+                cr = cf_ref[0, i, j]
+                ci = cf_ref[1, i, j]
                 xr, xi = xs[j]
                 tr = cr * xr - ci * xi
                 ti = cr * xi + ci * xr
                 yr = tr if yr is None else yr + tr
                 yi = ti if yi is None else yi + ti
-            if yr is None:
-                yr = jnp.zeros_like(xs[0][0])
-                yi = jnp.zeros_like(xs[0][1])
             ro_ref[slot(i)] = yr
             io_ref[slot(i)] = yi
 
-    re, im = planes
     shape = jax.ShapeDtypeStruct(tuple(dims), jnp.float32)
-    ro, io = pl.pallas_call(
-        kernel,
-        out_shape=(shape, shape),
-        in_specs=[spec, spec],
-        out_specs=(spec, spec),
-        grid=grid,
-        input_output_aliases={0: 0, 1: 1},
-        interpret=_interpret(),
-    )(re.reshape(dims), im.reshape(dims))
-    return (ro.reshape(-1), io.reshape(-1))
+
+    def run(planes, coef):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, cf_spec],
+            out_specs=(spec, spec),
+            grid=grid,
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+        )(re.reshape(dims), im.reshape(dims), coef)
+        return (ro.reshape(-1), io.reshape(-1))
+
+    return jax.jit(run, donate_argnums=0)
+
+
+def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
+    """Apply a dense gate (complex (2^k, 2^k), sorted row targets) in place."""
+    cu = np.asarray(u, dtype=np.complex128)
+    coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
+    return _row_gate_fn(tuple(targets), n)(planes, jnp.asarray(coef))
 
 
 # ---------------------------------------------------------------------------
@@ -170,15 +173,15 @@ def _diag_tables(factors, n: int, C: int):
 
     Every factor's value is multilinear in its target bits. Factors entirely
     within the row bits fold into one complex row-phase vector Prow[r];
-    factors within the col bits fold into Pcol[c]; a factor straddling the
-    split (one row bit b_r, one col bit b_c; tables are <= 2 qubits after
-    fusion) becomes X[c] + B[r] * Y[c] with host-precomputed vectors.
+    factors within the col bits fold into Pcol[c]; a straddling factor with
+    row bits RB and col bits CB expands as a sum over row-bit assignments:
+      v[r, c] = sum_{a in {0,1}^|RB|} Ind_a[r] * T_a[c]
+    with Ind_a a 0/1 row vector and T_a = d[a, colbits] a col vector.
 
-    Returns (row_tables (F_r, R) f32, col_tables (F_c, C) f32) where
-    row_tables = [Prow_re, Prow_im, B_1, ..., B_S] and
-    col_tables = [Pcol_re, Pcol_im, X_1re, X_1im, Y_1re, Y_1im, ...].
-    The total phase is
-      P = Prow * Pcol * prod_s (X_s + B_s * Y_s).
+    Returns (row_tables (F_r, R) f32, col_tables (F_c, C) f32, terms) where
+    terms lists, per straddling factor, the (row_index, col_re_index,
+    col_im_index) triples of its sum terms. The total phase is
+      P = Prow * Pcol * prod_s ( sum_j Ind_j * T_j ).
     """
     R = 1 << (n - (C.bit_length() - 1))
     log_c = C.bit_length() - 1
@@ -209,43 +212,86 @@ def _diag_tables(factors, n: int, C: int):
                 idx = (idx << 1) | bv
             pcol *= d[idx]
         else:
-            if k != 2:
-                raise ValueError("straddling diagonal factors must be 2-qubit")
-            (b0, r0), (b1, r1) = vecs
-            if r0:
-                br, bc = b0, b1
-                d2 = d.reshape(2, 2)          # [b_row, b_col]
-            else:
-                br, bc = b1, b0
-                d2 = d.reshape(2, 2).T
-            # v = X[c] + B[r] * Y[c]
-            x = d2[0, 0] * (1 - bc) + d2[0, 1] * bc
-            y = (d2[1, 0] - d2[0, 0]) * (1 - bc) + (d2[1, 1] - d2[0, 1]) * bc
-            straddle.append((br.astype(np.float32), x, y))
+            rbs = [(bv, t) for (bv, is_row), t in zip(vecs, targets) if is_row]
+            cbs = [(bv, t) for (bv, is_row), t in zip(vecs, targets) if not is_row]
+            kr = len(rbs)
+            # permute the table so row bits lead: d[a_row..., b_col...]
+            order = [targets.index(t) for _, t in rbs] + [targets.index(t) for _, t in cbs]
+            dk = d.reshape((2,) * k).transpose(order).reshape(1 << kr, -1)
+            cidx = np.zeros(C, dtype=np.int64)
+            for bv, _ in cbs:
+                cidx = (cidx << 1) | bv
+            terms = []
+            for a in range(1 << kr):
+                ind = np.ones(R, dtype=np.float32)
+                for j, (bv, _) in enumerate(rbs):
+                    want = (a >> (kr - 1 - j)) & 1
+                    ind *= (bv == want).astype(np.float32)
+                terms.append((ind, dk[a][cidx]))
+            straddle.append(terms)
 
     row_tables = [prow.real.astype(np.float32), prow.imag.astype(np.float32)]
     col_tables = [pcol.real.astype(np.float32), pcol.imag.astype(np.float32)]
-    for br, x, y in straddle:
-        row_tables.append(br)
-        col_tables.extend([x.real.astype(np.float32), x.imag.astype(np.float32),
-                           y.real.astype(np.float32), y.imag.astype(np.float32)])
-    return np.stack(row_tables), np.stack(col_tables), len(straddle)
+    factor_terms = []
+    for terms in straddle:
+        tlist = []
+        for ind, tcol in terms:
+            tlist.append((len(row_tables), len(col_tables), len(col_tables) + 1))
+            row_tables.append(ind)
+            col_tables.extend([tcol.real.astype(np.float32),
+                               tcol.imag.astype(np.float32)])
+        factor_terms.append(tuple(tlist))
+    return np.stack(row_tables), np.stack(col_tables), tuple(factor_terms)
+
+
+#: max straddle TERMS (sum-of-products row entries) per diag kernel pass —
+#: this TPU's compiler rejects larger fused bodies at >= 2^27 states
+#: (empirically: 8 terms compile at n=28, 10 do not)
+_MAX_STRADDLE_TERMS = 8
 
 
 def diag_layer(planes: Planes, factors, n: int) -> Planes:
-    """Multiply in a whole layer of diagonal factors in ONE pass.
+    """Multiply in a whole layer of diagonal factors in as few passes as the
+    compiler allows: all row-only/col-only factors fold into the first pass
+    for free; row/col-straddling factors are packed subject to
+    _MAX_STRADDLE_TERMS per pass.
 
     ``factors``: sequence of (diag table (2^k,) complex, sorted targets).
-    The phase field over the (R, C) view is decomposed host-side into
-    row/col vectors (see _diag_tables); the kernel is a short FMA chain —
-    no iota, no selects, one read+write of the state.
     """
-    # BR must be lane-aligned (128) because the row tables' blocks use it as
-    # their last dim; C stays a multiple of 128 for the state blocks
+    log_c = min(2048, 1 << n).bit_length() - 1
+    b = n - log_c
+
+    def weight(f):
+        _, targets = f
+        kr = sum(1 for t in targets if t < b)
+        if kr == 0 or kr == len(targets):
+            return 0  # folds into Prow/Pcol for free
+        return 1 << kr  # sum-of-products terms
+
+    plain = [f for f in factors if weight(f) == 0]
+    strad = [f for f in factors if weight(f) > 0]
+    groups: list[list] = [list(plain)]
+    w = 0
+    for f in strad:
+        if w + weight(f) > _MAX_STRADDLE_TERMS and w > 0:
+            groups.append([])
+            w = 0
+        groups[-1].append(f)
+        w += weight(f)
+    for g in groups:
+        if g:
+            planes = _diag_pass(planes, tuple(g), n)
+    return planes
+
+
+def _diag_pass(planes: Planes, factors, n: int) -> Planes:
+    """One fused diagonal pass (see diag_layer). The phase field over the
+    (R, C) view is decomposed host-side into row/col vectors
+    (see _diag_tables); the kernel is a short FMA chain — no iota, no
+    selects, one read+write of the state. Kernels are cached by structure
+    (term-index pattern), so stages with the same shape share one compile."""
     C = min(2048, 1 << n)
-    R = (1 << n) // C
-    BR = min(R, 128)
-    row_t, col_t, S = _diag_tables(factors, n, C)
+    row_t, col_t, factor_terms = _diag_tables(factors, n, C)
 
     def pad8(a):
         f = a.shape[0]
@@ -255,24 +301,36 @@ def diag_layer(planes: Planes, factors, n: int) -> Planes:
         return a
 
     row_t, col_t = pad8(row_t), pad8(col_t)
-    FR, FC = row_t.shape[0], col_t.shape[0]
+    fn = _diag_pass_fn(factor_terms, n, row_t.shape[0], col_t.shape[0])
+    return fn(planes, jnp.asarray(row_t), jnp.asarray(col_t))
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_pass_fn(factor_terms, n: int, FR: int, FC: int):
+    # BR must be lane-aligned (128) because the row tables' blocks use it as
+    # their last dim; C stays a multiple of 128 for the state blocks
+    C = min(2048, 1 << n)
+    R = (1 << n) // C
+    BR = min(R, 128)
 
     def kernel(re_ref, im_ref, rt_ref, ct_ref, ro_ref, io_ref):
-        # phase P = Prow * Pcol * prod_s (X_s + B_s * Y_s)
+        # phase P = Prow * Pcol * prod_factors (sum_j Ind_j * T_j)
         prr = rt_ref[0, :].reshape(BR, 1)
         pri = rt_ref[1, :].reshape(BR, 1)
         pcr = ct_ref[0, :].reshape(1, C)
         pci = ct_ref[1, :].reshape(1, C)
         pr = prr * pcr - pri * pci
         pi = prr * pci + pri * pcr
-        for si in range(S):
-            b = rt_ref[2 + si, :].reshape(BR, 1)
-            xr = ct_ref[2 + 4 * si, :].reshape(1, C)
-            xi = ct_ref[3 + 4 * si, :].reshape(1, C)
-            yr = ct_ref[4 + 4 * si, :].reshape(1, C)
-            yi = ct_ref[5 + 4 * si, :].reshape(1, C)
-            vr = xr + b * yr
-            vi = xi + b * yi
+        for terms in factor_terms:
+            vr, vi = None, None
+            for ri, cri, cii in terms:
+                ind = rt_ref[ri, :].reshape(BR, 1)
+                tr = ct_ref[cri, :].reshape(1, C)
+                ti = ct_ref[cii, :].reshape(1, C)
+                ar = ind * tr
+                ai = ind * ti
+                vr = ar if vr is None else vr + ar
+                vi = ai if vi is None else vi + ai
             pr, pi = pr * vr - pi * vi, pr * vi + pi * vr
         xr_ = re_ref[...]
         xi_ = im_ref[...]
@@ -282,18 +340,22 @@ def diag_layer(planes: Planes, factors, n: int) -> Planes:
     spec = pl.BlockSpec((BR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rt_spec = pl.BlockSpec((FR, BR), lambda i: (0, i), memory_space=pltpu.VMEM)
     ct_spec = pl.BlockSpec((FC, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    re, im = planes
     shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
-    ro, io = pl.pallas_call(
-        kernel,
-        out_shape=(shape, shape),
-        in_specs=[spec, spec, rt_spec, ct_spec],
-        out_specs=(spec, spec),
-        grid=(R // BR,),
-        input_output_aliases={0: 0, 1: 1},
-        interpret=_interpret(),
-    )(re.reshape(R, C), im.reshape(R, C), jnp.asarray(row_t), jnp.asarray(col_t))
-    return (ro.reshape(-1), io.reshape(-1))
+
+    def run(planes, row_t, col_t):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, rt_spec, ct_spec],
+            out_specs=(spec, spec),
+            grid=(R // BR,),
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+        )(re.reshape(R, C), im.reshape(R, C), row_t, col_t)
+        return (ro.reshape(-1), io.reshape(-1))
+
+    return jax.jit(run, donate_argnums=0)
 
 
 # ---------------------------------------------------------------------------
@@ -303,12 +365,18 @@ def diag_layer(planes: Planes, factors, n: int) -> Planes:
 
 def lane_gate(planes: Planes, u: np.ndarray, n: int) -> Planes:
     """Apply a dense gate pre-expanded over the whole lane block
-    (u: (2^_COL, 2^_COL) complex) as MXU matmuls, in place."""
+    (u: (2^_COL, 2^_COL) complex) as MXU matmuls, in place. One compile
+    per n — the matrix is an argument."""
+    mr = np.ascontiguousarray(u.real.astype(np.float32).T)  # (in, out)
+    mi = np.ascontiguousarray(u.imag.astype(np.float32).T)
+    return _lane_gate_fn(n)(planes, jnp.asarray(mr), jnp.asarray(mi))
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_gate_fn(n: int):
     lanes = 1 << min(n, _COL)
     R = (1 << n) // lanes
     BR = min(R, 512)
-    mr = np.ascontiguousarray(u.real.astype(np.float32).T)  # (in, out)
-    mi = np.ascontiguousarray(u.imag.astype(np.float32).T)
 
     def kernel(re_ref, im_ref, mr_ref, mi_ref, ro_ref, io_ref):
         xr = re_ref[...]
@@ -325,15 +393,19 @@ def lane_gate(planes: Planes, u: np.ndarray, n: int) -> Planes:
 
     spec = pl.BlockSpec((BR, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((lanes, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    re, im = planes
     shape = jax.ShapeDtypeStruct((R, lanes), jnp.float32)
-    ro, io = pl.pallas_call(
-        kernel,
-        out_shape=(shape, shape),
-        in_specs=[spec, spec, mspec, mspec],
-        out_specs=(spec, spec),
-        grid=(R // BR,),
-        input_output_aliases={0: 0, 1: 1},
-        interpret=_interpret(),
-    )(re.reshape(R, lanes), im.reshape(R, lanes), jnp.asarray(mr), jnp.asarray(mi))
-    return (ro.reshape(-1), io.reshape(-1))
+
+    def run(planes, mr, mi):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, mspec, mspec],
+            out_specs=(spec, spec),
+            grid=(R // BR,),
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+        )(re.reshape(R, lanes), im.reshape(R, lanes), mr, mi)
+        return (ro.reshape(-1), io.reshape(-1))
+
+    return jax.jit(run, donate_argnums=0)
