@@ -83,7 +83,15 @@ def main():
         except Exception as e:  # OOM or backend limits: shrink
             log(f"n={n} failed: {type(e).__name__}: {str(e)[:200]}")
             n -= 2
+            # drop everything the failed attempt held (exception tracebacks
+            # pin locals -> device buffers) before retrying smaller
             state = None
+            circ = None
+            import gc
+            import sys
+
+            sys.last_traceback = None
+            gc.collect()
     if state is None:
         print(json.dumps({"metric": "qft_wallclock", "value": -1, "unit": "s",
                           "vs_baseline": 0.0}))

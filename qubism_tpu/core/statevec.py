@@ -1,10 +1,10 @@
 """Typed state vectors with measurement.
 
 The TPU-native counterpart of reference src/Qubism/StateVec.hs. The 2^n
-complex amplitudes live on device as a **planar float32 array of shape
-(2, 2^n)** — real plane, imaginary plane (complex dtypes never cross the
-host<->device boundary; see :mod:`qubism_tpu.ops.apply`). The qubit count n
-is a plain Python int (the reference used type-level naturals — runtime
+complex amplitudes live on device as a **pair of float32 plane arrays**
+(re, im) — complex dtypes never exist on device, and the planes are separate
+buffers so single allocations stay <= 4 GiB (see :mod:`qubism_tpu.ops.apply`
+for the full layout rationale). The qubit count n is a plain Python int (the reference used type-level naturals — runtime
 validation plays that role here). All operations are functional: methods
 return new StateVec values, and randomness is an explicit, splittable PRNG
 key.

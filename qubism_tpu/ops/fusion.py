@@ -192,6 +192,10 @@ class CompiledCircuit:
         if chunk_passes is None:
             chunk_passes = len(self.ops) if n <= 22 else 4
         self.chunk_passes = max(1, chunk_passes)
+        # keep the async dispatch queue bounded on large states (temporaries
+        # of queued ops — phase tables, coefficients — stay live until the
+        # device catches up)
+        self._sync_every = 6 if n >= 26 else 10 ** 9
         if self.v > 0:
             self._build_sharded()
         elif use_pallas:
@@ -409,22 +413,39 @@ class CompiledCircuit:
                     donate_argnums=0)
         return self._shard_fn_cache[key]
 
+    @staticmethod
+    def _force(planes):
+        """Block until a state's queue has drained (a scalar readback — on
+        remote-execution backends block_until_ready can return early, and an
+        unbounded async dispatch queue keeps every op's temporaries live)."""
+        float(planes[0][0])
+
     def _call_sharded(self, shards):
         shards = list(shards)
+        since_sync = 0
         for kind, payload in self._events:
             if kind == "cross":
                 shards = list(self._cross_fn(payload)(shards))
             else:
                 for s in range(len(shards)):
                     shards[s] = self._shard_fn(payload[s])(shards[s])
+            since_sync += 1
+            if since_sync >= self._sync_every:
+                self._force(shards[0])
+                since_sync = 0
         return tuple(shards)
 
     def __call__(self, state):
         if self.v:
             return self._call_sharded(state)
         if self._fns is None:  # pallas backend: kernels are self-jitted
+            since_sync = 0
             for op in self.ops:
                 state = self._run_op(op, state)
+                since_sync += 1
+                if since_sync >= self._sync_every:
+                    self._force(state)
+                    since_sync = 0
             return state
         for fn in self._fns:
             state = fn(state)
