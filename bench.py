@@ -66,32 +66,36 @@ def main():
         x = st[0][0] if circ.v == 0 else st[0][0][0]
         return float(x[0]) if getattr(x, "shape", ()) else float(x)
 
-    state = None
+    def attempt(n):
+        t0 = time.time()
+        circ = CompiledCircuit(n, qft_prims(n))
+        state = circ.init_state()
+        log(f"n={n}: {len(qft_prims(n))} prims fused into {circ.num_passes} passes "
+            f"(v={circ.v} on-chip shards); state alloc ok ({time.time() - t0:.1f}s)")
+        t0 = time.time()
+        state = circ(state)  # compile + warmup
+        _ = sync(circ, state)
+        log(f"n={n}: compile+first-run {time.time() - t0:.1f}s")
+        return circ, state
+
+    state = circ = None
     n = target_n
     while n >= 16:
+        failed = False
         try:
-            t0 = time.time()
-            circ = CompiledCircuit(n, qft_prims(n))
-            state = circ.init_state()
-            log(f"n={n}: {len(qft_prims(n))} prims fused into {circ.num_passes} passes "
-                f"(v={circ.v} on-chip shards); state alloc ok ({time.time() - t0:.1f}s)")
-            t0 = time.time()
-            state = circ(state)  # compile + warmup
-            _ = sync(circ, state)
-            log(f"n={n}: compile+first-run {time.time() - t0:.1f}s")
-            break
+            circ, state = attempt(n)
         except Exception as e:  # OOM or backend limits: shrink
             log(f"n={n} failed: {type(e).__name__}: {str(e)[:200]}")
-            n -= 2
-            # drop everything the failed attempt held (exception tracebacks
-            # pin locals -> device buffers) before retrying smaller
-            state = None
-            circ = None
-            import gc
-            import sys
+            failed = True
+            state = circ = None
+        if not failed:
+            break
+        # exception context is gone here; drop pinned device buffers
+        import gc
 
-            sys.last_traceback = None
-            gc.collect()
+        gc.collect()
+        time.sleep(2)
+        n -= 2
     if state is None:
         print(json.dumps({"metric": "qft_wallclock", "value": -1, "unit": "s",
                           "vs_baseline": 0.0}))

@@ -42,7 +42,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump-state", action="store_true",
                    help="print the final internal state (like a trailing :dump)")
     p.add_argument("--dtype", choices=["complex64", "complex128"], default=None,
-                   help="amplitude dtype (default complex64)")
+                   help="requested amplitude precision. The engine stores "
+                        "amplitudes as float32 (re, im) planes (= complex64 "
+                        "precision); complex128 is not available on TPU "
+                        "backends and is rejected")
     p.add_argument("--compile", action="store_true", dest="compile_mode",
                    help="lower the program to fused XLA segments (fast path; "
                         "registers are laid out in one state vector up front)")
@@ -53,8 +56,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def _apply_flags(args):
-    if args.dtype:
-        config.dtype = jnp.complex128 if args.dtype == "complex128" else jnp.complex64
+    if args.dtype == "complex128":
+        raise SystemExit(
+            "qubism: complex128 amplitudes are not supported: the engine "
+            "stores float32 (re, im) planes (complex64 precision), which is "
+            "what TPU hardware provides")
     if args.reference_compat:
         config.reference_u3_bug = True
         config.reference_sqrt_born = True

@@ -32,8 +32,6 @@ from __future__ import annotations
 import dataclasses
 import math
 
-import jax.numpy as jnp
-
 #: L2 tolerance for approximate equality of states and gates.
 #: Mirrors the reference (src/Qubism/StateVec.hs:47-49, QGate.hs:54-56).
 TOLERANCE = 1e-6
@@ -45,17 +43,15 @@ REFERENCE_PI = 3.14159265358979
 
 @dataclasses.dataclass
 class Config:
-    # Default amplitude dtype. complex64 is the TPU-native choice; switch to
-    # complex128 (CPU, with jax_enable_x64) for high-precision verification.
-    dtype: jnp.dtype = jnp.complex64
-    # Reference-compatibility quirks, all off by default (see module docs).
+    """Amplitudes are stored as float32 (re, im) planes — complex64-equivalent
+    precision, which is both what TPU hardware provides and what its
+    compilers accept (complex dtypes and >4 GiB buffers are rejected; see
+    ops/apply.py). Reference-compatibility quirks are off by default
+    (see module docs)."""
+
     reference_u3_bug: bool = False
     reference_sqrt_born: bool = False
     reference_truncated_pi: bool = False
-
-    @property
-    def real_dtype(self):
-        return jnp.float64 if self.dtype == jnp.complex128 else jnp.float32
 
     @property
     def pi(self) -> float:

@@ -193,9 +193,9 @@ class CompiledCircuit:
             chunk_passes = len(self.ops) if n <= 22 else 4
         self.chunk_passes = max(1, chunk_passes)
         # keep the async dispatch queue bounded on large states (temporaries
-        # of queued ops — phase tables, coefficients — stay live until the
-        # device catches up)
-        self._sync_every = 6 if n >= 26 else 10 ** 9
+        # and un-aliased outputs of queued ops stay live until the device
+        # catches up); at n=30 the state alone is half of HBM
+        self._sync_every = 1 if n >= 30 else (6 if n >= 26 else 10 ** 9)
         if self.v > 0:
             self._build_sharded()
         elif use_pallas:

@@ -28,8 +28,8 @@ from ..ops import measure as _measure
 from ..ops.apply import zero_state
 from ..ops.fusion import CompiledCircuit
 from ..qasm import ast as A
-from .interpreter import Interpreter, _CNOT
-from .progstate import CustomGate, ProgState, QasmRuntimeError, blank_state
+from .interpreter import Interpreter
+from .progstate import ProgState, blank_state
 
 # -- event IR -----------------------------------------------------------------
 

@@ -36,7 +36,7 @@ from ..core.statevec import StateVec
 from ..ops import apply as _apply
 from ..ops import measure as _measure
 from ..qasm import ast as A
-from .progstate import CustomGate, ProgState, QasmRuntimeError, blank_state
+from .progstate import CustomGate, ProgState, blank_state
 
 _CNOT = np.array(
     [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=np.complex128
