@@ -43,7 +43,26 @@ class Tok:
     pos: SourcePos
 
 
+#: inputs larger than this route through the native C++ tokenizer
+#: (qubism_tpu/native) when available — machine-generated circuit files
+#: reach megabytes, where Python tokenization dominates parse time
+_NATIVE_THRESHOLD = 1 << 15
+
+
 def tokenize(text: str, file: str = "") -> list[Tok]:
+    if len(text) >= _NATIVE_THRESHOLD:
+        try:
+            from ..native import native_tokenize
+
+            toks = native_tokenize(text, file)
+            if toks is not None:
+                return toks
+        except Exception:
+            pass  # fall back to the reference Python lexer (full diagnostics)
+    return _tokenize_py(text, file)
+
+
+def _tokenize_py(text: str, file: str = "") -> list[Tok]:
     toks: list[Tok] = []
     i, line, col = 0, 1, 1
     n = len(text)
