@@ -87,7 +87,11 @@ def _union_ok(union: tuple[int, ...], n: int, max_block: int,
     b = max(n - _apply._COL, 0)
     row = [t for t in union if t < b]
     if any(t >= b for t in union):
-        return len(row) <= 1
+        # lane-touching blocks expand over the whole 128-lane block at apply
+        # time: pure-lane unions are free regardless of size, but mixing in
+        # row bits would leave the Pallas fast paths (and multiply the
+        # matmul width) — keep those prims separate
+        return len(row) == 0
     return len(union) <= max_block
 
 

@@ -65,11 +65,18 @@ def test_native_is_fast():
     from qubism_tpu.models.circuits import brickwork_qasm
 
     text = brickwork_qasm(24, depth=120, seed=0) * 4  # ~1-2 MB
-    t0 = time.perf_counter()
-    nat = native_tokenize(text)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    py = _tokenize_py(text)
-    t_py = time.perf_counter() - t0
+
+    def best_of(f, k=3):
+        out, best = None, float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            out = f()
+            best = min(best, time.perf_counter() - t0)
+        return out, best
+
+    nat, t_native = best_of(lambda: native_tokenize(text))
+    py, t_py = best_of(lambda: _tokenize_py(text))
     assert len(nat) == len(py)
-    assert t_native < t_py  # typically 20-50x
+    # scanning is ~40x faster natively; end-to-end includes Python Tok
+    # materialization, so just require a real win even on a loaded host
+    assert t_native < t_py
