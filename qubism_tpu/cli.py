@@ -49,6 +49,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compile", action="store_true", dest="compile_mode",
                    help="lower the program to fused XLA segments (fast path; "
                         "registers are laid out in one state vector up front)")
+    p.add_argument("--fuse-width", type=int, default=5, metavar="K",
+                   help="max qubits per fused dense block in --compile mode "
+                        "(default 5; the TPU backend may cap lower)")
     p.add_argument("--reference-compat", action="store_true",
                    help="replicate the reference's numerical quirks "
                         "(buggy u3, sqrt-Born sampling, truncated pi)")
@@ -68,7 +71,8 @@ def _apply_flags(args):
 
 
 def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
-              shots: int | None = None, out=None, compile_mode: bool = False) -> int:
+              shots: int | None = None, out=None, compile_mode: bool = False,
+              fuse_width: int = 5) -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -86,7 +90,7 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         if compile_mode:
             from .run.compiler import CompiledProgram
 
-            prog = CompiledProgram(ast)
+            prog = CompiledProgram(ast, max_block=fuse_width)
             state, cregs, key = prog.run(seed=seed, dump_writer=out.write)
             if dump_state:
                 out.write(prog._pretty(state, cregs))
@@ -195,7 +199,8 @@ def main(argv=None) -> int:
     _apply_flags(args)
     if args.file:
         return eval_file(args.file, seed=args.seed, dump_state=args.dump_state,
-                         shots=args.shots, compile_mode=args.compile_mode)
+                         shots=args.shots, compile_mode=args.compile_mode,
+                         fuse_width=args.fuse_width)
     Repl(seed=args.seed).run()
     return 0
 

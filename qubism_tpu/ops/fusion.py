@@ -194,16 +194,21 @@ class CompiledCircuit:
             DenseOp(*_prim_sorted_dense(p)) for p in self.prims
         ]
         if chunk_passes is None:
-            chunk_passes = len(self.ops) if n <= 22 else 4
+            # remote dispatch latency is ~30-100 ms per jitted call, so larger
+            # chunks amortize it; small circuits compile as one program
+            chunk_passes = len(self.ops) if n <= 22 else 8
         self.chunk_passes = max(1, chunk_passes)
+        self._op_cache: dict = {}
         # keep the async dispatch queue bounded on large states (temporaries
         # and un-aliased outputs of queued ops stay live until the device
         # catches up); at n=30 the state alone is half of HBM
         self._sync_every = 1 if n >= 30 else (6 if n >= 26 else 10 ** 9)
+        self._sharded_plan_cache = None
         if self.v > 0:
             self._build_sharded()
         elif use_pallas:
-            self._fns = None  # kernels are individually jitted + cached
+            self._fns = None
+            self._build_pallas_chunks()
         else:
             self._chunks = [
                 self.ops[i : i + self.chunk_passes]
@@ -218,6 +223,22 @@ class CompiledCircuit:
     def num_passes(self) -> int:
         return len(self.ops)
 
+    def stats(self) -> dict:
+        """Fusion statistics (observability; the reference had none)."""
+        dense = [op for op in self.ops if isinstance(op, DenseOp)]
+        layers = [op for op in self.ops if isinstance(op, DiagLayer)]
+        return {
+            "n": self.n,
+            "prims": len(self.prims),
+            "fused_ops": len(self.ops),
+            "dense_blocks": len(dense),
+            "diag_layers": len(layers),
+            "diag_factors": sum(len(l.factors) for l in layers),
+            "max_block_qubits": max((len(op.targets) for op in dense), default=0),
+            "backend": "pallas" if self.use_pallas else "xla",
+            "virtual_shards": self.v,
+        }
+
     def _run_ops(self, ops, state):
         for op in ops:
             state = self._run_op(op, state)
@@ -225,6 +246,31 @@ class CompiledCircuit:
 
     def _run_op(self, op, state):
         return self._run_op_at(op, state, self.n)
+
+    def _prepared(self, op, n):
+        """Per-op dispatch plan with device-resident operands, built once
+        (re-uploading gate tables per call costs more than the kernels
+        through a remote-device tunnel)."""
+        from . import kernels
+
+        key = (id(op), n)
+        hit = self._op_cache.get(key)
+        if hit is not None:
+            return hit
+        if isinstance(op, DiagLayer):
+            plan = ("diag", kernels.diag_layer_prepare(op.factors, n))
+        else:
+            _, _, lane = _apply.plan_view(n, op.targets)
+            b = max(n - _apply._COL, 0)
+            if lane and all(t >= b for t in op.targets):
+                u = _apply.expand_for_view(op.u, n, op.targets)
+                plan = ("lane", kernels.lane_gate_prepare(u, n))
+            elif not lane and len(op.targets) <= 2:
+                plan = ("row", kernels.row_gate_prepare(op.u, op.targets, n))
+            else:
+                plan = ("xla", None)
+        self._op_cache[key] = plan
+        return plan
 
     def _run_op_at(self, op, state, n):
         from . import kernels
@@ -424,28 +470,144 @@ class CompiledCircuit:
         unbounded async dispatch queue keeps every op's temporaries live)."""
         float(planes[0][0])
 
+    def _sharded_plan(self):
+        """Group consecutive per-shard events into chunks (dispatch latency,
+        see _build_pallas_chunks). Returns [("cross", op) | ("chunk",
+        per-shard list of (jit_fn, operands))]."""
+        if getattr(self, "_sharded_plan_cache", None) is not None:
+            return self._sharded_plan_cache
+        m = self.n - self.v
+        S = 1 << self.v
+        plan = []
+        run: list = []  # consecutive per-shard events
+
+        def flush():
+            if not run:
+                return
+            per_shard = []
+            for s in range(S):
+                plans = []
+                operands: list = []
+                for payload in run:
+                    op = payload[s]
+                    kind, prep = self._prepared(op, m)
+                    if kind == "diag":
+                        plans.append(("diag", [p[0] for p in prep], None))
+                        for _, rt, ct in prep:
+                            operands.extend([rt, ct])
+                    elif kind == "lane":
+                        fn, mr, mi = prep
+                        plans.append(("lane", fn, None))
+                        operands.extend([mr, mi])
+                    elif kind == "row":
+                        fn, coef = prep
+                        plans.append(("row", fn, None))
+                        operands.append(coef)
+                    else:
+                        plans.append(("xla", op, None))
+
+                def chunk_fn(state, ops_args, plans=tuple(plans)):
+                    it = iter(ops_args)
+                    for kind, payload, _ in plans:
+                        if kind == "diag":
+                            for fn in payload:
+                                state = fn(state, next(it), next(it))
+                        elif kind == "lane":
+                            state = payload(state, next(it), next(it))
+                        elif kind == "row":
+                            state = payload(state, next(it))
+                        else:
+                            state = _apply.apply_gate(
+                                state, payload.u, payload.targets, m)
+                    return state
+
+                per_shard.append((jax.jit(chunk_fn, donate_argnums=0),
+                                  tuple(operands)))
+            plan.append(("chunk", per_shard))
+            run.clear()
+
+        for kind, payload in self._events:
+            if kind == "cross":
+                flush()
+                plan.append(("cross", payload))
+            else:
+                run.append(payload)
+                if len(run) >= self.chunk_passes:
+                    flush()
+        flush()
+        self._sharded_plan_cache = plan
+        return plan
+
     def _call_sharded(self, shards):
         shards = list(shards)
         since_sync = 0
-        for kind, payload in self._events:
+        for kind, payload in self._sharded_plan():
             if kind == "cross":
                 shards = list(self._cross_fn(payload)(shards))
             else:
                 for s in range(len(shards)):
-                    shards[s] = self._shard_fn(payload[s])(shards[s])
+                    fn, operands = payload[s]
+                    shards[s] = fn(shards[s], operands)
             since_sync += 1
             if since_sync >= self._sync_every:
                 self._force(shards[0])
                 since_sync = 0
         return tuple(shards)
 
+    def _build_pallas_chunks(self):
+        """Group fused ops into jitted chunks: each remote dispatch carries
+        ~100 ms of tunnel latency, so per-op dispatch dominates wall-clock.
+        A chunk is one jit whose args are the chunk's device-resident gate
+        operands; the pallas aliasing chains keep it in-place."""
+        n = self.n
+        self._pallas_chunks = []
+        for i in range(0, len(self.ops), self.chunk_passes):
+            chunk = self.ops[i : i + self.chunk_passes]
+            plans = []
+            operands: list = []
+            for op in chunk:
+                kind, prep = self._prepared(op, n)
+                if kind == "diag":
+                    fns = [p[0] for p in prep]
+                    plans.append(("diag", fns, len(prep)))
+                    for _, rt, ct in prep:
+                        operands.extend([rt, ct])
+                elif kind == "lane":
+                    fn, mr, mi = prep
+                    plans.append(("lane", fn, None))
+                    operands.extend([mr, mi])
+                elif kind == "row":
+                    fn, coef = prep
+                    plans.append(("row", fn, None))
+                    operands.append(coef)
+                else:
+                    plans.append(("xla", op, None))
+
+            def chunk_fn(state, ops_args, plans=tuple(plans)):
+                it = iter(ops_args)
+                for kind, payload, extra in plans:
+                    if kind == "diag":
+                        for fn in payload:
+                            state = fn(state, next(it), next(it))
+                    elif kind == "lane":
+                        state = payload(state, next(it), next(it))
+                    elif kind == "row":
+                        state = payload(state, next(it))
+                    else:
+                        state = _apply.apply_gate(state, payload.u, payload.targets, n)
+                return state
+
+            self._pallas_chunks.append(
+                (jax.jit(chunk_fn, donate_argnums=0), tuple(operands))
+            )
+
     def __call__(self, state):
         if self.v:
             return self._call_sharded(state)
-        if self._fns is None:  # pallas backend: kernels are self-jitted
+        if self._fns is None:  # pallas backend: chunked jits
             since_sync = 0
-            for op in self.ops:
-                state = self._run_op(op, state)
+            for fn, operands in self._pallas_chunks:
+                state = fn(state, operands)
                 since_sync += 1
                 if since_sync >= self._sync_every:
                     self._force(state)

@@ -156,11 +156,17 @@ def _row_gate_fn(targets: tuple[int, ...], n: int):
     return jax.jit(run, donate_argnums=0)
 
 
-def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
-    """Apply a dense gate (complex (2^k, 2^k), sorted row targets) in place."""
+def row_gate_prepare(u: np.ndarray, targets: tuple[int, ...], n: int):
+    """Host->device once: returns (fn, device operands) for repeated use."""
     cu = np.asarray(u, dtype=np.complex128)
     coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
-    return _row_gate_fn(tuple(targets), n)(planes, jnp.asarray(coef))
+    return (_row_gate_fn(tuple(targets), n), jnp.asarray(coef))
+
+
+def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
+    """Apply a dense gate (complex (2^k, 2^k), sorted row targets) in place."""
+    fn, coef = row_gate_prepare(u, targets, n)
+    return fn(planes, coef)
 
 
 # ---------------------------------------------------------------------------
@@ -250,14 +256,19 @@ def _diag_tables(factors, n: int, C: int):
 _MAX_STRADDLE_TERMS = 8
 
 
-def diag_layer(planes: Planes, factors, n: int) -> Planes:
-    """Multiply in a whole layer of diagonal factors in as few passes as the
-    compiler allows: all row-only/col-only factors fold into the first pass
-    for free; row/col-straddling factors are packed subject to
-    _MAX_STRADDLE_TERMS per pass.
+def _pad8(a):
+    f = a.shape[0]
+    pad = (-f) % 8
+    if pad:
+        a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+    return a
 
-    ``factors``: sequence of (diag table (2^k,) complex, sorted targets).
-    """
+
+def _diag_groups(factors, n: int):
+    """Group a diagonal layer into as few passes as the compiler allows:
+    all row-only/col-only factors fold into the first pass for free;
+    row/col-straddling factors are packed subject to _MAX_STRADDLE_TERMS
+    per pass."""
     log_c = min(2048, 1 << n).bit_length() - 1
     b = n - log_c
 
@@ -278,31 +289,33 @@ def diag_layer(planes: Planes, factors, n: int) -> Planes:
             w = 0
         groups[-1].append(f)
         w += weight(f)
-    for g in groups:
-        if g:
-            planes = _diag_pass(planes, tuple(g), n)
+    return [g for g in groups if g]
+
+
+def diag_layer_prepare(factors, n: int):
+    """Host->device once: [(fn, row_tables_dev, col_tables_dev)] per pass.
+
+    Moving the phase tables to device once matters: rebuilding + re-uploading
+    them per call costs more than the kernel itself through a remote-device
+    tunnel."""
+    prepared = []
+    for g in _diag_groups(factors, n):
+        C = min(2048, 1 << n)
+        row_t, col_t, factor_terms = _diag_tables(g, n, C)
+        row_t, col_t = _pad8(row_t), _pad8(col_t)
+        fn = _diag_pass_fn(factor_terms, n, row_t.shape[0], col_t.shape[0])
+        prepared.append((fn, jnp.asarray(row_t), jnp.asarray(col_t)))
+    return prepared
+
+
+def diag_layer_apply(planes: Planes, prepared) -> Planes:
+    for fn, rt, ct in prepared:
+        planes = fn(planes, rt, ct)
     return planes
 
 
-def _diag_pass(planes: Planes, factors, n: int) -> Planes:
-    """One fused diagonal pass (see diag_layer). The phase field over the
-    (R, C) view is decomposed host-side into row/col vectors
-    (see _diag_tables); the kernel is a short FMA chain — no iota, no
-    selects, one read+write of the state. Kernels are cached by structure
-    (term-index pattern), so stages with the same shape share one compile."""
-    C = min(2048, 1 << n)
-    row_t, col_t, factor_terms = _diag_tables(factors, n, C)
-
-    def pad8(a):
-        f = a.shape[0]
-        pad = (-f) % 8
-        if pad:
-            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
-        return a
-
-    row_t, col_t = pad8(row_t), pad8(col_t)
-    fn = _diag_pass_fn(factor_terms, n, row_t.shape[0], col_t.shape[0])
-    return fn(planes, jnp.asarray(row_t), jnp.asarray(col_t))
+def diag_layer(planes: Planes, factors, n: int) -> Planes:
+    return diag_layer_apply(planes, diag_layer_prepare(factors, n))
 
 
 @functools.lru_cache(maxsize=None)
@@ -363,13 +376,19 @@ def _diag_pass_fn(factor_terms, n: int, FR: int, FC: int):
 # ---------------------------------------------------------------------------
 
 
+def lane_gate_prepare(u: np.ndarray, n: int):
+    """Host->device once: (fn, Mr_dev, Mi_dev) for repeated use."""
+    mr = np.ascontiguousarray(u.real.astype(np.float32).T)  # (in, out)
+    mi = np.ascontiguousarray(u.imag.astype(np.float32).T)
+    return (_lane_gate_fn(n), jnp.asarray(mr), jnp.asarray(mi))
+
+
 def lane_gate(planes: Planes, u: np.ndarray, n: int) -> Planes:
     """Apply a dense gate pre-expanded over the whole lane block
     (u: (2^_COL, 2^_COL) complex) as MXU matmuls, in place. One compile
     per n — the matrix is an argument."""
-    mr = np.ascontiguousarray(u.real.astype(np.float32).T)  # (in, out)
-    mi = np.ascontiguousarray(u.imag.astype(np.float32).T)
-    return _lane_gate_fn(n)(planes, jnp.asarray(mr), jnp.asarray(mi))
+    fn, mr, mi = lane_gate_prepare(u, n)
+    return fn(planes, mr, mi)
 
 
 @functools.lru_cache(maxsize=None)
