@@ -49,6 +49,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compile", action="store_true", dest="compile_mode",
                    help="lower the program to fused XLA segments (fast path; "
                         "registers are laid out in one state vector up front)")
+    p.add_argument("--mesh", type=int, default=None, metavar="D",
+                   help="run over a D-device mesh (amplitude sharding with "
+                        "ICI qubit-relabeling swaps); implies --compile")
     p.add_argument("--fuse-width", type=int, default=5, metavar="K",
                    help="max qubits per fused dense block in --compile mode "
                         "(default 5; the TPU backend may cap lower)")
@@ -72,7 +75,7 @@ def _apply_flags(args):
 
 def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
               shots: int | None = None, out=None, compile_mode: bool = False,
-              fuse_width: int = 5) -> int:
+              fuse_width: int = 5, mesh: int | None = None) -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -87,15 +90,34 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         out.write(e.pretty())
         return 1
     try:
-        if compile_mode:
+        if compile_mode or mesh:
             from .run.compiler import CompiledProgram
 
             prog = CompiledProgram(ast, max_block=fuse_width)
-            state, cregs, key = prog.run(seed=seed, dump_writer=out.write)
-            if dump_state:
-                out.write(prog._pretty(state, cregs))
-            if shots and prog.n:
-                _print_counts_for(state, prog.n, "(x)".join(prog.layout), shots, key, out)
+            if mesh:
+                sim, cregs, key = prog.run_sharded(mesh=mesh, seed=seed,
+                                                   dump_writer=out.write)
+                if dump_state and prog.n:
+                    from .core.statevec import StateVec
+
+                    amps = sim.amplitudes()
+                    sv = StateVec(prog.n, amps)
+                    out.write(prog._pretty_for(sv, cregs))
+                if shots and prog.n:
+                    import numpy as _np
+
+                    idx = sim.sample(shots, key)
+                    vals, counts = _np.unique(idx, return_counts=True)
+                    name = "(x)".join(prog.layout)
+                    print(f"Counts for state vector {name} ({shots} shots):", file=out)
+                    for v_, c_ in zip(vals, counts):
+                        print(f"  |{format(int(v_), f'0{prog.n}b')}>: {int(c_)}", file=out)
+            else:
+                state, cregs, key = prog.run(seed=seed, dump_writer=out.write)
+                if dump_state:
+                    out.write(prog._pretty(state, cregs))
+                if shots and prog.n:
+                    _print_counts_for(state, prog.n, "(x)".join(prog.layout), shots, key, out)
         else:
             ps = run_program(ast, seed=seed)
             if dump_state:
@@ -200,7 +222,7 @@ def main(argv=None) -> int:
     if args.file:
         return eval_file(args.file, seed=args.seed, dump_state=args.dump_state,
                          shots=args.shots, compile_mode=args.compile_mode,
-                         fuse_width=args.fuse_width)
+                         fuse_width=args.fuse_width, mesh=args.mesh)
     Repl(seed=args.seed).run()
     return 0
 

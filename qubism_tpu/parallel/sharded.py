@@ -55,6 +55,10 @@ class ShardedSim:
             raise ValueError(f"mesh size {self.D} is not a power of two")
         if n < self.d:
             raise ValueError(f"need at least {self.d} qubits for {self.D} shards")
+        if n - self.d < 2 and n >= 2:
+            raise ValueError(
+                f"{self.D} shards leave {n - self.d} local qubit(s); dense "
+                f"2-qubit gates need 2 — use at most {1 << (n - 2)} devices")
         self.n = n
         # logical qubit -> physical bit position (and inverse)
         self.perm = list(range(n))

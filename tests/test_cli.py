@@ -123,3 +123,20 @@ def test_dump_state_flag(tmp_path, capsys):
     f.write_text("qreg q[1];")
     assert main([str(f), "--dump-state"]) == 0
     assert "Dump of the internal state" in capsys.readouterr().out
+
+
+def test_mesh_flag(capsys):
+    """--mesh runs the program over a virtual device mesh."""
+    assert main([os.path.join(EXAMPLES, "errorCorrection.qasm"),
+                 "--mesh", "8", "--seed", "0"]) == 0
+    assert capsys.readouterr().out.strip().endswith("Done.")
+
+
+def test_mesh_flag_with_shots(tmp_path, capsys):
+    f = tmp_path / "ghz.qasm"
+    f.write_text("qreg q[3]; U(pi/2,0,pi) q[0]; CX q[0],q[1]; CX q[1],q[2];")
+    assert main([str(f), "--mesh", "4", "--shots", "32", "--seed", "1"]) == 0
+    out = capsys.readouterr().out
+    for line in out.splitlines():
+        if line.strip().startswith("|"):
+            assert line.strip().startswith(("|000>", "|111>"))

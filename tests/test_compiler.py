@@ -160,3 +160,25 @@ def test_cli_compile_with_shots(tmp_path, capsys):
     for line in out.splitlines():
         if line.strip().startswith("|"):
             assert line.strip().startswith(("|000>", "|111>"))
+
+
+def test_run_sharded_matches_single_device():
+    """--mesh path: the same program over an 8-device mesh must reproduce
+    the single-device compiled result (deterministic example)."""
+    ast = parse_file("errorCorrection.qasm")
+    prog = CompiledProgram(ast)
+    for seed in (0, 3):
+        sim, cregs, _ = prog.run_sharded(mesh=8, seed=seed)
+        assert str(cregs["c"]) == "000"
+        assert str(cregs["syn"]) == "10"
+
+
+def test_run_sharded_amplitudes():
+    src = "qreg q[4]; h q[0]; cx q[0],q[1]; cu1(pi/2) q[2],q[1];"
+    ast = parse_src(src)
+    prog = CompiledProgram(ast)
+    state, _, _ = prog.run(seed=0)
+    expected = complex_from_planar(state)
+    sim, _, _ = prog.run_sharded(mesh=4, seed=0)
+    got = sim.amplitudes()
+    assert np.linalg.norm(got - expected) < 1e-5
