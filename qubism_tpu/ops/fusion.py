@@ -42,6 +42,21 @@ class DenseOp:
 
 
 @dataclass(frozen=True)
+class StageOp:
+    """A 1-qubit dense gate on row qubit q fused with a controlled-phase
+    ladder sharing q (the QFT stage shape): one kernel pass
+    (kernels.stage_prepare / _stage_fn)."""
+
+    u: np.ndarray                       # (2, 2) complex
+    q: int
+    factors: tuple                      # ((d (4,), (q, j)), ...) with j > q
+
+    @property
+    def targets(self):  # for stats/debug
+        return (self.q,)
+
+
+@dataclass(frozen=True)
 class DiagLayer:
     """A product of commuting diagonal factors, applied in one fused pass."""
 
@@ -95,10 +110,51 @@ def _union_ok(union: tuple[int, ...], n: int, max_block: int,
     return len(union) <= max_block
 
 
+def _stage_prepass(prims, n: int, keep_separate_below: int = 0):
+    """Detect [1q dense on row qubit q] + [run of 2q diagonals (q, j), j>q,
+    with trivial q=0 branch] and fuse each into a StageOp — the dominant
+    pattern of the QFT (one kernel pass instead of up to four)."""
+    b_lane = max(n - _apply._COL, 0)
+    out: list = []
+    i = 0
+    prims = list(prims)
+    while i < len(prims):
+        p = prims[i]
+        ok_head = (not p.diag and len(p.targets) == 1
+                   and keep_separate_below <= p.targets[0] < b_lane)
+        if ok_head:
+            q = p.targets[0]
+            ladder = []
+            j = i + 1
+            while j < len(prims):
+                nxt = prims[j]
+                if not (nxt.diag and len(nxt.targets) == 2 and q in nxt.targets):
+                    break
+                other = nxt.targets[0] if nxt.targets[1] == q else nxt.targets[1]
+                if other <= q:
+                    break
+                d = np.asarray(nxt.u, dtype=np.complex128)
+                if nxt.targets[0] == other:  # stored (other, q): permute to (q, other)
+                    d = d.reshape(2, 2).T.reshape(-1)
+                if not (d[0] == 1 and d[1] == 1):
+                    break
+                ladder.append((d, (q, other)))
+                j += 1
+            if ladder:
+                out.append(StageOp(np.asarray(p.u, dtype=np.complex128), q,
+                                   tuple(ladder)))
+                i = j
+                continue
+        out.append(p)
+        i += 1
+    return out
+
+
 def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
          keep_separate_below: int = 0) -> list:
-    """Greedy fusion: prims -> [DenseOp | DiagLayer]."""
-    blocks: list[DenseOp] = []
+    """Greedy fusion: prims -> [StageOp | DenseOp | DiagLayer]."""
+    prims = _stage_prepass(prims, n, keep_separate_below)
+    blocks: list = []
     cur_u: np.ndarray | None = None
     cur_t: tuple[int, ...] = ()
 
@@ -109,6 +165,10 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
             cur_u, cur_t = None, ()
 
     for p in prims:
+        if isinstance(p, StageOp):
+            flush()
+            blocks.append(p)
+            continue
         u, t = _prim_sorted_dense(p)
         if cur_u is None:
             cur_u, cur_t = u, t
@@ -126,6 +186,9 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
     # merge consecutive diagonal blocks into broadcast layers
     out: list = []
     for b in blocks:
+        if isinstance(b, StageOp):
+            out.append(b)
+            continue
         if is_diagonal(b.u):
             d = np.diag(b.u).copy()
             if out and isinstance(out[-1], DiagLayer):
@@ -227,6 +290,7 @@ class CompiledCircuit:
         """Fusion statistics (observability; the reference had none)."""
         dense = [op for op in self.ops if isinstance(op, DenseOp)]
         layers = [op for op in self.ops if isinstance(op, DiagLayer)]
+        stages = [op for op in self.ops if isinstance(op, StageOp)]
         return {
             "n": self.n,
             "prims": len(self.prims),
@@ -234,6 +298,7 @@ class CompiledCircuit:
             "dense_blocks": len(dense),
             "diag_layers": len(layers),
             "diag_factors": sum(len(l.factors) for l in layers),
+            "fused_stages": len(stages),
             "max_block_qubits": max((len(op.targets) for op in dense), default=0),
             "backend": "pallas" if self.use_pallas else "xla",
             "virtual_shards": self.v,
@@ -257,7 +322,9 @@ class CompiledCircuit:
         hit = self._op_cache.get(key)
         if hit is not None:
             return hit
-        if isinstance(op, DiagLayer):
+        if isinstance(op, StageOp):
+            plan = ("stage", kernels.stage_prepare(op.u, op.q, op.factors, n))
+        elif isinstance(op, DiagLayer):
             plan = ("diag", kernels.diag_layer_prepare(op.factors, n))
         else:
             _, _, lane = _apply.plan_view(n, op.targets)
@@ -275,6 +342,12 @@ class CompiledCircuit:
     def _run_op_at(self, op, state, n):
         from . import kernels
 
+        if isinstance(op, StageOp):
+            if self.use_pallas:
+                fn, coef, bt, ct = self._prepared(op, n)[1]
+                return fn(state, coef, bt, ct)
+            state = _apply_dense_traced(state, op.u, (op.q,), n)
+            return _apply_diag_layer_traced(state, DiagLayer(op.factors), n)
         if isinstance(op, DiagLayer):
             if self.use_pallas:
                 return kernels.diag_layer(state, op.factors, n)
@@ -320,6 +393,11 @@ class CompiledCircuit:
         """Specialize one fused op for the 2^v shards. Returns
         ("per_shard", [op_for_shard_s]) or ("cross", DenseOp)."""
         v, m = self.v, self.n - self.v
+        if isinstance(op, StageOp):
+            # the stage prepass never creates StageOps touching virtual bits
+            shifted = StageOp(op.u, op.q - v, tuple(
+                (d, (t[0] - v, t[1] - v)) for d, t in op.factors))
+            return ("per_shard", [shifted] * (1 << v))
         if isinstance(op, DiagLayer):
             per = []
             for s in range(1 << v):
@@ -491,7 +569,11 @@ class CompiledCircuit:
                 for payload in run:
                     op = payload[s]
                     kind, prep = self._prepared(op, m)
-                    if kind == "diag":
+                    if kind == "stage":
+                        fn, coef, bt, ct = prep
+                        plans.append(("stage", fn, None))
+                        operands.extend([coef, bt, ct])
+                    elif kind == "diag":
                         plans.append(("diag", [p[0] for p in prep], None))
                         for _, rt, ct in prep:
                             operands.extend([rt, ct])
@@ -509,7 +591,9 @@ class CompiledCircuit:
                 def chunk_fn(state, ops_args, plans=tuple(plans)):
                     it = iter(ops_args)
                     for kind, payload, _ in plans:
-                        if kind == "diag":
+                        if kind == "stage":
+                            state = payload(state, next(it), next(it), next(it))
+                        elif kind == "diag":
                             for fn in payload:
                                 state = fn(state, next(it), next(it))
                         elif kind == "lane":
@@ -567,7 +651,11 @@ class CompiledCircuit:
             operands: list = []
             for op in chunk:
                 kind, prep = self._prepared(op, n)
-                if kind == "diag":
+                if kind == "stage":
+                    fn, coef, bt, ct = prep
+                    plans.append(("stage", fn, None))
+                    operands.extend([coef, bt, ct])
+                elif kind == "diag":
                     fns = [p[0] for p in prep]
                     plans.append(("diag", fns, len(prep)))
                     for _, rt, ct in prep:
@@ -586,7 +674,9 @@ class CompiledCircuit:
             def chunk_fn(state, ops_args, plans=tuple(plans)):
                 it = iter(ops_args)
                 for kind, payload, extra in plans:
-                    if kind == "diag":
+                    if kind == "stage":
+                        state = payload(state, next(it), next(it), next(it))
+                    elif kind == "diag":
                         for fn in payload:
                             state = fn(state, next(it), next(it))
                     elif kind == "lane":

@@ -428,3 +428,113 @@ def _lane_gate_fn(n: int):
         return (ro.reshape(-1), io.reshape(-1))
 
     return jax.jit(run, donate_argnums=0)
+
+
+# ---------------------------------------------------------------------------
+# Fused stage kernel: 1q row gate + controlled-phase ladder in ONE pass
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_fn(q: int, n: int):
+    """Cached kernel for a "QFT stage": a 1-qubit gate on row qubit q fused
+    with any product of 2-qubit diagonal factors (q, j), j > q. The ladder
+    phase applies only on the qubit-q |1> branch and factorizes over the
+    remaining index bits into a B-axis table x a C-axis (lane) table, so the
+    whole stage is ONE read+write of the state:
+
+        y0 = u00 x0 + u01 x1
+        y1 = (u10 x0 + u11 x1) * Brow[b] * Ccol[c]
+    """
+    tail = 1 << (n - q - 1)
+    C = min(2048, tail)
+    B = tail // C
+    A = 1 << q
+    BB = min(B, 128)
+    Bpad = max(B, 128)
+
+    spec = pl.BlockSpec((1, 2, BB, C), lambda a, j: (a, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+    cf_spec = pl.BlockSpec((2, 2, 2), lambda a, j: (0, 0, 0),
+                           memory_space=pltpu.SMEM)
+    bt_spec = pl.BlockSpec((2, Bpad), lambda a, j: (0, 0), memory_space=pltpu.VMEM)
+    ct_spec = pl.BlockSpec((2, C), lambda a, j: (0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, cf_ref, bt_ref, ct_ref, ro_ref, io_ref):
+        x0r = re_ref[0, 0, :, :]
+        x1r = re_ref[0, 1, :, :]
+        x0i = im_ref[0, 0, :, :]
+        x1i = im_ref[0, 1, :, :]
+        u = [[(cf_ref[0, i, j], cf_ref[1, i, j]) for j in range(2)] for i in range(2)]
+        (ar, ai), (br_, bi_) = u[0]
+        (cr_, ci_), (dr_, di_) = u[1]
+        y0r = ar * x0r - ai * x0i + br_ * x1r - bi_ * x1i
+        y0i = ar * x0i + ai * x0r + br_ * x1i + bi_ * x1r
+        y1r = cr_ * x0r - ci_ * x0i + dr_ * x1r - di_ * x1i
+        y1i = cr_ * x0i + ci_ * x0r + dr_ * x1i + di_ * x1r
+        # phase = Brow[b] * Ccol[c] on the |1>_q branch
+        j = pl.program_id(1)
+        brow_r = bt_ref[0, pl.ds(j * BB, BB)].reshape(BB, 1)
+        brow_i = bt_ref[1, pl.ds(j * BB, BB)].reshape(BB, 1)
+        ccol_r = ct_ref[0, :].reshape(1, C)
+        ccol_i = ct_ref[1, :].reshape(1, C)
+        pr = brow_r * ccol_r - brow_i * ccol_i
+        pi = brow_r * ccol_i + brow_i * ccol_r
+        ro_ref[0, 0, :, :] = y0r
+        io_ref[0, 0, :, :] = y0i
+        ro_ref[0, 1, :, :] = y1r * pr - y1i * pi
+        io_ref[0, 1, :, :] = y1r * pi + y1i * pr
+
+    dims = (A, 2, B, C)
+    shape = jax.ShapeDtypeStruct(dims, jnp.float32)
+
+    def run(planes, coef, bt, ct):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, cf_spec, bt_spec, ct_spec],
+            out_specs=(spec, spec),
+            grid=(A, B // BB),
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+        )(re.reshape(dims), im.reshape(dims), coef, bt, ct)
+        return (ro.reshape(-1), io.reshape(-1))
+
+    return jax.jit(run, donate_argnums=0)
+
+
+def stage_prepare(u: np.ndarray, q: int, factors, n: int):
+    """Host->device for a fused stage: ``u`` (2, 2) complex on qubit q, plus
+    2-qubit diagonal ``factors`` [(d (4,), (q, j))] with j > q. Returns
+    (fn, coef, Btable, Ctable)."""
+    tail = 1 << (n - q - 1)
+    C = min(2048, tail)
+    B = tail // C
+    Bpad = max(B, 128)
+    log_c = C.bit_length() - 1
+
+    brow = np.ones(B, dtype=np.complex128)
+    ccol = np.ones(C, dtype=np.complex128)
+    bidx = np.arange(B, dtype=np.int64)
+    cidx = np.arange(C, dtype=np.int64)
+    for d, (qq, j) in factors:
+        assert qq == q and j > q
+        d = np.asarray(d, dtype=np.complex128)
+        # phase applied on the |1>_q branch when bit j is 1: d[3] (vs d[2]=1)
+        on, off = d[3], d[2]
+        pos = n - 1 - j  # bit position in the tail index (b*C + c)
+        if pos >= log_c:
+            bit = (bidx >> (pos - log_c)) & 1
+            brow *= np.where(bit == 1, on, off)
+        else:
+            bit = (cidx >> pos) & 1
+            ccol *= np.where(bit == 1, on, off)
+
+    bt = np.zeros((2, Bpad), dtype=np.float32)
+    bt[0, :B] = brow.real
+    bt[1, :B] = brow.imag
+    ct = np.stack([ccol.real.astype(np.float32), ccol.imag.astype(np.float32)])
+    cu = np.asarray(u, dtype=np.complex128)
+    coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
+    return (_stage_fn(q, n), jnp.asarray(coef), jnp.asarray(bt), jnp.asarray(ct))

@@ -152,3 +152,38 @@ def test_virtual_sharded_pallas_interpret():
     circ = CompiledCircuit(n, qft_prims(n), use_pallas=True, virtual_shards=1)
     got = circ.state_to_complex(circ(circ.init_state()))
     assert np.linalg.norm(got - expected) < 1e-5
+
+
+def test_stage_kernel_matches_reference():
+    """Fused stage (H + controlled-phase ladder) vs the op-by-op engine."""
+    import qubism_tpu.ops.kernels as KK
+    from qubism_tpu.ops.apply import apply_diag, apply_gate
+
+    for n, q in ((10, 1), (12, 3), (11, 2)):
+        planes, _ = rand_planes(n, n + q)
+        cu1 = lambda l: np.array([1, 1, 1, np.exp(1j * l)], dtype=complex)  # noqa: E731
+        factors = [(cu1(0.3 / (j - q)), (q, j)) for j in range(q + 1, n)]
+        expected = apply_gate(planes, H, (q,), n)
+        for d, t in factors:
+            expected = apply_diag(expected, d, t, n)
+        from qubism_tpu.ops.apply import complex_from_planes
+
+        expected = complex_from_planes(expected)
+        fn, coef, bt, ct = KK.stage_prepare(H, q, factors, n)
+        got = complex_from_planes(fn(planes, coef, bt, ct))
+        assert np.linalg.norm(got - expected) < 1e-5, (n, q)
+
+
+def test_qft_uses_stage_fusion():
+    from qubism_tpu.models.circuits import qft_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit, StageOp
+
+    n = 16
+    circ = CompiledCircuit(n, qft_prims(n), use_pallas=True)
+    stats = circ.stats()
+    assert stats["fused_stages"] >= n - 10  # most stages fuse
+    # correctness vs XLA backend
+    ref = CompiledCircuit(n, qft_prims(n), use_pallas=False)
+    a = complex_from_planes(circ(zero_state(n)))
+    b = complex_from_planes(ref(zero_state(n)))
+    assert np.linalg.norm(a - b) < 1e-5
