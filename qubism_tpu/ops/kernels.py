@@ -447,7 +447,9 @@ def _stage_fn(q: int, n: int):
         y1 = (u10 x0 + u11 x1) * Brow[b] * Ccol[c]
     """
     tail = 1 << (n - q - 1)
-    C = min(2048, tail)
+    # VMEM is 16 MB scoped: 2 input + 2 aliased output blocks, ~6 temp
+    # arrays and double buffering must fit -> keep blocks at ~1 MB
+    C = min(1024, tail)
     B = tail // C
     A = 1 << q
     BB = min(B, 128)
@@ -457,7 +459,14 @@ def _stage_fn(q: int, n: int):
                         memory_space=pltpu.VMEM)
     cf_spec = pl.BlockSpec((2, 2, 2), lambda a, j: (0, 0, 0),
                            memory_space=pltpu.SMEM)
-    bt_spec = pl.BlockSpec((2, Bpad), lambda a, j: (0, 0), memory_space=pltpu.VMEM)
+    # the B-axis table is block-sliced in lockstep with the state's B blocks
+    # (BlockSpec slicing; dynamic in-kernel lane slices don't lower)
+    if B >= 128:
+        bt_spec = pl.BlockSpec((2, 128), lambda a, j: (0, j),
+                               memory_space=pltpu.VMEM)
+    else:
+        bt_spec = pl.BlockSpec((2, 128), lambda a, j: (0, 0),
+                               memory_space=pltpu.VMEM)
     ct_spec = pl.BlockSpec((2, C), lambda a, j: (0, 0), memory_space=pltpu.VMEM)
 
     def kernel(re_ref, im_ref, cf_ref, bt_ref, ct_ref, ro_ref, io_ref):
@@ -473,9 +482,8 @@ def _stage_fn(q: int, n: int):
         y1r = cr_ * x0r - ci_ * x0i + dr_ * x1r - di_ * x1i
         y1i = cr_ * x0i + ci_ * x0r + dr_ * x1i + di_ * x1r
         # phase = Brow[b] * Ccol[c] on the |1>_q branch
-        j = pl.program_id(1)
-        brow_r = bt_ref[0, pl.ds(j * BB, BB)].reshape(BB, 1)
-        brow_i = bt_ref[1, pl.ds(j * BB, BB)].reshape(BB, 1)
+        brow_r = bt_ref[0, :BB].reshape(BB, 1)
+        brow_i = bt_ref[1, :BB].reshape(BB, 1)
         ccol_r = ct_ref[0, :].reshape(1, C)
         ccol_i = ct_ref[1, :].reshape(1, C)
         pr = brow_r * ccol_r - brow_i * ccol_i
@@ -509,7 +517,7 @@ def stage_prepare(u: np.ndarray, q: int, factors, n: int):
     2-qubit diagonal ``factors`` [(d (4,), (q, j))] with j > q. Returns
     (fn, coef, Btable, Ctable)."""
     tail = 1 << (n - q - 1)
-    C = min(2048, tail)
+    C = min(1024, tail)
     B = tail // C
     Bpad = max(B, 128)
     log_c = C.bit_length() - 1
