@@ -58,6 +58,8 @@ def enable_cache():
 
 def run_qft(n: int, reps: int) -> dict:
     """Measure a fused QFT-n: returns timing + pass statistics."""
+    import gc
+
     enable_cache()
     from qubism_tpu.models.circuits import qft_prims
     from qubism_tpu.ops.fusion import CompiledCircuit
@@ -77,13 +79,18 @@ def run_qft(n: int, reps: int) -> dict:
         state = circ(state)
     _ = sync(circ, state)
     dt = (time.time() - t0) / reps
-    return {
+    out = {
         "n": n,
         "seconds": dt,
         "build_first_s": build_s,
         "fused_ops": len(circ.ops),
         "virtual_shards": circ.v,
     }
+    # release the state before any follow-on measurement (the n=30
+    # subprocess needs most of HBM)
+    del state, circ
+    gc.collect()
+    return out
 
 
 def try_qft30_subprocess() -> dict | None:
@@ -93,16 +100,18 @@ def try_qft30_subprocess() -> dict | None:
         "import json,sys; sys.path.insert(0, %r); import bench;"
         "print('RESULT:' + json.dumps(bench.run_qft(30, 1)))"
     ) % os.path.dirname(os.path.abspath(__file__))
-    try:
-        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                             text=True, timeout=1500)
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT:"):
-                return json.loads(line[len("RESULT:"):])
-        log(f"qft30 subprocess produced no result (rc={out.returncode}): "
-            f"{out.stderr[-300:]}")
-    except Exception as e:
-        log(f"qft30 subprocess failed: {e}")
+    for attempt in range(2):  # second attempt hits the warm compile cache
+        try:
+            out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                                 text=True, timeout=1500)
+            for line in out.stdout.splitlines():
+                if line.startswith("RESULT:"):
+                    return json.loads(line[len("RESULT:"):])
+            log(f"qft30 subprocess attempt {attempt} no result (rc={out.returncode}): "
+                f"{out.stderr[-400:]}")
+        except Exception as e:
+            log(f"qft30 subprocess attempt {attempt} failed: {e}")
+        time.sleep(20)  # let the device release the crashed attempt's HBM
     return None
 
 
