@@ -100,7 +100,11 @@ def try_qft30_subprocess() -> dict | None:
         "import json,sys; sys.path.insert(0, %r); import bench;"
         "print('RESULT:' + json.dumps(bench.run_qft(30, 1)))"
     ) % os.path.dirname(os.path.abspath(__file__))
-    for attempt in range(2):  # second attempt hits the warm compile cache
+    # the device releases a finished/crashed process's HBM with ~minutes of
+    # lag; an 8 GiB run needs a clean slate
+    log("cooling down before qft30 attempt...")
+    time.sleep(90)
+    for attempt in range(2):  # second attempt also hits the warm compile cache
         try:
             out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                                  text=True, timeout=1500)
@@ -111,7 +115,7 @@ def try_qft30_subprocess() -> dict | None:
                 f"{out.stderr[-400:]}")
         except Exception as e:
             log(f"qft30 subprocess attempt {attempt} failed: {e}")
-        time.sleep(20)  # let the device release the crashed attempt's HBM
+        time.sleep(150)
     return None
 
 
