@@ -258,8 +258,14 @@ class CompiledCircuit:
         ]
         if chunk_passes is None:
             # remote dispatch latency is ~30-100 ms per jitted call, so larger
-            # chunks amortize it; small circuits compile as one program
-            chunk_passes = len(self.ops) if n <= 22 else 8
+            # chunks amortize it; small circuits compile as one program. Under
+            # virtual sharding the state is half of HBM: one event per jit
+            # (verified stable), since intermediates inside a chunk may not
+            # alias-chain
+            if self.v > 0:
+                chunk_passes = 1
+            else:
+                chunk_passes = len(self.ops) if n <= 22 else 8
         self.chunk_passes = max(1, chunk_passes)
         self._op_cache: dict = {}
         # keep the async dispatch queue bounded on large states (temporaries
