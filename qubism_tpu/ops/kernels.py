@@ -447,9 +447,9 @@ def _stage_fn(q: int, n: int):
         y1 = (u10 x0 + u11 x1) * Brow[b] * Ccol[c]
     """
     tail = 1 << (n - q - 1)
-    # VMEM is 16 MB scoped: 2 input + 2 aliased output blocks, ~6 temp
-    # arrays and double buffering must fit -> keep blocks at ~1 MB
-    C = min(1024, tail)
+    # default scoped VMEM is 16 MB; we raise it via CompilerParams (v5e has
+    # 128 MB physical) so blocks can be 2 MB -> better DMA pipelining
+    C = min(2048, tail)
     B = tail // C
     A = 1 << q
     BB = min(B, 128)
@@ -498,6 +498,10 @@ def _stage_fn(q: int, n: int):
 
     def run(planes, coef, bt, ct):
         re, im = planes
+        kwargs = {}
+        if not _interpret():
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20)
         ro, io = pl.pallas_call(
             kernel,
             out_shape=(shape, shape),
@@ -506,6 +510,7 @@ def _stage_fn(q: int, n: int):
             grid=(A, B // BB),
             input_output_aliases={0: 0, 1: 1},
             interpret=_interpret(),
+            **kwargs,
         )(re.reshape(dims), im.reshape(dims), coef, bt, ct)
         return (ro.reshape(-1), io.reshape(-1))
 
@@ -517,7 +522,7 @@ def stage_prepare(u: np.ndarray, q: int, factors, n: int):
     2-qubit diagonal ``factors`` [(d (4,), (q, j))] with j > q. Returns
     (fn, coef, Btable, Ctable)."""
     tail = 1 << (n - q - 1)
-    C = min(1024, tail)
+    C = min(2048, tail)
     B = tail // C
     Bpad = max(B, 128)
     log_c = C.bit_length() - 1
