@@ -117,7 +117,8 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 if dump_state:
                     out.write(prog._pretty(state, cregs))
                 if shots and prog.n:
-                    _print_counts_for(state, prog.n, "(x)".join(prog.layout), shots, key, out)
+                    _print_counts_for(state, prog.n, "(x)".join(prog.layout),
+                                      shots, key, out, v=prog.v)
         else:
             ps = run_program(ast, seed=seed)
             if dump_state:
@@ -137,10 +138,10 @@ def _print_shot_counts(ps: ProgState, shots: int, out):
         _print_counts_for(sv.planes, sv.n, name, shots, ps.key, out)
 
 
-def _print_counts_for(planes, n, name, shots, key, out):
+def _print_counts_for(planes, n, name, shots, key, out, v: int = 0):
     from .ops.sample import sample_counts
 
-    counts = sample_counts(planes, n, shots, key)
+    counts = sample_counts(planes, n, shots, key, v=v)
     print(f"Counts for state vector {name} ({shots} shots):", file=out)
     for basis, c in sorted(counts.items()):
         print(f"  |{basis}>: {c}", file=out)

@@ -9,18 +9,18 @@ an explicit surface to exercise.
 
 from __future__ import annotations
 
-import numpy as jnp
+import numpy as np
 
 
 # -- VectorSpace (Algebra.hs:17-28) -----------------------------------------
 
 def zero_like(v):
-    return jnp.zeros_like(v)
+    return np.zeros_like(v)
 
 
 def scale(z, v):
     """Scalar multiplication ``z .: v``."""
-    return jnp.asarray(z, dtype=v.dtype) * v
+    return np.asarray(z, dtype=v.dtype) * v
 
 
 def add(a, b):
@@ -42,11 +42,11 @@ def neg(a):
 def inner(a, b):
     """Sesquilinear inner product <a|b>, conjugate-linear in the first
     argument (matching hmatrix's ``<.>`` used by the reference)."""
-    return jnp.vdot(a, b)
+    return np.vdot(a, b)
 
 
-def norm(a) -> jnp.ndarray:
-    return jnp.sqrt(jnp.real(inner(a, a)))
+def norm(a) -> np.ndarray:
+    return np.sqrt(np.real(inner(a, a)))
 
 
 # -- Algebra (Algebra.hs:38-46) ----------------------------------------------

@@ -111,6 +111,13 @@ class StateVec:
         re, im = self.planes
         return float(jnp.sqrt(jnp.sum(re * re) + jnp.sum(im * im)))
 
+    def adjoint(self) -> "StateVec":
+        """Elementwise conjugate (the bra of this ket) — reference
+        ``adjoint``, src/Qubism/StateVec.hs:94-95 (unused there too, kept
+        for API parity)."""
+        re, im = self.planes
+        return StateVec(self.n, (re, -im))
+
     # -- measurement ---------------------------------------------------------
 
     def prob_one(self, i: int) -> float:

@@ -12,17 +12,26 @@ compiler is available the pure-Python implementations are used silently.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "qasm_lexer.cpp")
-_SO = os.path.join(_DIR, "_qasm_lexer.so")
 
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
+
+
+def _so_path() -> str:
+    """Shared-library path keyed by the SOURCE CONTENT hash: a fresh checkout
+    gives every file the same mtime, so an mtime comparison can load a stale
+    binary after qasm_lexer.cpp changes; a content-hashed name cannot."""
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"_qasm_lexer-{h}.so")
 
 
 def ensure_built():
@@ -35,13 +44,13 @@ def ensure_built():
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            so = _so_path()
+            if not os.path.exists(so):
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", so, _SRC],
                     check=True, capture_output=True, timeout=120,
                 )
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
             lib.qasm_lex.restype = ctypes.c_long
             lib.qasm_lex.argtypes = [
                 ctypes.c_char_p, ctypes.c_long,
@@ -94,7 +103,9 @@ def native_tokenize(text: str, file: str = ""):
             word = data[s : s + ln].decode()
             append(Tok("kw" if word in RESERVED else "ident", word, pos))
         elif k == 1:
-            append(Tok("nat", int(values[t]), pos))
+            # decode from the source span: round-tripping through the C
+            # double loses precision for integer literals above 2^53
+            append(Tok("nat", int(data[s : s + ln]), pos))
         elif k == 2:
             append(Tok("real", values[t], pos))
         elif k == 3:

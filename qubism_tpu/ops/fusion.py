@@ -35,6 +35,33 @@ from . import apply as _apply
 DEFAULT_MAX_BLOCK = 5
 
 
+def default_virtual_shards(n: int) -> int:
+    """TPU compilers reject several op patterns on > 2^29-element buffers;
+    past n=29 the state is held as 2^v on-chip shards of n-v qubits each
+    (the single-chip analog of mesh sharding)."""
+    return max(0, n - 29) if jax.default_backend() == "tpu" else 0
+
+
+def zero_state_virtual(n: int, v: int):
+    """|0...0> as a flat plane pair (v=0) or a tuple of 2^v shard pairs."""
+    if v == 0:
+        return _apply.zero_state(n)
+    shards = []
+    for s in range(1 << v):
+        re = jnp.zeros(1 << (n - v), jnp.float32)
+        if s == 0:
+            re = re.at[0].set(1)
+        shards.append((re, jnp.zeros(1 << (n - v), jnp.float32)))
+    return tuple(shards)
+
+
+def state_to_complex_virtual(state, v: int) -> np.ndarray:
+    """Host-side numpy complex amplitudes for either representation."""
+    if v == 0:
+        return _apply.complex_from_planes(state)
+    return np.concatenate([_apply.complex_from_planes(sh) for sh in state])
+
+
 @dataclass(frozen=True)
 class DenseOp:
     u: np.ndarray  # (2^k, 2^k) complex128, targets sorted ascending
@@ -237,10 +264,7 @@ class CompiledCircuit:
         self.n = n
         self.prims = tuple(prims)
         if virtual_shards is None:
-            # TPU compilers reject several op patterns on > 2^29-element
-            # buffers; past n=29 the state is held as 2^v on-chip shards of
-            # n-v qubits each (the single-chip analog of mesh sharding)
-            virtual_shards = max(0, n - 29) if jax.default_backend() == "tpu" else 0
+            virtual_shards = default_virtual_shards(n)
         self.v = virtual_shards
         if use_pallas is None:
             # the XLA backend does not fuse multi-op elementwise chains on
@@ -377,23 +401,11 @@ class CompiledCircuit:
     def init_state(self):
         """The |0...0> state in this circuit's representation: a plane pair
         for v=0, else a tuple of 2^v shard plane pairs."""
-        if self.v == 0:
-            return _apply.zero_state(self.n)
-        shards = []
-        for s in range(1 << self.v):
-            re = jnp.zeros(1 << (self.n - self.v), jnp.float32)
-            if s == 0:
-                re = re.at[0].set(1)
-            shards.append((re, jnp.zeros(1 << (self.n - self.v), jnp.float32)))
-        return tuple(shards)
+        return zero_state_virtual(self.n, self.v)
 
     def state_to_complex(self, state):
         """Host-side numpy complex amplitudes for any representation."""
-        import numpy as _np
-
-        if self.v == 0:
-            return _apply.complex_from_planes(state)
-        return _np.concatenate([_apply.complex_from_planes(sh) for sh in state])
+        return state_to_complex_virtual(state, self.v)
 
     def _split_op_sharded(self, op):
         """Specialize one fused op for the 2^v shards. Returns

@@ -107,3 +107,102 @@ def probabilities(planes: Planes, n: int) -> jnp.ndarray:
     """|psi|^2 over the computational basis, shape (2^n,) float32."""
     re, im = planes
     return re * re + im * im
+
+
+# -- virtual on-chip shards (n past the single-buffer limit) --------------------
+#
+# State = tuple of 2^v plane pairs; shard s holds the amplitudes whose top v
+# index bits (big-endian qubits 0..v-1) equal s. This mirrors
+# CompiledCircuit's virtual-shard representation (ops/fusion.py), which the
+# TPU backend needs past n=29 (buffers > 2^29 f32 elements fail to compile —
+# see ADVICE.md / axon constraints). Each helper is a host-driven loop of
+# per-shard jits, so peak HBM stays ~state + one shard.
+
+
+@jax.jit
+def _norm2(planes) -> jnp.ndarray:
+    re, im = planes
+    return jnp.sum(re * re) + jnp.sum(im * im)
+
+
+def _sel_views(planes, q: int, n: int):
+    """(masked-selector, row-view-re, row-view-im) for qubit q of an n-qubit
+    plane pair — shared by the masked-norm and collapse kernels."""
+    b = max(n - _COL, 0)
+    re, im = planes
+    if q < b:
+        r = re.reshape(1 << q, 2, -1)
+        i = im.reshape(1 << q, 2, -1)
+        bits = jnp.arange(2).reshape(1, 2, 1)
+    else:
+        lanes = 1 << (n - b)
+        r = re.reshape(-1, lanes)
+        i = im.reshape(-1, lanes)
+        bits = jnp.asarray(_lane_bits(n, q)).reshape(1, lanes)
+    return bits, r, i
+
+
+@functools.partial(jax.jit, static_argnames=("q", "n"))
+def _masked_norm2(planes, outcome, q: int, n: int) -> jnp.ndarray:
+    """Squared norm of the qubit-q == outcome component."""
+    bits, r, i = _sel_views(planes, q, n)
+    sel = bits == outcome
+    mr = jnp.where(sel, r, 0)
+    mi = jnp.where(sel, i, 0)
+    return jnp.sum(mr * mr) + jnp.sum(mi * mi)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "n"), donate_argnums=0)
+def _collapse_with_scale(planes, outcome, scale, q: int, n: int) -> Planes:
+    """Project qubit q onto outcome and multiply by a precomputed scale
+    (the global 1/norm — shard-spanning, so it cannot be computed locally)."""
+    bits, r, i = _sel_views(planes, q, n)
+    sel = bits == outcome
+    return ((jnp.where(sel, r, 0) * scale).reshape(-1),
+            (jnp.where(sel, i, 0) * scale).reshape(-1))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _scale_planes(planes, scale) -> Planes:
+    return (planes[0] * scale, planes[1] * scale)
+
+
+def prob_one_sharded(shards, q: int, n: int, v: int) -> float:
+    """Born p(1) for qubit q of a virtual-sharded state (host float)."""
+    if q < v:
+        return float(sum(
+            _norm2(sh) for s, sh in enumerate(shards) if (s >> (v - 1 - q)) & 1
+        ))
+    m = n - v
+    return float(sum(_masked_norm2(sh, jnp.int32(1), q - v, m) for sh in shards))
+
+
+def collapse_sharded(shards, outcome: int, q: int, n: int, v: int):
+    """Project qubit q of a virtual-sharded state onto outcome + renormalize.
+    Donates the shard buffers (in-place in HBM)."""
+    outcome = int(outcome)
+    m = n - v
+    if q < v:
+        matches = [((s >> (v - 1 - q)) & 1) == outcome for s in range(len(shards))]
+        tot = float(sum(_norm2(sh) for sh, ok in zip(shards, matches) if ok))
+        scale = 0.0 if tot == 0 else 1.0 / np.sqrt(tot)
+        return tuple(
+            _scale_planes(sh, np.float32(scale if ok else 0.0))
+            for sh, ok in zip(shards, matches)
+        )
+    tot = float(sum(_masked_norm2(sh, jnp.int32(outcome), q - v, m) for sh in shards))
+    scale = 0.0 if tot == 0 else 1.0 / np.sqrt(tot)
+    return tuple(
+        _collapse_with_scale(sh, jnp.int32(outcome), np.float32(scale), q - v, m)
+        for sh in shards
+    )
+
+
+def measure_qubit_sharded(shards, key: jax.Array, q: int, n: int, v: int):
+    """Sample + collapse qubit q of a virtual-sharded state.
+    Returns (outcome, shards', key')."""
+    p1 = prob_one_sharded(shards, q, n, v)
+    threshold = np.sqrt(p1) if config.reference_sqrt_born else p1
+    key, sub = jax.random.split(key)
+    outcome = int(float(jax.random.uniform(sub)) < threshold)
+    return outcome, collapse_sharded(shards, outcome, q, n, v), key

@@ -24,9 +24,10 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("n", "shots"), donate_argnums=())
-def sample_indices(planes, n: int, shots: int, key: jax.Array) -> jnp.ndarray:
-    """Sample ``shots`` basis-state indices from an (re, im) state.
-    Returns (shots,) int32."""
+def _sample_parts(planes, n: int, shots: int, key: jax.Array):
+    """Sample ``shots`` basis states; returns (chunk, within-chunk) int32
+    index pairs so the int64 combine can happen on the host (a single int32
+    index would overflow past n=31)."""
     re, im = planes
     p = re * re + im * im
     m = max(0, n // 2)          # 2^m chunks
@@ -54,13 +55,63 @@ def sample_indices(planes, n: int, shots: int, key: jax.Array) -> jnp.ndarray:
     lo = jnp.zeros((shots,), dtype=jnp.int32)
     hi = jnp.full((shots,), (1 << r) - 1, dtype=jnp.int32)
     lo, hi = jax.lax.fori_loop(0, r, body, (lo, hi))
-    return (c.astype(jnp.int32) * (1 << r) + lo).astype(jnp.int32)
+    return c.astype(jnp.int32), lo.astype(jnp.int32)
 
 
-def sample_counts(planes, n: int, shots: int, key: jax.Array | None = None) -> dict[str, int]:
-    """Sample and histogram: returns {big-endian bitstring: count}."""
+def sample_indices_np(planes, n: int, shots: int, key: jax.Array) -> np.ndarray:
+    """Sample basis-state indices; (shots,) int64 on the host (safe at any n)."""
+    c, lo = jax.device_get(_sample_parts(planes, n, shots, key))
+    r = n - max(0, n // 2)
+    return (np.asarray(c).astype(np.int64) << r) | np.asarray(lo).astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "shots"), donate_argnums=())
+def sample_indices(planes, n: int, shots: int, key: jax.Array) -> jnp.ndarray:
+    """Sample ``shots`` basis-state indices from an (re, im) state.
+    Returns (shots,) int32 — valid for n <= 30 (use :func:`sample_indices_np`
+    past that; a flat int32 index overflows at n=31)."""
+    c, lo = _sample_parts(planes, n, shots, key)
+    r = n - max(0, n // 2)
+    return c * (1 << r) + lo
+
+
+def sample_indices_sharded(shards, n: int, v: int, shots: int,
+                           key: jax.Array) -> np.ndarray:
+    """Sample from a virtual-sharded state (tuple of 2^v plane pairs; shard s
+    holds the amplitudes whose top v bits equal s). Two-level inverse CDF:
+    pick the shard from the per-shard masses (tiny, host-side), then reuse the
+    flat sampler within each shard. Returns (shots,) int64."""
+    from .measure import _norm2
+
+    m = n - v
+    masses = np.array([float(_norm2(sh)) for sh in shards], dtype=np.float64)
+    cdf = np.cumsum(masses)
+    key, sub = jax.random.split(key)
+    u = np.asarray(jax.device_get(jax.random.uniform(sub, (shots,)))) * cdf[-1]
+    shard_of = np.searchsorted(cdf, u, side="right").clip(0, len(shards) - 1)
+    out = np.zeros(shots, dtype=np.int64)
+    for s in range(len(shards)):
+        mine = np.nonzero(shard_of == s)[0]
+        if mine.size == 0:
+            continue
+        key, sub = jax.random.split(key)
+        # sample the full shot count (one compiled shape per (m, shots)) and
+        # keep this shard's draws — recompiling per ragged count costs more
+        # than the extra pass on a remote-compile backend
+        loc = sample_indices_np(shards[s], m, shots, sub)
+        out[mine] = (np.int64(s) << m) | loc[mine]
+    return out
+
+
+def sample_counts(planes, n: int, shots: int, key: jax.Array | None = None,
+                  v: int = 0) -> dict[str, int]:
+    """Sample and histogram: returns {big-endian bitstring: count}.
+    ``planes`` is a plane pair, or a tuple of 2^v shard pairs when v > 0."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    idx = np.asarray(jax.device_get(sample_indices(planes, n, shots, key)))
+    if v > 0:
+        idx = sample_indices_sharded(planes, n, v, shots, key)
+    else:
+        idx = sample_indices_np(planes, n, shots, key)
     vals, counts = np.unique(idx, return_counts=True)
-    return {format(int(v), f"0{n}b"): int(c) for v, c in zip(vals, counts)}
+    return {format(int(v_), f"0{n}b"): int(c) for v_, c in zip(vals, counts)}

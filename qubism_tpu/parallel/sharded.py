@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..config import config
 from ..core.gates import Prim
 from ..ops import apply as _apply
 from ..ops.measure import collapse_traced, prob_one_traced
@@ -290,8 +291,11 @@ class ShardedSim:
 
     def measure_qubit(self, logical_q: int, key: jax.Array):
         p1 = self.prob_one(logical_q)
+        # honor the reference's r < sqrt(p) quirk like every other path
+        # (src/Qubism/StateVec.hs:121-129, SURVEY.md §2.4.2)
+        threshold = math.sqrt(p1) if config.reference_sqrt_born else p1
         key, sub = jax.random.split(key)
-        outcome = int(jax.random.uniform(sub) < p1)
+        outcome = int(jax.random.uniform(sub) < threshold)
         self.collapse(logical_q, outcome)
         return outcome, key
 
@@ -318,17 +322,24 @@ class ShardedSim:
                     jnp.searchsorted(local_cdf, resid, side="right"), 0, (1 << n_local) - 1
                 )
                 mine = dev == i
-                contrib = jnp.where(mine, (i << n_local) + local_idx, 0)
-                return jax.lax.psum(contrib.astype(jnp.int32), AXIS)
+                # device index and local index psum'd SEPARATELY: a flat
+                # (i << n_local) + local_idx int32 overflows at n >= 31
+                # (BASELINE asks for up to 34 qubits); combined on the host
+                # in int64
+                dev_part = jnp.where(mine, i, 0).astype(jnp.int32)
+                loc_part = jnp.where(mine, local_idx, 0).astype(jnp.int32)
+                return (jax.lax.psum(dev_part, AXIS), jax.lax.psum(loc_part, AXIS))
 
-            self._cache[key] = self._smap(body, out_specs=P(), in_extra=(P(),))
+            self._cache[key] = self._smap(body, out_specs=(P(), P()), in_extra=(P(),))
         return self._cache[key]
 
     def sample(self, shots: int, key: jax.Array) -> np.ndarray:
         """Sample basis-state indices (converted to logical qubit order).
         Returns (shots,) int64 numpy."""
         u = jax.random.uniform(key, (shots,), dtype=jnp.float32)
-        phys_idx = np.asarray(jax.device_get(self._sample_fn(shots)(self.planes, u)))
+        dev, loc = jax.device_get(self._sample_fn(shots)(self.planes, u))
+        phys_idx = (np.asarray(dev).astype(np.int64) << self.n_local) | \
+            np.asarray(loc).astype(np.int64)
         return self._to_logical_indices(phys_idx)
 
     def _to_logical_indices(self, phys_idx: np.ndarray) -> np.ndarray:

@@ -25,8 +25,8 @@ import numpy as np
 from ..core.creg import CReg
 from ..core.gates import Prim, is_diagonal, u3_matrix
 from ..ops import measure as _measure
-from ..ops.apply import zero_state
-from ..ops.fusion import CompiledCircuit
+from ..ops.fusion import (CompiledCircuit, default_virtual_shards,
+                          state_to_complex_virtual, zero_state_virtual)
 from ..qasm import ast as A
 from .interpreter import Interpreter
 from .progstate import ProgState, blank_state
@@ -161,7 +161,7 @@ class _Elaborator(Interpreter):
 class CompiledProgram:
     """A QASM program lowered to fused segments + host-level control flow."""
 
-    def __init__(self, ast, max_block: int = 5):
+    def __init__(self, ast, max_block: int = 5, virtual_shards: int | None = None):
         ps = blank_state(0)
         elab = _Elaborator(ps)
         for stmt in ast:
@@ -172,18 +172,42 @@ class CompiledProgram:
         self.layout = dict(elab.layout)
         self.qreg_sizes = {name: ps.qregs[name].size for name in ps.qregs}
         self.max_block = max_block
+        self._v_req = virtual_shards
         self._segments: dict[int, CompiledCircuit] = {}
+
+    @property
+    def v(self) -> int:
+        """Virtual on-chip shard count (log2). Resolved lazily: the TPU
+        backend needs 2^v shards past n=29 and every segment + the
+        measure/collapse/sample paths must agree on the representation."""
+        if self._v_req is None:
+            self._v_req = default_virtual_shards(self.n)
+        return self._v_req
 
     def _segment(self, key: int, prims) -> CompiledCircuit:
         if key not in self._segments:
-            self._segments[key] = CompiledCircuit(self.n, prims, self.max_block)
+            self._segments[key] = CompiledCircuit(self.n, prims, self.max_block,
+                                                  virtual_shards=self.v)
         return self._segments[key]
 
+    def _measure_one(self, state, key, q):
+        if self.v:
+            return _measure.measure_qubit_sharded(state, key, q, self.n, self.v)
+        outcome, state, key = _measure.measure_qubit(state, key, q, self.n)
+        return int(outcome), state, key
+
+    def _reset_one(self, state, q):
+        if self.v:
+            return _measure.collapse_sharded(state, 0, q, self.n, self.v)
+        return _measure.collapse(state, np.int32(0), q, self.n)
+
     def run(self, seed: int | None = None, dump_writer=None):
-        """Execute. Returns (planar_state, cregs dict, key)."""
+        """Execute. Returns (state, cregs dict, key) — state is a plane pair,
+        or a tuple of 2^v shard pairs when virtual sharding is active (n > 29
+        on TPU); ``self.v`` tells which."""
         dump_writer = dump_writer or (lambda s: None)
         key = jax.random.PRNGKey(0 if seed is None else seed)
-        state = zero_state(self.n) if self.n else None
+        state = zero_state_virtual(self.n, self.v) if self.n else None
         cregs = dict(self.cregs0)
 
         def exec_events(events, state, key, path="r"):
@@ -193,15 +217,15 @@ class CompiledProgram:
                 elif isinstance(ev, EvMeasure):
                     bits = []
                     for q in ev.qubits:
-                        outcome, state, key = _measure.measure_qubit(state, key, q, self.n)
-                        bits.append(int(outcome))
+                        outcome, state, key = self._measure_one(state, key, q)
+                        bits.append(outcome)
                     if ev.bit_index is None:
                         cregs[ev.creg] = CReg.of(bits)
                     else:
                         cregs[ev.creg] = cregs[ev.creg].set_bit(ev.bit_index, bits[0])
                 elif isinstance(ev, EvReset):
                     for q in ev.qubits:
-                        state = _measure.collapse(state, np.int32(0), q, self.n)
+                        state = self._reset_one(state, q)
                 elif isinstance(ev, EvCond):
                     if cregs[ev.creg].to_natural() == ev.value:
                         state, key = exec_events(ev.body, state, key, path + f".c{i}")
@@ -259,9 +283,9 @@ class CompiledProgram:
                 elif isinstance(ev, EvDump):
                     from ..core.statevec import StateVec
 
+                    amps = sim.amplitudes()
                     sv = StateVec(self.n, np.asarray(
-                        [sim.amplitudes().real, sim.amplitudes().imag],
-                        dtype=np.float32))
+                        [amps.real, amps.imag], dtype=np.float32))
                     dump_writer(self._pretty_for(sv, cregs))
             return key
 
@@ -289,7 +313,13 @@ class CompiledProgram:
         name = "(x)".join(self.layout) if self.layout else ""
         out = ["Dump of the internal state: \n\n"]
         if state is not None:
-            out.append(f"State Vector {name}:\n{StateVec(self.n, state)}")
+            if self.v:
+                amps = state_to_complex_virtual(state, self.v)
+                sv = StateVec(self.n, np.asarray([amps.real, amps.imag],
+                                                 dtype=np.float32))
+            else:
+                sv = StateVec(self.n, state)
+            out.append(f"State Vector {name}:\n{sv}")
         out.append("\n")
         for reg, base in sorted(self.layout.items()):
             out.append(

@@ -182,3 +182,84 @@ def test_run_sharded_amplitudes():
     sim, _, _ = prog.run_sharded(mesh=4, seed=0)
     got = sim.amplitudes()
     assert np.linalg.norm(got - expected) < 1e-5
+
+
+# -- virtual-shard compiled mode (the n>29 TPU representation, forced small) ----
+
+
+def test_compiled_virtual_shards_amplitudes():
+    from qubism_tpu.ops.fusion import state_to_complex_virtual
+
+    src = "qreg q[4]; h q[0]; cx q[0],q[1]; cu1(pi/2) q[2],q[1]; h q[3];"
+    ast = parse_src(src)
+    flat, _, _ = CompiledProgram(ast, virtual_shards=0).run(seed=0)
+    expected = complex_from_planar(flat)
+    for v in (1, 2):
+        prog = CompiledProgram(ast, virtual_shards=v)
+        assert prog.v == v
+        state, _, _ = prog.run(seed=0)
+        got = state_to_complex_virtual(state, v)
+        assert np.linalg.norm(got - expected) < 1e-5
+
+
+def test_compiled_virtual_shards_measurement_and_feedforward():
+    """Measurement, conditional correction and a virtual-bit measure (qubits
+    0,1 are shard-index bits at v=2) must work in the sharded representation."""
+    ast = parse_file("errorCorrection.qasm")
+    for v in (1, 2):
+        prog = CompiledProgram(ast, virtual_shards=v)
+        for seed in range(3):
+            _, cregs, _ = prog.run(seed=seed)
+            assert str(cregs["c"]) == "000"
+            assert str(cregs["syn"]) == "10"
+
+
+def test_compiled_virtual_shards_reset():
+    src = "qreg q[3]; creg c[3]; x q[0]; x q[2]; reset q[0]; measure q -> c;"
+    _, cregs, _ = CompiledProgram(parse_src(src), virtual_shards=1).run(seed=0)
+    assert str(cregs["c"]) == "001"
+
+
+def test_compiled_virtual_shards_dump():
+    src = "qreg q[3]; x q[0]; :dump;"
+    out = []
+    CompiledProgram(parse_src(src), virtual_shards=1).run(seed=0,
+                                                          dump_writer=out.append)
+    dump = "".join(out)
+    assert "Dump of the internal state" in dump
+    assert "|100>" in dump
+
+
+def test_compiled_virtual_shards_shots(tmp_path, capsys):
+    """GHZ counts through the CLI-style sampling path on a sharded state."""
+    from qubism_tpu.ops.sample import sample_counts
+
+    src = "qreg q[4]; h q[0]; cx q[0],q[1]; cx q[1],q[2]; cx q[2],q[3];"
+    prog = CompiledProgram(parse_src(src), virtual_shards=2)
+    state, _, key = prog.run(seed=1)
+    counts = sample_counts(state, prog.n, 256, key, v=2)
+    assert set(counts) <= {"0000", "1111"}
+    assert sum(counts.values()) == 256
+    assert 60 < counts.get("0000", 0) < 196  # ~Bin(256, 1/2)
+
+
+def test_virtual_shard_measurement_distribution():
+    """Born statistics of a virtual-bit measurement (q < v)."""
+    import jax
+    from jax.numpy import array as jnp_copy
+
+    from qubism_tpu.ops.measure import measure_qubit_sharded, prob_one_sharded
+
+    src = "qreg q[3]; ry(2*0.6435011087932844) q[0];"  # p1 = sin^2(0.6435) ~ 0.36
+    prog = CompiledProgram(parse_src(src), virtual_shards=1)
+    state, _, _ = prog.run(seed=0)
+    p1 = prob_one_sharded(state, 0, 3, 1)
+    assert abs(p1 - 0.36) < 1e-5
+    ones = 0
+    for seed in range(200):
+        # collapse donates the shard buffers (in-place at scale): copy first
+        snapshot = tuple((jnp_copy(sh[0]), jnp_copy(sh[1])) for sh in state)
+        outcome, collapsed, _ = measure_qubit_sharded(
+            snapshot, jax.random.PRNGKey(seed), 0, 3, 1)
+        ones += outcome
+    assert 40 < ones < 105  # ~Bin(200, 0.36)

@@ -74,9 +74,24 @@ def test_native_is_fast():
             best = min(best, time.perf_counter() - t0)
         return out, best
 
+    native_tokenize(text)  # warm-up: may build the .so / fault in pages
+    _tokenize_py(text)
     nat, t_native = best_of(lambda: native_tokenize(text))
     py, t_py = best_of(lambda: _tokenize_py(text))
     assert len(nat) == len(py)
     # scanning is ~40x faster natively; end-to-end includes Python Tok
     # materialization, so just require a real win even on a loaded host
     assert t_native < t_py
+
+
+def test_native_big_integer_literals_exact():
+    """Integer literals above 2^53 must not round-trip through a C double
+    (and the source-span decode must work at any digit count)."""
+    big = (1 << 60) + 1
+    text = f"// pad\nqreg q[{big}];\n"
+    nat = native_tokenize(text)
+    assert nat is not None
+    vals = [t.value for t in nat if t.kind == "nat"]
+    assert vals == [big]
+    py = _tokenize_py(text)
+    assert [t.value for t in py if t.kind == "nat"] == [big]

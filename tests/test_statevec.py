@@ -120,3 +120,14 @@ def test_norm_and_normalize(rng):
 def test_bad_shape_rejected():
     with pytest.raises(ValueError):
         StateVec(2, jnp.zeros(3, dtype=jnp.complex64))
+
+
+def test_adjoint_conjugates():
+    import numpy as np
+
+    from qubism_tpu.core.statevec import StateVec
+
+    sv = StateVec.from_amplitudes(np.array([0.6, 0.8j], dtype=np.complex128))
+    adj = sv.adjoint()
+    assert np.allclose(adj.amps, np.conj(sv.amps), atol=1e-7)
+    assert np.isclose(sv.adjoint().inner(sv.adjoint()), 1.0)
