@@ -283,11 +283,11 @@ class CompiledCircuit:
         if chunk_passes is None:
             # remote dispatch latency is ~30-100 ms per jitted call, so larger
             # chunks amortize it; small circuits compile as one program. Under
-            # virtual sharding the state is half of HBM: one event per jit
-            # (verified stable), since intermediates inside a chunk may not
-            # alias-chain
+            # virtual sharding the per-op dispatch+readback (x 2^v shards)
+            # dominates wall-clock, so chunks matter even more; the in-place
+            # pallas alias chains keep chunk intermediates from doubling HBM
             if self.v > 0:
-                chunk_passes = 1
+                chunk_passes = 8
             else:
                 chunk_passes = len(self.ops) if n <= 22 else 8
         self.chunk_passes = max(1, chunk_passes)
@@ -448,16 +448,25 @@ class CompiledCircuit:
         self._cross_fns: dict = {}
 
     def _cross_fn(self, op: DenseOp):
-        """Dense op involving virtual bits: block-decompose over shards.
-        out_s = sum_s' A[s,s'] applied to shard s' on the remaining targets.
+        """Dense op involving virtual bits.
 
-        Memory-lean: identity blocks are passthrough, zero blocks skipped
-        (so virtually-controlled gates reduce to per-shard ops), and each
-        output shard is computed by its own jit so peak HBM stays ~state +
-        one shard."""
+        Targets entirely within the virtual bits run as ONE in-place Pallas
+        butterfly across whole shards (kernels.shard_butterfly_prepare) —
+        peak HBM stays at the state itself, which is what n=30 (state = half
+        of HBM) requires.
+
+        Mixed virtual+local targets block-decompose over shards:
+        out_s = sum_s' A[s,s'] applied to shard s' on the remaining targets;
+        identity blocks are passthrough, zero blocks skipped (so
+        virtually-controlled gates reduce to per-shard ops), and each output
+        shard is computed by its own jit so peak HBM stays ~state + one
+        shard."""
         key = id(op)
         if key not in self._cross_fns:
             v, m = self.v, self.n - self.v
+            if all(t < v for t in op.targets):
+                self._cross_fns[key] = self._cross_butterfly(op)
+                return self._cross_fns[key]
             rest = tuple(t - v for t in op.targets if t >= v)
             h = 1 << len(rest)
             S = 1 << v
@@ -544,6 +553,39 @@ class CompiledCircuit:
 
             self._cross_fns[key] = apply_cross
         return self._cross_fns[key]
+
+    def _cross_butterfly(self, op: DenseOp):
+        """All targets are virtual bits: group shards whose non-target bits
+        agree and run the in-place whole-shard butterfly per group."""
+        from . import kernels
+
+        v, m = self.v, self.n - self.v
+        targets = op.targets  # sorted ascending; first target = MSB of u index
+        fn, coef = kernels.shard_butterfly_prepare(op.u, m)
+        nontarget = [t for t in range(v) if t not in targets]
+
+        groups = []
+        for bits in range(1 << len(nontarget)):
+            base = 0
+            for j, t in enumerate(nontarget):
+                base |= ((bits >> (len(nontarget) - 1 - j)) & 1) << (v - 1 - t)
+            members = []
+            for val in range(1 << len(targets)):
+                s = base
+                for j, t in enumerate(targets):
+                    s |= ((val >> (len(targets) - 1 - j)) & 1) << (v - 1 - t)
+                members.append(s)
+            groups.append(members)
+
+        def apply_cross(shards):
+            new = list(shards)
+            for members in groups:
+                outs = fn(tuple(shards[s] for s in members), coef)
+                for s, pair in zip(members, outs):
+                    new[s] = pair
+            return tuple(new)
+
+        return apply_cross
 
     def _shard_fn(self, op):
         """Single-shard application (kernels are individually jitted and

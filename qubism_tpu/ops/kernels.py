@@ -56,6 +56,23 @@ def _interpret():
 # ---------------------------------------------------------------------------
 
 
+#: tails at or below this use the flat (rows, 2*tail) view: the classic
+#: interleaved view's trailing (B, C) dims get too small and the (8, 128)
+#: physical tile pads them (measured 16-28x slowdowns for the last QFT
+#: stages at n=28); the flat view keeps every block (>=8, >=256) and runs
+#: at the streaming plateau (see experiments/bw_probe.py)
+_FLAT_TAIL_MAX = 32768
+
+
+def _flat_rows(A: int, W: int, block_bytes: int = 1 << 21) -> int:
+    """Rows per block for a flat (A, W) view: ~2 MB blocks, >= 8 rows."""
+    br = max(8, block_bytes // (W * 4))
+    br = min(br, A)
+    while A % br:
+        br //= 2
+    return max(br, 1)
+
+
 def _row_plan(n: int, targets: tuple[int, ...]):
     """View + block plan for a dense gate on sorted row targets.
 
@@ -86,7 +103,183 @@ def _row_plan(n: int, targets: tuple[int, ...]):
 def _row_gate_fn(targets: tuple[int, ...], n: int):
     """Cached jitted kernel for dense row gates on ``targets`` (sorted).
     Gate coefficients are an SMEM argument, so every gate with the same
-    target positions shares ONE compile."""
+    target positions shares ONE compile.
+
+    Dispatch: gates whose innermost target has a narrow tail use flat
+    (rows, width) views (see _FLAT_TAIL_MAX); wide tails use the classic
+    interleaved view."""
+    tail = 1 << (n - 1 - targets[-1])
+    if tail <= _FLAT_TAIL_MAX and len(targets) <= 2:
+        if len(targets) == 1:
+            return _row_flat_1q_fn(targets[0], n)
+        t1, t2 = targets
+        if (1 << (t2 - t1 - 1)) >= 8:
+            return _row_flat_2q_blocked_fn(t1, t2, n)
+        return _row_flat_2q_inrow_fn(t1, t2, n)
+    return _row_gate_classic_fn(targets, n)
+
+
+def _complex_butterfly(cf_ref, k: int, xs):
+    """ys[i] = sum_j u[i,j] xs[j] with u from the (2, 2^k, 2^k) SMEM ref."""
+    ys = []
+    for i in range(1 << k):
+        yr, yi = None, None
+        for j in range(1 << k):
+            cr = cf_ref[0, i, j]
+            ci = cf_ref[1, i, j]
+            xr, xi = xs[j]
+            tr = cr * xr - ci * xi
+            ti = cr * xi + ci * xr
+            yr = tr if yr is None else yr + tr
+            yi = ti if yi is None else yi + ti
+        ys.append((yr, yi))
+    return ys
+
+
+def _cf_spec(k: int, grid_rank: int):
+    zero = (lambda *g: (0, 0, 0))
+    return pl.BlockSpec((2, 1 << k, 1 << k), zero, memory_space=pltpu.SMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _row_flat_1q_fn(t: int, n: int):
+    """1q dense on row qubit t with tail <= _FLAT_TAIL_MAX: flat (A, 2*tail)
+    view, the pair halves are static lane slices."""
+    tail = 1 << (n - 1 - t)
+    A = 1 << t
+    W = 2 * tail
+    BR = _flat_rows(A, W)
+
+    spec = pl.BlockSpec((BR, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
+        xs = [(re_ref[:, :tail], im_ref[:, :tail]),
+              (re_ref[:, tail:], im_ref[:, tail:])]
+        (y0r, y0i), (y1r, y1i) = _complex_butterfly(cf_ref, 1, xs)
+        ro_ref[:, :tail] = y0r
+        io_ref[:, :tail] = y0i
+        ro_ref[:, tail:] = y1r
+        io_ref[:, tail:] = y1i
+
+    shape = jax.ShapeDtypeStruct((A, W), jnp.float32)
+
+    def run(planes, coef):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, _cf_spec(1, 1)],
+            out_specs=(spec, spec),
+            grid=(A // BR,),
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+            **_vmem_kwargs(),
+        )(re.reshape(A, W), im.reshape(A, W), coef)
+        return (ro.reshape(-1), io.reshape(-1))
+
+    return jax.jit(run, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _row_flat_2q_blocked_fn(t1: int, t2: int, n: int):
+    """2q dense, t2's tail narrow, gap B = 2^(t2-t1-1) >= 8: view
+    (A1, 2, B, 2*tail2), block (1, 2, BB, 2*tail2)."""
+    tail = 1 << (n - 1 - t2)
+    W = 2 * tail
+    A = 1 << t1
+    B = 1 << (t2 - t1 - 1)
+    BB = _flat_rows(B, W)
+
+    spec = pl.BlockSpec((1, 2, BB, W), lambda a, j: (a, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
+        def sl(j):
+            b1, b2 = (j >> 1) & 1, j & 1
+            return (0, b1, slice(None), slice(b2 * tail, (b2 + 1) * tail))
+
+        xs = [(re_ref[sl(j)], im_ref[sl(j)]) for j in range(4)]
+        ys = _complex_butterfly(cf_ref, 2, xs)
+        for i in range(4):
+            ro_ref[sl(i)] = ys[i][0]
+            io_ref[sl(i)] = ys[i][1]
+
+    dims = (A, 2, B, W)
+    shape = jax.ShapeDtypeStruct(dims, jnp.float32)
+
+    def run(planes, coef):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, _cf_spec(2, 2)],
+            out_specs=(spec, spec),
+            grid=(A, B // BB),
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+            **_vmem_kwargs(),
+        )(re.reshape(dims), im.reshape(dims), coef)
+        return (ro.reshape(-1), io.reshape(-1))
+
+    return jax.jit(run, donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _row_flat_2q_inrow_fn(t1: int, t2: int, n: int):
+    """2q dense, t2's tail narrow, gap B < 8 (adjacent/near targets): flat
+    (A1, 2^(n-t1)) view with BOTH pairs in-row; a static sub-row loop walks
+    the B interleaved chunks."""
+    tail = 1 << (n - 1 - t2)
+    B = 1 << (t2 - t1 - 1)
+    A = 1 << t1
+    WF = 1 << (n - t1)
+    s1 = WF // 2
+    BR = _flat_rows(A, WF)
+
+    spec = pl.BlockSpec((BR, WF), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
+        for g in range(B):
+            def sl(j, g=g):
+                b1, b2 = (j >> 1) & 1, j & 1
+                off = b1 * s1 + g * 2 * tail + b2 * tail
+                return (slice(None), slice(off, off + tail))
+
+            xs = [(re_ref[sl(j)], im_ref[sl(j)]) for j in range(4)]
+            ys = _complex_butterfly(cf_ref, 2, xs)
+            for i in range(4):
+                ro_ref[sl(i)] = ys[i][0]
+                io_ref[sl(i)] = ys[i][1]
+
+    shape = jax.ShapeDtypeStruct((A, WF), jnp.float32)
+
+    def run(planes, coef):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, _cf_spec(2, 1)],
+            out_specs=(spec, spec),
+            grid=(A // BR,),
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+            **_vmem_kwargs(),
+        )(re.reshape(A, WF), im.reshape(A, WF), coef)
+        return (ro.reshape(-1), io.reshape(-1))
+
+    return jax.jit(run, donate_argnums=0)
+
+
+def _vmem_kwargs():
+    if _interpret():
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 2**20)}
+
+
+@functools.lru_cache(maxsize=None)
+def _row_gate_classic_fn(targets: tuple[int, ...], n: int):
+    """Classic interleaved view (wide tails)."""
     k = len(targets)
     dims, tpos = _row_plan(n, targets)
     rank = len(dims)
@@ -431,6 +624,67 @@ def _lane_gate_fn(n: int):
 
 
 # ---------------------------------------------------------------------------
+# Cross-shard butterfly: dense gate on VIRTUAL-shard index bits, in place
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _shard_butterfly_fn(k: int, m: int):
+    """Dense (2^k, 2^k) gate across 2^k whole shards of 2^m amplitudes:
+    one streaming pass with EVERY shard buffer aliased in place — the
+    jit-sum fallback peaks at state + one shard, which is what exhausted
+    HBM at n=30 (state = half of HBM)."""
+    C = min(2048, 1 << m)
+    R = (1 << m) // C
+    BR = min(R, 128)
+    S = 1 << k
+
+    spec = pl.BlockSpec((BR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cf_spec = pl.BlockSpec((2, S, S), lambda i: (0, 0, 0),
+                           memory_space=pltpu.SMEM)
+
+    def kernel(*refs):
+        ins, cf_ref, outs = refs[: 2 * S], refs[2 * S], refs[2 * S + 1:]
+        xs = [(ins[2 * j][...], ins[2 * j + 1][...]) for j in range(S)]
+        ys = _complex_butterfly(cf_ref, k, xs)
+        for i in range(S):
+            outs[2 * i][...] = ys[i][0]
+            outs[2 * i + 1][...] = ys[i][1]
+
+    shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
+
+    def run(pairs, coef):
+        args = []
+        for re, im in pairs:
+            args.extend([re.reshape(R, C), im.reshape(R, C)])
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(shape for _ in range(2 * S)),
+            in_specs=[spec] * (2 * S) + [cf_spec],
+            out_specs=tuple(spec for _ in range(2 * S)),
+            grid=(R // BR,),
+            input_output_aliases={j: j for j in range(2 * S)},
+            interpret=_interpret(),
+            **_vmem_kwargs(),
+        )(*args, coef)
+        return tuple(
+            (outs[2 * i].reshape(-1), outs[2 * i + 1].reshape(-1))
+            for i in range(S)
+        )
+
+    return jax.jit(run, donate_argnums=0)
+
+
+def shard_butterfly_prepare(u: np.ndarray, m: int):
+    """(fn, coef) applying dense ``u`` across 2^k shards of 2^m amps each."""
+    S = u.shape[0]
+    k = S.bit_length() - 1
+    cu = np.asarray(u, dtype=np.complex128)
+    coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
+    return _shard_butterfly_fn(k, m), jnp.asarray(coef)
+
+
+# ---------------------------------------------------------------------------
 # Fused stage kernel: 1q row gate + controlled-phase ladder in ONE pass
 # ---------------------------------------------------------------------------
 
@@ -445,8 +699,13 @@ def _stage_fn(q: int, n: int):
 
         y0 = u00 x0 + u01 x1
         y1 = (u10 x0 + u11 x1) * Brow[b] * Ccol[c]
+
+    Narrow tails dispatch to the flat variant (same signature); wide tails
+    use the classic (A, 2, B, C) view below.
     """
     tail = 1 << (n - q - 1)
+    if tail <= _FLAT_TAIL_MAX:
+        return _stage_flat_fn(q, n)
     # default scoped VMEM is 16 MB; we raise it via CompilerParams (v5e has
     # 128 MB physical) so blocks can be 2 MB -> better DMA pipelining
     C = min(2048, tail)
@@ -517,12 +776,58 @@ def _stage_fn(q: int, n: int):
     return jax.jit(run, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_flat_fn(q: int, n: int):
+    """Narrow-tail stage: flat (2^q, 2*tail) view; the whole ladder phase is
+    one in-row table on the |1> half. bt is accepted (and ignored) so the
+    signature matches the classic kernel's (fn, coef, bt, ct) plumbing."""
+    tail = 1 << (n - q - 1)
+    A = 1 << q
+    W = 2 * tail
+    BR = _flat_rows(A, W)
+
+    spec = pl.BlockSpec((BR, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cf_spec = pl.BlockSpec((2, 2, 2), lambda i: (0, 0, 0),
+                           memory_space=pltpu.SMEM)
+    bt_spec = pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ct_spec = pl.BlockSpec((2, tail), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, cf_ref, bt_ref, ct_ref, ro_ref, io_ref):
+        xs = [(re_ref[:, :tail], im_ref[:, :tail]),
+              (re_ref[:, tail:], im_ref[:, tail:])]
+        (y0r, y0i), (y1r, y1i) = _complex_butterfly(cf_ref, 1, xs)
+        pr = ct_ref[0, :].reshape(1, tail)
+        pi = ct_ref[1, :].reshape(1, tail)
+        ro_ref[:, :tail] = y0r
+        io_ref[:, :tail] = y0i
+        ro_ref[:, tail:] = y1r * pr - y1i * pi
+        io_ref[:, tail:] = y1r * pi + y1i * pr
+
+    shape = jax.ShapeDtypeStruct((A, W), jnp.float32)
+
+    def run(planes, coef, bt, ct):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, cf_spec, bt_spec, ct_spec],
+            out_specs=(spec, spec),
+            grid=(A // BR,),
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+            **_vmem_kwargs(),
+        )(re.reshape(A, W), im.reshape(A, W), coef, bt, ct)
+        return (ro.reshape(-1), io.reshape(-1))
+
+    return jax.jit(run, donate_argnums=0)
+
+
 def stage_prepare(u: np.ndarray, q: int, factors, n: int):
     """Host->device for a fused stage: ``u`` (2, 2) complex on qubit q, plus
     2-qubit diagonal ``factors`` [(d (4,), (q, j))] with j > q. Returns
     (fn, coef, Btable, Ctable)."""
     tail = 1 << (n - q - 1)
-    C = min(2048, tail)
+    C = tail if tail <= _FLAT_TAIL_MAX else min(2048, tail)
     B = tail // C
     Bpad = max(B, 128)
     log_c = C.bit_length() - 1

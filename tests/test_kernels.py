@@ -187,3 +187,44 @@ def test_qft_uses_stage_fusion():
     a = complex_from_planes(circ(zero_state(n)))
     b = complex_from_planes(ref(zero_state(n)))
     assert np.linalg.norm(a - b) < 1e-5
+
+
+@pytest.mark.parametrize("n,targets", [
+    (18, (0,)),    # tail 2^17: classic interleaved view
+    (18, (1,)),    # tail 2^16: classic boundary
+    (18, (2,)),    # tail 2^15 = _FLAT_TAIL_MAX: flat 1q
+    (18, (9,)),    # flat 1q mid
+    (18, (2, 8)),  # gap B=32 >= 8: flat 2q blocked
+    (18, (8, 9)),  # adjacent: flat 2q in-row (B=1)
+    (18, (6, 9)),  # B=4: flat 2q in-row multi-chunk loop
+    (18, (0, 9)),  # B=256: flat 2q blocked, big A-gap
+])
+def test_row_gate_flat_vs_classic_paths(n, targets):
+    """The narrow-tail flat kernels and the classic view must agree with the
+    XLA reference on either side of _FLAT_TAIL_MAX."""
+    planes, _ = rand_planes(n, 7)
+    rng = np.random.default_rng(3)
+    if len(targets) == 1:
+        u = u3_matrix(*rng.uniform(0, 2 * math.pi, 3), reference_bug=False)
+    else:
+        u = CX
+    expected = complex_from_planes(apply_gate(planes, u, targets, n))
+    got = complex_from_planes(K.row_gate(planes, u, targets, n))
+    assert np.linalg.norm(got - expected) < 1e-5
+
+
+@pytest.mark.parametrize("n,q", [(18, 1), (18, 2), (18, 4), (18, 10)])
+def test_stage_kernel_flat_and_classic(n, q):
+    import qubism_tpu.ops.kernels as KK
+    from qubism_tpu.ops.apply import apply_diag, apply_gate, complex_from_planes
+
+    planes, _ = rand_planes(n, n * 31 + q)
+    cu1 = lambda l: np.array([1, 1, 1, np.exp(1j * l)], dtype=complex)  # noqa: E731
+    factors = [(cu1(0.3 / (j - q)), (q, j)) for j in range(q + 1, n)]
+    expected = apply_gate(planes, H, (q,), n)
+    for d, t in factors:
+        expected = apply_diag(expected, d, t, n)
+    expected = complex_from_planes(expected)
+    fn, coef, bt, ct = KK.stage_prepare(H, q, factors, n)
+    got = complex_from_planes(fn(planes, coef, bt, ct))
+    assert np.linalg.norm(got - expected) < 1e-5, (n, q)
