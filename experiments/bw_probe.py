@@ -450,19 +450,163 @@ VARIANTS["stage_q5_bt_only"] = lambda n: make_stage_tables(n, 5, 128, 2048, Fals
 VARIANTS["stage_q5_ct_only"] = lambda n: make_stage_tables(n, 5, 128, 2048, False, False, True)
 
 
-def main():
+# -- canonical-layout prototypes: roll-based butterflies, in-kernel reshape ----
+
+
+def make_roll_butterfly(n: int, q: int, BR: int = 128):
+    """H on qubit q over canonical (R, 2048) via roll-based partner fetch.
+    Covers strides < 8 rows (lane roll for s < 2048, sublane roll for
+    sr in {1,2,4})."""
+    C = 2048
+    R = (1 << n) // C
+    s = 1 << (n - 1 - q)
+
+    spec = pl.BlockSpec((BR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, ro_ref, io_ref):
+        h = np.float32(0.70710678)
+        xr = re_ref[...]
+        xi = im_ref[...]
+        if s < C:  # lane roll
+            lane = jax.lax.broadcasted_iota(jnp.int32, (BR, C), 1)
+            m1 = (lane & s) > 0  # this element is the |1> branch
+            pr = jnp.where(m1, pltpu.roll(xr, s, 1), pltpu.roll(xr, -s % C, 1))
+            pi = jnp.where(m1, pltpu.roll(xi, s, 1), pltpu.roll(xi, -s % C, 1))
+        else:  # sublane roll
+            sr = s // C
+            row = jax.lax.broadcasted_iota(jnp.int32, (BR, C), 0)
+            m1 = (row & sr) > 0
+            pr = jnp.where(m1, pltpu.roll(xr, sr, 0), pltpu.roll(xr, -sr % BR, 0))
+            pi = jnp.where(m1, pltpu.roll(xi, sr, 0), pltpu.roll(xi, -sr % BR, 0))
+        # y0 = h*(x0 + x1) on 0-branch; y1 = h*(x0 - x1) on 1-branch
+        # x0 = where(m1, partner, x); x1 = where(m1, x, partner)
+        yr = jnp.where(m1, h * (pr - xr), h * (xr + pr))
+        yi = jnp.where(m1, h * (pi - xi), h * (xi + pi))
+        ro_ref[...] = yr
+        io_ref[...] = yi
+
+    shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
+
+    def run(planes):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec],
+            out_specs=(spec, spec),
+            grid=(R // BR,),
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        )(re, im)
+        return (ro, io)
+
+    return run, (R, C)
+
+
+def make_lane_matmul_canonical(n: int, BR: int = 128):
+    """128x128 lane matmul on canonical (R, 2048) blocks via in-kernel
+    value reshape (BR,2048)->(BR*16,128)->dot->back."""
+    C = 2048
+    R = (1 << n) // C
+
+    spec = pl.BlockSpec((BR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(re_ref, im_ref, mr_ref, mi_ref, ro_ref, io_ref):
+        hi = jax.lax.Precision.HIGHEST
+        xr = re_ref[...].reshape(BR * 16, 128)
+        xi = im_ref[...].reshape(BR * 16, 128)
+        mr = mr_ref[...]
+        mi = mi_ref[...]
+        rr = jnp.dot(xr, mr, precision=hi, preferred_element_type=jnp.float32)
+        ii = jnp.dot(xi, mi, precision=hi, preferred_element_type=jnp.float32)
+        ri = jnp.dot(xr, mi, precision=hi, preferred_element_type=jnp.float32)
+        ir = jnp.dot(xi, mr, precision=hi, preferred_element_type=jnp.float32)
+        ro_ref[...] = (rr - ii).reshape(BR, C)
+        io_ref[...] = (ri + ir).reshape(BR, C)
+
+    shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
+    M = np.eye(128, dtype=np.float32)
+
+    def run(planes):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, mspec, mspec],
+            out_specs=(spec, spec),
+            grid=(R // BR,),
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        )(re, im, jnp.asarray(M), jnp.asarray(M * 0.5))
+        return (ro, io)
+
+    return run, (R, C)
+
+
+def _measure_canon(name, mk, n, reps=3):
+    fn, (R, C) = mk
+    planes = (jnp.zeros((R, C), jnp.float32).at[0, 0].set(1.0),
+              jnp.zeros((R, C), jnp.float32))
+    go = chain(fn)
+    t0 = time.time()
+    planes = go(planes)
+    _ = float(planes[0][0, 0])
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        planes = go(planes)
+        _ = float(planes[0][0, 0])
+        best = min(best, time.time() - t0)
+    per_pass = best / K
+    gbps = 16.0 * (1 << n) / per_pass / 1e9
+    print(json.dumps({"variant": name, "n": n, "ms_per_pass": round(per_pass * 1e3, 2),
+                      "gbps": round(gbps, 1), "compile_s": round(compile_s, 1)}),
+          flush=True)
+
+
+def main_canon():
     enable_cache()
-    args = sys.argv[1:]
-    n = int(args[0]) if args and args[0].isdigit() else N_DEFAULT
-    names = [a for a in args if not a.isdigit()] or list(VARIANTS)
-    print(f"device: {jax.devices()[0]}, n={n}, K={K}", file=sys.stderr, flush=True)
-    for name in names:
+    n = 28
+    print(f"device: {jax.devices()[0]}, n={n}", file=sys.stderr, flush=True)
+    def phase2d(n):
+        C = 2048
+        R = (1 << n) // C
+        spec = pl.BlockSpec((128, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
+
+        def kernel(re_ref, im_ref, ro_ref, io_ref):
+            xr = re_ref[...]
+            xi = im_ref[...]
+            ro_ref[...] = xr * C1 - xi * C2
+            io_ref[...] = xr * C2 + xi * C1
+
+        def run(planes):
+            re, im = planes
+            return pl.pallas_call(
+                kernel, out_shape=(shape, shape), in_specs=[spec, spec],
+                out_specs=(spec, spec), grid=(R // 128,),
+                input_output_aliases={0: 0, 1: 1},
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+            )(re, im)
+
+        return run, (R, C)
+
+    for name, mk in [
+        ("canon_phase_2d", phase2d(n)),
+        ("roll_lane_s512", make_roll_butterfly(n, n - 1 - 9)),
+        ("roll_row_sr2", make_roll_butterfly(n, n - 1 - 12)),
+        ("lane_matmul_canon", make_lane_matmul_canonical(n)),
+    ]:
         try:
-            measure(name, VARIANTS[name](n), n)
+            _measure_canon(name, mk, n)
         except Exception as e:
-            print(json.dumps({"variant": name, "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+            print(json.dumps({"variant": name, "error": f"{type(e).__name__}: {str(e)[:300]}"}),
                   flush=True)
 
-
 if __name__ == "__main__":
-    main()
+    if "canon" in sys.argv:
+        main_canon()
+    else:
+        main()

@@ -72,9 +72,11 @@ def planar_from_complex(a, dtype=np.float32) -> np.ndarray:
 
 
 def complex_from_planes(planes) -> np.ndarray:
-    """Host-side: (re, im) pair (or stacked (2,...) array) -> numpy complex128."""
+    """Host-side: (re, im) pair (or stacked (2,...) array) -> numpy complex128.
+    A plane PAIR (state) is flattened to 1-D regardless of its device layout
+    (flat or canonical 2-D); stacked arrays keep their shape."""
     if isinstance(planes, (tuple, list)):
-        re, im = (np.asarray(jax.device_get(p)) for p in planes)
+        re, im = (np.asarray(jax.device_get(p)).reshape(-1) for p in planes)
     else:
         p = np.asarray(jax.device_get(planes))
         re, im = p[0], p[1]

@@ -42,17 +42,37 @@ def default_virtual_shards(n: int) -> int:
     return max(0, n - 29) if jax.default_backend() == "tpu" else 0
 
 
-def zero_state_virtual(n: int, v: int):
-    """|0...0> as a flat plane pair (v=0) or a tuple of 2^v shard pairs."""
+def engine_uses_pallas(n: int) -> bool:
+    """Whether the compiled engine takes the Pallas path for this size.
+    The XLA backend does not fuse multi-op elementwise chains on TPU (one
+    HBM pass per op, and slow ones); Pallas kernels give single-sweep ops
+    and in-place aliasing."""
+    return jax.default_backend() == "tpu" and n >= 14
+
+
+def zero_state_virtual(n: int, v: int, canonical: bool | None = None):
+    """|0...0> as a plane pair (v=0) or a tuple of 2^v shard pairs.
+
+    ``canonical`` selects the Pallas path's 2-D (R, 2048) layout (defaults
+    to whether that path will execute the state — see ops/kernels.py on why
+    the layout must not change between kernels)."""
+    from . import kernels
+
+    if canonical is None:
+        # v>0 always runs the (possibly interpreted) pallas shard plan
+        canonical = engine_uses_pallas(n - v) or v > 0
+
+    def zeros(m: int, first: bool):
+        if canonical:
+            re = jnp.zeros(kernels.canon_shape(m), jnp.float32)
+            return (re.at[0, 0].set(1) if first else re,
+                    jnp.zeros(kernels.canon_shape(m), jnp.float32))
+        re = jnp.zeros(1 << m, jnp.float32)
+        return (re.at[0].set(1) if first else re, jnp.zeros(1 << m, jnp.float32))
+
     if v == 0:
-        return _apply.zero_state(n)
-    shards = []
-    for s in range(1 << v):
-        re = jnp.zeros(1 << (n - v), jnp.float32)
-        if s == 0:
-            re = re.at[0].set(1)
-        shards.append((re, jnp.zeros(1 << (n - v), jnp.float32)))
-    return tuple(shards)
+        return zeros(n, True)
+    return tuple(zeros(n - v, s == 0) for s in range(1 << v))
 
 
 def state_to_complex_virtual(state, v: int) -> np.ndarray:
@@ -267,11 +287,7 @@ class CompiledCircuit:
             virtual_shards = default_virtual_shards(n)
         self.v = virtual_shards
         if use_pallas is None:
-            # the XLA backend does not fuse multi-op elementwise chains on
-            # TPU (one HBM pass per op, and slow ones); Pallas kernels give
-            # single-sweep ops and in-place aliasing (keeps peak HBM at one
-            # state vector)
-            use_pallas = jax.default_backend() == "tpu" and n >= 14
+            use_pallas = engine_uses_pallas(n)
         self.use_pallas = use_pallas
         if use_pallas:
             # the pallas row kernel handles <= 2 targets; wider blocks would
@@ -357,12 +373,13 @@ class CompiledCircuit:
         elif isinstance(op, DiagLayer):
             plan = ("diag", kernels.diag_layer_prepare(op.factors, n))
         else:
-            _, _, lane = _apply.plan_view(n, op.targets)
             b = max(n - _apply._COL, 0)
-            if lane and all(t >= b for t in op.targets):
+            if op.targets and all(t >= b for t in op.targets):
+                # pure-lane blocks: one expanded 128-wide MXU matmul
                 u = _apply.expand_for_view(op.u, n, op.targets)
                 plan = ("lane", kernels.lane_gate_prepare(u, n))
-            elif not lane and len(op.targets) <= 2:
+            elif 1 <= len(op.targets) <= 2:
+                # row and row/lane-straddling gates: axis/roll kernel
                 plan = ("row", kernels.row_gate_prepare(op.u, op.targets, n))
             else:
                 plan = ("xla", None)
@@ -383,14 +400,16 @@ class CompiledCircuit:
                 return kernels.diag_layer(state, op.factors, n)
             return _apply_diag_layer_traced(state, op, n)
         if self.use_pallas and op.targets:
-            dims, tpos, lane = _apply.plan_view(n, op.targets)
             b = max(n - _apply._COL, 0)
-            if lane and all(t >= b for t in op.targets):
+            if all(t >= b for t in op.targets):
                 u = _apply.expand_for_view(op.u, n, op.targets)
                 return kernels.lane_gate(state, u, n)
-            if not lane and len(op.targets) <= 3:
+            if len(op.targets) <= 2:
                 return kernels.row_gate(state, op.u, op.targets, n)
-            # straddling or very wide blocks: XLA fallback
+            # very wide blocks: XLA fallback (shape-restoring, so the
+            # canonical chain stays intact around it)
+            return kernels.like_shape(
+                _apply_dense_traced(state, op.u, op.targets, n), state)
         return _apply_dense_traced(state, op.u, op.targets, n)
 
     def _run(self, state):
@@ -400,8 +419,10 @@ class CompiledCircuit:
 
     def init_state(self):
         """The |0...0> state in this circuit's representation: a plane pair
-        for v=0, else a tuple of 2^v shard plane pairs."""
-        return zero_state_virtual(self.n, self.v)
+        for v=0 (canonical 2-D on the pallas path), else a tuple of 2^v
+        canonical shard plane pairs."""
+        return zero_state_virtual(self.n, self.v,
+                                  canonical=self.use_pallas or self.v > 0)
 
     def state_to_complex(self, state):
         """Host-side numpy complex amplitudes for any representation."""
@@ -507,13 +528,17 @@ class CompiledCircuit:
                 reads = [t[0] for t in terms]
 
                 def run(*inputs):
+                    from . import kernels
+
                     by_sin = dict(zip(reads, inputs))
                     acc = None
                     for s_in, kind, blk in terms:
                         if kind == "ident":
                             term = by_sin[s_in]
                         elif rest:
-                            term = _apply.apply_gate_traced(by_sin[s_in], blk, rest, m)
+                            term = kernels.like_shape(
+                                _apply.apply_gate_traced(by_sin[s_in], blk, rest, m),
+                                by_sin[s_in])
                         else:
                             c = complex(blk[0, 0])
                             xr, xi = by_sin[s_in]
@@ -580,9 +605,12 @@ class CompiledCircuit:
         def apply_cross(shards):
             new = list(shards)
             for members in groups:
-                outs = fn(tuple(shards[s] for s in members), coef)
+                pairs = tuple(kernels.to_canon(shards[s], m) for s in members)
+                outs = fn(pairs, coef)
                 for s, pair in zip(members, outs):
-                    new[s] = pair
+                    # keep each shard in the executor's layout (canonical on
+                    # the pallas path; flat in XLA mode)
+                    new[s] = kernels.like_shape(pair, shards[s])
             return tuple(new)
 
         return apply_cross
@@ -606,7 +634,8 @@ class CompiledCircuit:
         """Block until a state's queue has drained (a scalar readback — on
         remote-execution backends block_until_ready can return early, and an
         unbounded async dispatch queue keeps every op's temporaries live)."""
-        float(planes[0][0])
+        x = planes[0]
+        float(x[(0,) * getattr(x, "ndim", 1)])
 
     def _sharded_plan(self):
         """Group consecutive per-shard events into chunks (dispatch latency,
@@ -661,8 +690,10 @@ class CompiledCircuit:
                         elif kind == "row":
                             state = payload(state, next(it))
                         else:
-                            state = _apply.apply_gate(
-                                state, payload.u, payload.targets, m)
+                            from . import kernels
+
+                            state = kernels.like_shape(_apply.apply_gate(
+                                state, payload.u, payload.targets, m), state)
                     return state
 
                 per_shard.append((jax.jit(chunk_fn, donate_argnums=0),
@@ -744,7 +775,10 @@ class CompiledCircuit:
                     elif kind == "row":
                         state = payload(state, next(it))
                     else:
-                        state = _apply.apply_gate(state, payload.u, payload.targets, n)
+                        from . import kernels
+
+                        state = kernels.like_shape(_apply.apply_gate(
+                            state, payload.u, payload.targets, n), state)
                 return state
 
             self._pallas_chunks.append(
@@ -752,8 +786,16 @@ class CompiledCircuit:
             )
 
     def __call__(self, state):
+        from . import kernels
+
         if self.v:
+            # the virtual-shard plan always runs pallas kernels (interpreted
+            # off-TPU), so shards are always canonical
+            m = self.n - self.v
+            state = [kernels.to_canon(sh, m) for sh in state]
             return self._call_sharded(state)
+        if self.use_pallas:
+            state = kernels.to_canon(state, self.n)
         if self._fns is None:  # pallas backend: chunked jits
             since_sync = 0
             for fn, operands in self._pallas_chunks:

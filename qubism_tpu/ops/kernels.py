@@ -3,31 +3,45 @@
 The XLA backend applies one HBM pass per *operation* (measured: it does not
 fuse broadcast-multiply chains or reversed views into single sweeps on this
 TPU), so deep circuits pay one full state read+write per gate. These kernels
-restore the intended cost model:
+restore the intended cost model: one streaming pass per fused op, in place.
 
-* :func:`row_gate` — strided index-pair butterfly for dense gates on "row"
-  qubits (pair stride >= 128): each grid block holds all 2^k target-bit
-  combinations in VMEM and recombines them with constant coefficients —
-  one read+write of the state per gate, pure VPU.
-* :func:`diag_layer` — an ENTIRE layer of commuting diagonal factors
-  (controlled-phase ladders, CZ bricks, rz...) in ONE pass: per block, the
-  phase product is evaluated from index bits via iota/shift/select, then
-  multiplied in. 16 factors cost the same single sweep as one.
-* :func:`lane_gate` — dense gates on the last 7 ("lane") qubits as 128-wide
-  real matmuls on the MXU, with the gate expanded over the lane block.
+**Canonical layout.** On the Pallas path the state planes are 2-D
+``(R, 2048)`` float32 arrays (R = 2^n / 2048), and every kernel keeps that
+trailing dim. Measured on this backend (experiments/bw_probe.py): XLA only
+collapses a donated input and an aliased pallas output into ONE buffer when
+no trailing-dim reshape sits between them — a ``(2^n,) <-> (R, C)`` reshape
+at the jit boundary materializes a full state-sized temp (which is what made
+n=30 chunks exhaust HBM), while leading-dim regroupings are free bitcasts.
+So: jit args/results stay ``(R, 2048)``; kernels view them as
+``(A, 2, ..., trail, 2048)`` (leading-dim regroups only).
 
-All kernels run **in place** (``input_output_aliases``): peak HBM stays one
-state vector, which is what makes n=30 (2 x 4 GiB planes) fit on a 16 GiB
-chip.
+**Gate mechanics.** A row qubit t (pair stride s = 2^(n-1-t) >= 128) is
+reached one of three ways, chosen per target:
 
-Blocks are (rows, C) tiles with C a multiple of 128 (lane tiling) and the
-pair axis kept inside the block, so no kernel ever materializes a
-small-trailing-dim view (see ops/apply.py's layout discipline).
+* ``axis``  (s >= 8*2048): the pair axis is a real array axis in a
+  leading-dim regroup; the kernel addresses both branches as block slots.
+* ``rowroll`` (2048 <= s < 8*2048): the partner row is fetched with a
+  sublane ``pltpu.roll`` inside the block and branches are selected by an
+  iota mask. (A regroup would leave a second-to-last dim < 8, which the
+  (8, 128) physical tile pads — measured 16-28x slowdowns.)
+* ``laneroll`` (128 <= s < 2048): same trick along the lane axis.
+
+Dense gates on the last 7 ("lane") qubits run as 128-wide MXU matmuls with
+the gate expanded over the lane block (:func:`lane_gate`), reshaping block
+VALUES in-kernel (free) rather than the array. Whole layers of commuting
+diagonal factors run in ONE pass (:func:`diag_layer`). Dense gates on
+virtual-shard index bits run as an in-place butterfly across whole shards
+(:func:`shard_butterfly_prepare`).
+
+All kernels alias their outputs onto their inputs (``input_output_aliases``)
+so a fused chunk is in place in HBM: peak memory stays one state vector —
+which is what makes n=30 (2 x 4 GiB planes) fit on a 16 GiB chip.
 """
 
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -37,9 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .apply import _COL, Planes
 
-#: target elements per block per plane (f32): 8192 lanes x 8 sublanes
-_BLOCK_C = 8192
-_BLOCK_ROWS = 8
+#: canonical trailing dim of the 2-D state planes
+_C0 = 2048
+
+#: rows per block for plain (R, 2048) streaming kernels
+_BLOCK_ROWS = 128
 
 #: set True to run kernels in interpreter mode (CPU tests)
 INTERPRET = False
@@ -51,251 +67,126 @@ def _interpret():
     return jax.default_backend() not in ("tpu",)
 
 
-# ---------------------------------------------------------------------------
-# Row-qubit dense gates (pair stride >= 2^_COL)
-# ---------------------------------------------------------------------------
-
-
-#: tails at or below this use the flat (rows, 2*tail) view: the classic
-#: interleaved view's trailing (B, C) dims get too small and the (8, 128)
-#: physical tile pads them (measured 16-28x slowdowns for the last QFT
-#: stages at n=28); the flat view keeps every block (>=8, >=256) and runs
-#: at the streaming plateau (see experiments/bw_probe.py)
-_FLAT_TAIL_MAX = 32768
-
-
-def _flat_rows(A: int, W: int, block_bytes: int = 1 << 21) -> int:
-    """Rows per block for a flat (A, W) view: ~2 MB blocks, >= 8 rows."""
-    br = max(8, block_bytes // (W * 4))
-    br = min(br, A)
-    while A % br:
-        br //= 2
-    return max(br, 1)
-
-
-def _row_plan(n: int, targets: tuple[int, ...]):
-    """View + block plan for a dense gate on sorted row targets.
-
-    View: interleaved (seg, 2, seg, 2, ..., tail) with the trailing segment
-    tail = 2^(n-1-max(targets)) >= 2^_COL split as (B, C) when large.
-    Blocks slice every non-target axis; each block holds all 2^k combos.
-    """
-    k = len(targets)
-    dims: list[int] = []
-    tpos: list[int] = []
-    prev = 0
-    for t in targets:
-        if t - prev > 0:
-            dims.append(1 << (t - prev))
-        tpos.append(len(dims))
-        dims.append(2)
-        prev = t + 1
-    tail = 1 << (n - prev)
-    if tail > _BLOCK_C:
-        dims.append(tail // _BLOCK_C)
-        dims.append(_BLOCK_C)
-    else:
-        dims.append(tail)
-    return tuple(dims), tuple(tpos)
-
-
-@functools.lru_cache(maxsize=None)
-def _row_gate_fn(targets: tuple[int, ...], n: int):
-    """Cached jitted kernel for dense row gates on ``targets`` (sorted).
-    Gate coefficients are an SMEM argument, so every gate with the same
-    target positions shares ONE compile.
-
-    Dispatch: gates whose innermost target has a narrow tail use flat
-    (rows, width) views (see _FLAT_TAIL_MAX); wide tails use the classic
-    interleaved view."""
-    tail = 1 << (n - 1 - targets[-1])
-    if tail <= _FLAT_TAIL_MAX and len(targets) <= 2:
-        if len(targets) == 1:
-            return _row_flat_1q_fn(targets[0], n)
-        t1, t2 = targets
-        if (1 << (t2 - t1 - 1)) >= 8:
-            return _row_flat_2q_blocked_fn(t1, t2, n)
-        return _row_flat_2q_inrow_fn(t1, t2, n)
-    return _row_gate_classic_fn(targets, n)
-
-
-def _complex_butterfly(cf_ref, k: int, xs):
-    """ys[i] = sum_j u[i,j] xs[j] with u from the (2, 2^k, 2^k) SMEM ref."""
-    ys = []
-    for i in range(1 << k):
-        yr, yi = None, None
-        for j in range(1 << k):
-            cr = cf_ref[0, i, j]
-            ci = cf_ref[1, i, j]
-            xr, xi = xs[j]
-            tr = cr * xr - ci * xi
-            ti = cr * xi + ci * xr
-            yr = tr if yr is None else yr + tr
-            yi = ti if yi is None else yi + ti
-        ys.append((yr, yi))
-    return ys
-
-
-def _cf_spec(k: int, grid_rank: int):
-    zero = (lambda *g: (0, 0, 0))
-    return pl.BlockSpec((2, 1 << k, 1 << k), zero, memory_space=pltpu.SMEM)
-
-
-@functools.lru_cache(maxsize=None)
-def _row_flat_1q_fn(t: int, n: int):
-    """1q dense on row qubit t with tail <= _FLAT_TAIL_MAX: flat (A, 2*tail)
-    view, the pair halves are static lane slices."""
-    tail = 1 << (n - 1 - t)
-    A = 1 << t
-    W = 2 * tail
-    BR = _flat_rows(A, W)
-
-    spec = pl.BlockSpec((BR, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
-        xs = [(re_ref[:, :tail], im_ref[:, :tail]),
-              (re_ref[:, tail:], im_ref[:, tail:])]
-        (y0r, y0i), (y1r, y1i) = _complex_butterfly(cf_ref, 1, xs)
-        ro_ref[:, :tail] = y0r
-        io_ref[:, :tail] = y0i
-        ro_ref[:, tail:] = y1r
-        io_ref[:, tail:] = y1i
-
-    shape = jax.ShapeDtypeStruct((A, W), jnp.float32)
-
-    def run(planes, coef):
-        re, im = planes
-        ro, io = pl.pallas_call(
-            kernel,
-            out_shape=(shape, shape),
-            in_specs=[spec, spec, _cf_spec(1, 1)],
-            out_specs=(spec, spec),
-            grid=(A // BR,),
-            input_output_aliases={0: 0, 1: 1},
-            interpret=_interpret(),
-            **_vmem_kwargs(),
-        )(re.reshape(A, W), im.reshape(A, W), coef)
-        return (ro.reshape(-1), io.reshape(-1))
-
-    return jax.jit(run, donate_argnums=0)
-
-
-@functools.lru_cache(maxsize=None)
-def _row_flat_2q_blocked_fn(t1: int, t2: int, n: int):
-    """2q dense, t2's tail narrow, gap B = 2^(t2-t1-1) >= 8: view
-    (A1, 2, B, 2*tail2), block (1, 2, BB, 2*tail2)."""
-    tail = 1 << (n - 1 - t2)
-    W = 2 * tail
-    A = 1 << t1
-    B = 1 << (t2 - t1 - 1)
-    BB = _flat_rows(B, W)
-
-    spec = pl.BlockSpec((1, 2, BB, W), lambda a, j: (a, 0, j, 0),
-                        memory_space=pltpu.VMEM)
-
-    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
-        def sl(j):
-            b1, b2 = (j >> 1) & 1, j & 1
-            return (0, b1, slice(None), slice(b2 * tail, (b2 + 1) * tail))
-
-        xs = [(re_ref[sl(j)], im_ref[sl(j)]) for j in range(4)]
-        ys = _complex_butterfly(cf_ref, 2, xs)
-        for i in range(4):
-            ro_ref[sl(i)] = ys[i][0]
-            io_ref[sl(i)] = ys[i][1]
-
-    dims = (A, 2, B, W)
-    shape = jax.ShapeDtypeStruct(dims, jnp.float32)
-
-    def run(planes, coef):
-        re, im = planes
-        ro, io = pl.pallas_call(
-            kernel,
-            out_shape=(shape, shape),
-            in_specs=[spec, spec, _cf_spec(2, 2)],
-            out_specs=(spec, spec),
-            grid=(A, B // BB),
-            input_output_aliases={0: 0, 1: 1},
-            interpret=_interpret(),
-            **_vmem_kwargs(),
-        )(re.reshape(dims), im.reshape(dims), coef)
-        return (ro.reshape(-1), io.reshape(-1))
-
-    return jax.jit(run, donate_argnums=0)
-
-
-@functools.lru_cache(maxsize=None)
-def _row_flat_2q_inrow_fn(t1: int, t2: int, n: int):
-    """2q dense, t2's tail narrow, gap B < 8 (adjacent/near targets): flat
-    (A1, 2^(n-t1)) view with BOTH pairs in-row; a static sub-row loop walks
-    the B interleaved chunks."""
-    tail = 1 << (n - 1 - t2)
-    B = 1 << (t2 - t1 - 1)
-    A = 1 << t1
-    WF = 1 << (n - t1)
-    s1 = WF // 2
-    BR = _flat_rows(A, WF)
-
-    spec = pl.BlockSpec((BR, WF), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
-        for g in range(B):
-            def sl(j, g=g):
-                b1, b2 = (j >> 1) & 1, j & 1
-                off = b1 * s1 + g * 2 * tail + b2 * tail
-                return (slice(None), slice(off, off + tail))
-
-            xs = [(re_ref[sl(j)], im_ref[sl(j)]) for j in range(4)]
-            ys = _complex_butterfly(cf_ref, 2, xs)
-            for i in range(4):
-                ro_ref[sl(i)] = ys[i][0]
-                io_ref[sl(i)] = ys[i][1]
-
-    shape = jax.ShapeDtypeStruct((A, WF), jnp.float32)
-
-    def run(planes, coef):
-        re, im = planes
-        ro, io = pl.pallas_call(
-            kernel,
-            out_shape=(shape, shape),
-            in_specs=[spec, spec, _cf_spec(2, 1)],
-            out_specs=(spec, spec),
-            grid=(A // BR,),
-            input_output_aliases={0: 0, 1: 1},
-            interpret=_interpret(),
-            **_vmem_kwargs(),
-        )(re.reshape(A, WF), im.reshape(A, WF), coef)
-        return (ro.reshape(-1), io.reshape(-1))
-
-    return jax.jit(run, donate_argnums=0)
-
-
 def _vmem_kwargs():
     if _interpret():
         return {}
+    # default scoped VMEM is 16 MB; v5e has 128 MB physical — more room for
+    # multiple buffering of 2 MB blocks
     return {"compiler_params": pltpu.CompilerParams(
         vmem_limit_bytes=100 * 2**20)}
 
 
-@functools.lru_cache(maxsize=None)
-def _row_gate_classic_fn(targets: tuple[int, ...], n: int):
-    """Classic interleaved view (wide tails)."""
-    k = len(targets)
-    dims, tpos = _row_plan(n, targets)
-    rank = len(dims)
+def canon_cols(n: int) -> int:
+    return min(_C0, 1 << n)
 
-    grid_axes = [a for a in range(rank) if a not in tpos]
-    block_shape = [1] * rank
-    for p in tpos:
-        block_shape[p] = 2
-    block_shape[-1] = dims[-1]  # full trailing dim (>= 128)
-    if rank - 1 in grid_axes:
-        grid_axes.remove(rank - 1)
-    if grid_axes and grid_axes[-1] == rank - 2 and rank - 2 not in tpos:
-        depth = min(dims[rank - 2], _BLOCK_ROWS)
-        if dims[rank - 2] % depth == 0:
-            block_shape[rank - 2] = depth
-    grid = tuple(dims[a] // block_shape[a] for a in grid_axes)
+
+def canon_shape(n: int) -> tuple[int, int]:
+    """The canonical 2-D plane shape for an n-qubit state (n >= 14 on the
+    pallas path, so R >= 8; smaller states collapse to one row)."""
+    C = canon_cols(n)
+    return ((1 << n) // C, C)
+
+
+def to_canon(planes: Planes, n: int) -> Planes:
+    """Reshape planes to canonical 2-D (host-level; a device copy when the
+    input is flat — use only at path boundaries, never between kernels)."""
+    shape = canon_shape(n)
+    return tuple(x if x.shape == shape else x.reshape(shape) for x in planes)
+
+
+def like_shape(out: Planes, ref: Planes) -> Planes:
+    return tuple(o if o.shape == r.shape else o.reshape(r.shape)
+                 for o, r in zip(out, ref))
+
+
+# ---------------------------------------------------------------------------
+# Target mechanics
+# ---------------------------------------------------------------------------
+
+
+def _mech(t: int, n: int):
+    """How qubit t is reached on the canonical view. The axis threshold is
+    128 rows so table blocks sliced in lockstep with the trailing row dim
+    keep a lane-legal (>= 128) width; rolls run at the same plateau."""
+    C = canon_cols(n)
+    log_c = C.bit_length() - 1
+    s = 1 << (n - 1 - t)
+    if s >= 128 * C:
+        return ("axis", n - 1 - t - log_c)  # row-bit position (>= 7)
+    if s >= C:
+        return ("rowroll", s // C)          # sublane roll amount in {1..64}
+    return ("laneroll", s)                  # lane roll amount (< C)
+
+
+def _subsets(items):
+    for r in range(len(items) + 1):
+        yield from itertools.combinations(items, r)
+
+
+@functools.lru_cache(maxsize=None)
+def _gate_fn(targets: tuple[int, ...], n: int, stage: bool):
+    """Dense gate on <=2 row qubits (or a fused stage: 1q gate + diagonal
+    ladder phase) over canonical planes. Returns a jitted
+    ``fn(planes, coef[, bt, ct])`` with every state buffer aliased in place.
+
+    Gate coefficients live in SMEM as a (2, 2^k, 2^k) argument whose index
+    bit order is targets ascending (first target = MSB), so every gate with
+    the same target positions shares one compile."""
+    k = len(targets)
+    assert 1 <= k <= 2
+    C = canon_cols(n)
+    mechs = [_mech(t, n) for t in targets]
+    axis = [(i, p) for i, (kind, p) in enumerate(mechs) if kind == "axis"]
+    rolls = [(i, kind, v) for i, (kind, v) in enumerate(mechs)
+             if kind != "axis"]
+    R = (1 << n) // C
+    row_bits = n - (C.bit_length() - 1)
+
+    # -- view: leading-dim regroup of (R, 2048) exposing axis targets -------
+    axis_sorted = sorted(axis, key=lambda ip: -ip[1])  # descending bit pos
+    dims: list[int] = []
+    tdim: dict[int, int] = {}
+    cur_top = row_bits
+    for i, p in axis_sorted:
+        seg = cur_top - (p + 1)
+        if seg > 0:
+            dims.append(1 << seg)
+        tdim[i] = len(dims)
+        dims.append(2)
+        cur_top = p
+    trail = 1 << cur_top          # >= 8 when axis targets exist, else R
+    dims.append(trail)
+    dims.append(C)
+    rank = len(dims)
+    trail_pos = rank - 2
+
+    # block: slots full, trailing rows BT, leading segs sliced to 1
+    target_elems = max(8, (1 << 21) // 4 // C)      # ~2 MB blocks per plane
+    BT = max(8, target_elems // (1 << len(axis)))
+    # sublane rolls wrap within the block: rows must cover whole pair groups
+    sr_max = max((v for _, kind, v in rolls if kind == "rowroll"), default=0)
+    BT = max(BT, 2 * sr_max)
+    BT = min(BT, trail)
+    while trail % BT:
+        BT //= 2
+    BT = max(BT, 1)
+    assert BT >= 2 * sr_max, (targets, n, BT, sr_max)
+    block = [1] * rank
+    for i, _ in axis_sorted:
+        block[tdim[i]] = 2
+    block[trail_pos] = BT
+    block[rank - 1] = C
+
+    grid_axes = [a for a in range(rank)
+                 if a not in {tdim[i] for i, _ in axis_sorted}
+                 and a != rank - 1 and not (a == trail_pos and BT == trail)]
+    if trail_pos in grid_axes:
+        # trailing-block axis iterates fastest (contiguous DMA)
+        grid_axes.remove(trail_pos)
+        grid_axes.append(trail_pos)
+    grid = tuple(dims[a] // block[a] for a in grid_axes)
+    if not grid:
+        grid = (1,)  # grid-free pallas_call rejects windowed table specs
 
     def index_map(*gids):
         out = [0] * rank
@@ -303,63 +194,203 @@ def _row_gate_classic_fn(targets: tuple[int, ...], n: int):
             out[a] = g
         return tuple(out)
 
-    spec = pl.BlockSpec(tuple(block_shape), index_map, memory_space=pltpu.VMEM)
-    cf_spec = pl.BlockSpec((2, 1 << k, 1 << k),
-                           (lambda *gids: (0, 0, 0)), memory_space=pltpu.SMEM)
+    spec = pl.BlockSpec(tuple(block), index_map, memory_space=pltpu.VMEM)
+    cf_spec = pl.BlockSpec((2, 1 << k, 1 << k), lambda *g: (0, 0, 0),
+                           memory_space=pltpu.SMEM)
 
-    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
-        def slot(j):
-            idx = [0] * rank
-            for b, p in enumerate(tpos):
-                idx[p] = (j >> (k - 1 - b)) & 1
-            idx[-1] = slice(None)
-            if block_shape[-2] > 1 and (rank - 2) not in tpos:
-                idx[-2] = slice(None)
-            return tuple(idx)
+    # -- stage phase tables ---------------------------------------------------
+    # bt: (2, R) full row-phase table, block-sliced to the |1>-branch rows;
+    # ct: (2, 2048) lane-phase table, resident.
+    if stage:
+        (tq,) = targets
+        mech_q = mechs[0]
+        if mech_q[0] == "axis":
+            p_q = mech_q[1]
+            # rows of the |1> slot: flat row = (lead*2 + 1)*trail + j*BT
+            lead_sizes = [dims[a] for a in grid_axes if a < trail_pos]
 
-        xs = [(re_ref[slot(j)], im_ref[slot(j)]) for j in range(1 << k)]
-        for i in range(1 << k):
+            def bt_index(*gids):
+                lead = 0
+                for g, a in zip(gids, grid_axes):
+                    if a < trail_pos:
+                        lead = lead * dims[a] + g
+                j = gids[-1] if trail_pos in grid_axes else 0
+                return (0, (lead * 2 + 1) * (trail // BT) + j)
+        else:
+            def bt_index(*gids):
+                lead = 0
+                for g, a in zip(gids, grid_axes):
+                    if a < trail_pos:
+                        lead = lead * dims[a] + g
+                j = gids[-1] if trail_pos in grid_axes else 0
+                return (0, lead * (trail // BT) + j)
+
+        bt_spec = pl.BlockSpec((2, BT), bt_index, memory_space=pltpu.VMEM)
+        ct_spec = pl.BlockSpec((2, C), lambda *g: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    # -- in-kernel helpers ------------------------------------------------------
+    axis_ids = [i for i, _ in axis_sorted]
+
+    def slot(bits_by_axis):
+        idx: list = [0] * rank
+        for (i, _), b in zip(axis_sorted, bits_by_axis):
+            idx[tdim[i]] = b
+        idx[trail_pos] = slice(None)
+        idx[rank - 1] = slice(None)
+        return tuple(idx)
+
+    def u_index(axis_bits, roll_bits):
+        """Matrix index from per-target bits (targets ascending = MSB first)."""
+        bits = [0] * k
+        for (i, _), b in zip(axis_sorted, axis_bits):
+            bits[i] = b
+        for (i, _, _), b in zip(rolls, roll_bits):
+            bits[i] = b
+        out = 0
+        for b in bits:
+            out = (out << 1) | b
+        return out
+
+    n_ax = len(axis_sorted)
+    n_rl = len(rolls)
+    axis_assigns = list(itertools.product((0, 1), repeat=n_ax))
+    roll_assigns = list(itertools.product((0, 1), repeat=n_rl))
+
+    def kernel(*refs):
+        if stage:
+            re_ref, im_ref, cf_ref, bt_ref, ct_ref, ro_ref, io_ref = refs
+        else:
+            re_ref, im_ref, cf_ref, ro_ref, io_ref = refs
+
+        # roll masks: absolute bit of each roll target, from block-local iota
+        # (blocks are aligned: BT is a multiple of 8 >= 2*sr, lanes full)
+        masks = []
+        for _, kind, v in rolls:
+            ax = 0 if kind == "rowroll" else 1
+            it = jax.lax.broadcasted_iota(jnp.int32, (BT, C), ax)
+            masks.append((it & v) > 0)
+
+        def fetch(x, ridx):
+            _, kind, v = rolls[ridx]
+            ax, size = (0, BT) if kind == "rowroll" else (1, C)
+            return jnp.where(masks[ridx], pltpu.roll(x, v, ax),
+                             pltpu.roll(x, (size - v) % size, ax))
+
+        # load slots, build roll translates lazily
+        base = {ja: (re_ref[slot(ja)], im_ref[slot(ja)]) for ja in axis_assigns}
+        translates: dict = {}
+
+        def X(ja, S):
+            key = (ja, S)
+            if key not in translates:
+                if not S:
+                    translates[key] = base[ja]
+                else:
+                    xr, xi = X(ja, S[:-1])
+                    translates[key] = (fetch(xr, S[-1]), fetch(xi, S[-1]))
+            return translates[key]
+
+        def coef(part, ia, ja, S):
+            """u[(ia, b), (ja, b ^ S)] selected over element roll bits b."""
+            def entry(b):
+                bi = list(b)
+                bj = [bb ^ (1 if ridx in S else 0)
+                      for ridx, bb in enumerate(b)]
+                return cf_ref[part, u_index(ia, tuple(bi)), u_index(ja, tuple(bj))]
+
+            if n_rl == 0:
+                return entry(())
+            if n_rl == 1:
+                return jnp.where(masks[0], entry((1,)), entry((0,)))
+            return jnp.where(
+                masks[0],
+                jnp.where(masks[1], entry((1, 1)), entry((1, 0))),
+                jnp.where(masks[1], entry((0, 1)), entry((0, 0))),
+            )
+
+        if stage:
+            prr = bt_ref[0, :].reshape(BT, 1)
+            pri = bt_ref[1, :].reshape(BT, 1)
+            pcr = ct_ref[0, :].reshape(1, C)
+            pci = ct_ref[1, :].reshape(1, C)
+            phr = prr * pcr - pri * pci
+            phi = prr * pci + pri * pcr
+
+        for ia in axis_assigns:
             yr, yi = None, None
-            for j in range(1 << k):
-                cr = cf_ref[0, i, j]
-                ci = cf_ref[1, i, j]
-                xr, xi = xs[j]
-                tr = cr * xr - ci * xi
-                ti = cr * xi + ci * xr
-                yr = tr if yr is None else yr + tr
-                yi = ti if yi is None else yi + ti
-            ro_ref[slot(i)] = yr
-            io_ref[slot(i)] = yi
+            for ja in axis_assigns:
+                for S in _subsets(range(n_rl)):
+                    xr, xi = X(ja, S)
+                    cr = coef(0, ia, ja, S)
+                    ci = coef(1, ia, ja, S)
+                    tr = cr * xr - ci * xi
+                    ti = cr * xi + ci * xr
+                    yr = tr if yr is None else yr + tr
+                    yi = ti if yi is None else yi + ti
+            if stage:
+                if mechs[0][0] == "axis":
+                    if ia[0] == 1:  # the |1> branch slot
+                        yr, yi = yr * phr - yi * phi, yr * phi + yi * phr
+                else:
+                    zr = yr * phr - yi * phi
+                    zi = yr * phi + yi * phr
+                    yr = jnp.where(masks[0], zr, yr)
+                    yi = jnp.where(masks[0], zi, yi)
+            ro_ref[slot(ia)] = yr
+            io_ref[slot(ia)] = yi
 
     shape = jax.ShapeDtypeStruct(tuple(dims), jnp.float32)
 
-    def run(planes, coef):
-        re, im = planes
-        ro, io = pl.pallas_call(
-            kernel,
-            out_shape=(shape, shape),
-            in_specs=[spec, spec, cf_spec],
-            out_specs=(spec, spec),
-            grid=grid,
-            input_output_aliases={0: 0, 1: 1},
-            interpret=_interpret(),
-        )(re.reshape(dims), im.reshape(dims), coef)
-        return (ro.reshape(-1), io.reshape(-1))
+    if stage:
+        def run(planes, coef, bt, ct):
+            re, im = planes
+            ro, io = pl.pallas_call(
+                kernel,
+                out_shape=(shape, shape),
+                in_specs=[spec, spec, cf_spec, bt_spec, ct_spec],
+                out_specs=(spec, spec),
+                grid=grid,
+                input_output_aliases={0: 0, 1: 1},
+                interpret=_interpret(),
+                **_vmem_kwargs(),
+            )(re.reshape(dims), im.reshape(dims), coef, bt, ct)
+            return (ro.reshape(R, C), io.reshape(R, C))
+    else:
+        def run(planes, coef):
+            re, im = planes
+            ro, io = pl.pallas_call(
+                kernel,
+                out_shape=(shape, shape),
+                in_specs=[spec, spec, cf_spec],
+                out_specs=(spec, spec),
+                grid=grid,
+                input_output_aliases={0: 0, 1: 1},
+                interpret=_interpret(),
+                **_vmem_kwargs(),
+            )(re.reshape(dims), im.reshape(dims), coef)
+            return (ro.reshape(R, C), io.reshape(R, C))
 
     return jax.jit(run, donate_argnums=0)
+
+
+# ---------------------------------------------------------------------------
+# Row-qubit dense gates
+# ---------------------------------------------------------------------------
 
 
 def row_gate_prepare(u: np.ndarray, targets: tuple[int, ...], n: int):
     """Host->device once: returns (fn, device operands) for repeated use."""
     cu = np.asarray(u, dtype=np.complex128)
     coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
-    return (_row_gate_fn(tuple(targets), n), jnp.asarray(coef))
+    return (_gate_fn(tuple(targets), n, False), jnp.asarray(coef))
 
 
 def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
-    """Apply a dense gate (complex (2^k, 2^k), sorted row targets) in place."""
+    """Apply a dense gate (complex (2^k, 2^k), sorted row targets) in place.
+    Accepts flat or canonical planes; returns the input's shape."""
     fn, coef = row_gate_prepare(u, targets, n)
-    return fn(planes, coef)
+    return like_shape(fn(to_canon(planes, n), coef), planes)
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +493,7 @@ def _diag_groups(factors, n: int):
     all row-only/col-only factors fold into the first pass for free;
     row/col-straddling factors are packed subject to _MAX_STRADDLE_TERMS
     per pass."""
-    log_c = min(2048, 1 << n).bit_length() - 1
+    log_c = min(_C0, 1 << n).bit_length() - 1
     b = n - log_c
 
     def weight(f):
@@ -493,7 +524,7 @@ def diag_layer_prepare(factors, n: int):
     tunnel."""
     prepared = []
     for g in _diag_groups(factors, n):
-        C = min(2048, 1 << n)
+        C = min(_C0, 1 << n)
         row_t, col_t, factor_terms = _diag_tables(g, n, C)
         row_t, col_t = _pad8(row_t), _pad8(col_t)
         fn = _diag_pass_fn(factor_terms, n, row_t.shape[0], col_t.shape[0])
@@ -508,14 +539,15 @@ def diag_layer_apply(planes: Planes, prepared) -> Planes:
 
 
 def diag_layer(planes: Planes, factors, n: int) -> Planes:
-    return diag_layer_apply(planes, diag_layer_prepare(factors, n))
+    cp = to_canon(planes, n)
+    return like_shape(diag_layer_apply(cp, diag_layer_prepare(factors, n)), planes)
 
 
 @functools.lru_cache(maxsize=None)
 def _diag_pass_fn(factor_terms, n: int, FR: int, FC: int):
     # BR must be lane-aligned (128) because the row tables' blocks use it as
     # their last dim; C stays a multiple of 128 for the state blocks
-    C = min(2048, 1 << n)
+    C = min(_C0, 1 << n)
     R = (1 << n) // C
     BR = min(R, 128)
 
@@ -558,8 +590,9 @@ def _diag_pass_fn(factor_terms, n: int, FR: int, FC: int):
             grid=(R // BR,),
             input_output_aliases={0: 0, 1: 1},
             interpret=_interpret(),
-        )(re.reshape(R, C), im.reshape(R, C), row_t, col_t)
-        return (ro.reshape(-1), io.reshape(-1))
+            **_vmem_kwargs(),
+        )(re, im, row_t, col_t)
+        return (ro, io)
 
     return jax.jit(run, donate_argnums=0)
 
@@ -581,18 +614,22 @@ def lane_gate(planes: Planes, u: np.ndarray, n: int) -> Planes:
     (u: (2^_COL, 2^_COL) complex) as MXU matmuls, in place. One compile
     per n — the matrix is an argument."""
     fn, mr, mi = lane_gate_prepare(u, n)
-    return fn(planes, mr, mi)
+    return like_shape(fn(to_canon(planes, n), mr, mi), planes)
 
 
 @functools.lru_cache(maxsize=None)
 def _lane_gate_fn(n: int):
+    C = canon_cols(n)
     lanes = 1 << min(n, _COL)
-    R = (1 << n) // lanes
-    BR = min(R, 512)
+    groups = C // lanes
+    R = (1 << n) // C
+    BR = min(R, 128)
 
     def kernel(re_ref, im_ref, mr_ref, mi_ref, ro_ref, io_ref):
-        xr = re_ref[...]
-        xi = im_ref[...]
+        # reshape VALUES (not the array) so the last 7 bits become the
+        # matmul axis — in-kernel value reshapes are free of HBM traffic
+        xr = re_ref[...].reshape(BR * groups, lanes)
+        xi = im_ref[...].reshape(BR * groups, lanes)
         mrc = mr_ref[...]
         mic = mi_ref[...]
         hi = jax.lax.Precision.HIGHEST
@@ -600,12 +637,13 @@ def _lane_gate_fn(n: int):
         ii = jnp.dot(xi, mic, precision=hi, preferred_element_type=jnp.float32)
         ri = jnp.dot(xr, mic, precision=hi, preferred_element_type=jnp.float32)
         ir = jnp.dot(xi, mrc, precision=hi, preferred_element_type=jnp.float32)
-        ro_ref[...] = rr - ii
-        io_ref[...] = ri + ir
+        ro_ref[...] = (rr - ii).reshape(BR, C)
+        io_ref[...] = (ri + ir).reshape(BR, C)
 
-    spec = pl.BlockSpec((BR, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((lanes, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((R, lanes), jnp.float32)
+    spec = pl.BlockSpec((BR, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((lanes, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
 
     def run(planes, mr, mi):
         re, im = planes
@@ -617,8 +655,9 @@ def _lane_gate_fn(n: int):
             grid=(R // BR,),
             input_output_aliases={0: 0, 1: 1},
             interpret=_interpret(),
-        )(re.reshape(R, lanes), im.reshape(R, lanes), mr, mi)
-        return (ro.reshape(-1), io.reshape(-1))
+            **_vmem_kwargs(),
+        )(re, im, mr, mi)
+        return (ro, io)
 
     return jax.jit(run, donate_argnums=0)
 
@@ -634,7 +673,7 @@ def _shard_butterfly_fn(k: int, m: int):
     one streaming pass with EVERY shard buffer aliased in place — the
     jit-sum fallback peaks at state + one shard, which is what exhausted
     HBM at n=30 (state = half of HBM)."""
-    C = min(2048, 1 << m)
+    C = min(_C0, 1 << m)
     R = (1 << m) // C
     BR = min(R, 128)
     S = 1 << k
@@ -646,17 +685,25 @@ def _shard_butterfly_fn(k: int, m: int):
     def kernel(*refs):
         ins, cf_ref, outs = refs[: 2 * S], refs[2 * S], refs[2 * S + 1:]
         xs = [(ins[2 * j][...], ins[2 * j + 1][...]) for j in range(S)]
-        ys = _complex_butterfly(cf_ref, k, xs)
         for i in range(S):
-            outs[2 * i][...] = ys[i][0]
-            outs[2 * i + 1][...] = ys[i][1]
+            yr, yi = None, None
+            for j in range(S):
+                cr = cf_ref[0, i, j]
+                ci = cf_ref[1, i, j]
+                xr, xi = xs[j]
+                tr = cr * xr - ci * xi
+                ti = cr * xi + ci * xr
+                yr = tr if yr is None else yr + tr
+                yi = ti if yi is None else yi + ti
+            outs[2 * i][...] = yr
+            outs[2 * i + 1][...] = yi
 
     shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
 
     def run(pairs, coef):
         args = []
         for re, im in pairs:
-            args.extend([re.reshape(R, C), im.reshape(R, C)])
+            args.extend([re, im])
         outs = pl.pallas_call(
             kernel,
             out_shape=tuple(shape for _ in range(2 * S)),
@@ -667,16 +714,14 @@ def _shard_butterfly_fn(k: int, m: int):
             interpret=_interpret(),
             **_vmem_kwargs(),
         )(*args, coef)
-        return tuple(
-            (outs[2 * i].reshape(-1), outs[2 * i + 1].reshape(-1))
-            for i in range(S)
-        )
+        return tuple((outs[2 * i], outs[2 * i + 1]) for i in range(S))
 
     return jax.jit(run, donate_argnums=0)
 
 
 def shard_butterfly_prepare(u: np.ndarray, m: int):
-    """(fn, coef) applying dense ``u`` across 2^k shards of 2^m amps each."""
+    """(fn, coef) applying dense ``u`` across 2^k canonical shard pairs of
+    2^m amps each."""
     S = u.shape[0]
     k = S.bit_length() - 1
     cu = np.asarray(u, dtype=np.complex128)
@@ -689,170 +734,39 @@ def shard_butterfly_prepare(u: np.ndarray, m: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _stage_fn(q: int, n: int):
-    """Cached kernel for a "QFT stage": a 1-qubit gate on row qubit q fused
-    with any product of 2-qubit diagonal factors (q, j), j > q. The ladder
-    phase applies only on the qubit-q |1> branch and factorizes over the
-    remaining index bits into a B-axis table x a C-axis (lane) table, so the
-    whole stage is ONE read+write of the state:
-
-        y0 = u00 x0 + u01 x1
-        y1 = (u10 x0 + u11 x1) * Brow[b] * Ccol[c]
-
-    Narrow tails dispatch to the flat variant (same signature); wide tails
-    use the classic (A, 2, B, C) view below.
-    """
-    tail = 1 << (n - q - 1)
-    if tail <= _FLAT_TAIL_MAX:
-        return _stage_flat_fn(q, n)
-    # default scoped VMEM is 16 MB; we raise it via CompilerParams (v5e has
-    # 128 MB physical) so blocks can be 2 MB -> better DMA pipelining
-    C = min(2048, tail)
-    B = tail // C
-    A = 1 << q
-    BB = min(B, 128)
-    Bpad = max(B, 128)
-
-    spec = pl.BlockSpec((1, 2, BB, C), lambda a, j: (a, 0, j, 0),
-                        memory_space=pltpu.VMEM)
-    cf_spec = pl.BlockSpec((2, 2, 2), lambda a, j: (0, 0, 0),
-                           memory_space=pltpu.SMEM)
-    # the B-axis table is block-sliced in lockstep with the state's B blocks
-    # (BlockSpec slicing; dynamic in-kernel lane slices don't lower)
-    if B >= 128:
-        bt_spec = pl.BlockSpec((2, 128), lambda a, j: (0, j),
-                               memory_space=pltpu.VMEM)
-    else:
-        bt_spec = pl.BlockSpec((2, 128), lambda a, j: (0, 0),
-                               memory_space=pltpu.VMEM)
-    ct_spec = pl.BlockSpec((2, C), lambda a, j: (0, 0), memory_space=pltpu.VMEM)
-
-    def kernel(re_ref, im_ref, cf_ref, bt_ref, ct_ref, ro_ref, io_ref):
-        x0r = re_ref[0, 0, :, :]
-        x1r = re_ref[0, 1, :, :]
-        x0i = im_ref[0, 0, :, :]
-        x1i = im_ref[0, 1, :, :]
-        u = [[(cf_ref[0, i, j], cf_ref[1, i, j]) for j in range(2)] for i in range(2)]
-        (ar, ai), (br_, bi_) = u[0]
-        (cr_, ci_), (dr_, di_) = u[1]
-        y0r = ar * x0r - ai * x0i + br_ * x1r - bi_ * x1i
-        y0i = ar * x0i + ai * x0r + br_ * x1i + bi_ * x1r
-        y1r = cr_ * x0r - ci_ * x0i + dr_ * x1r - di_ * x1i
-        y1i = cr_ * x0i + ci_ * x0r + dr_ * x1i + di_ * x1r
-        # phase = Brow[b] * Ccol[c] on the |1>_q branch
-        brow_r = bt_ref[0, :BB].reshape(BB, 1)
-        brow_i = bt_ref[1, :BB].reshape(BB, 1)
-        ccol_r = ct_ref[0, :].reshape(1, C)
-        ccol_i = ct_ref[1, :].reshape(1, C)
-        pr = brow_r * ccol_r - brow_i * ccol_i
-        pi = brow_r * ccol_i + brow_i * ccol_r
-        ro_ref[0, 0, :, :] = y0r
-        io_ref[0, 0, :, :] = y0i
-        ro_ref[0, 1, :, :] = y1r * pr - y1i * pi
-        io_ref[0, 1, :, :] = y1r * pi + y1i * pr
-
-    dims = (A, 2, B, C)
-    shape = jax.ShapeDtypeStruct(dims, jnp.float32)
-
-    def run(planes, coef, bt, ct):
-        re, im = planes
-        kwargs = {}
-        if not _interpret():
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20)
-        ro, io = pl.pallas_call(
-            kernel,
-            out_shape=(shape, shape),
-            in_specs=[spec, spec, cf_spec, bt_spec, ct_spec],
-            out_specs=(spec, spec),
-            grid=(A, B // BB),
-            input_output_aliases={0: 0, 1: 1},
-            interpret=_interpret(),
-            **kwargs,
-        )(re.reshape(dims), im.reshape(dims), coef, bt, ct)
-        return (ro.reshape(-1), io.reshape(-1))
-
-    return jax.jit(run, donate_argnums=0)
-
-
-@functools.lru_cache(maxsize=None)
-def _stage_flat_fn(q: int, n: int):
-    """Narrow-tail stage: flat (2^q, 2*tail) view; the whole ladder phase is
-    one in-row table on the |1> half. bt is accepted (and ignored) so the
-    signature matches the classic kernel's (fn, coef, bt, ct) plumbing."""
-    tail = 1 << (n - q - 1)
-    A = 1 << q
-    W = 2 * tail
-    BR = _flat_rows(A, W)
-
-    spec = pl.BlockSpec((BR, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    cf_spec = pl.BlockSpec((2, 2, 2), lambda i: (0, 0, 0),
-                           memory_space=pltpu.SMEM)
-    bt_spec = pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    ct_spec = pl.BlockSpec((2, tail), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    def kernel(re_ref, im_ref, cf_ref, bt_ref, ct_ref, ro_ref, io_ref):
-        xs = [(re_ref[:, :tail], im_ref[:, :tail]),
-              (re_ref[:, tail:], im_ref[:, tail:])]
-        (y0r, y0i), (y1r, y1i) = _complex_butterfly(cf_ref, 1, xs)
-        pr = ct_ref[0, :].reshape(1, tail)
-        pi = ct_ref[1, :].reshape(1, tail)
-        ro_ref[:, :tail] = y0r
-        io_ref[:, :tail] = y0i
-        ro_ref[:, tail:] = y1r * pr - y1i * pi
-        io_ref[:, tail:] = y1r * pi + y1i * pr
-
-    shape = jax.ShapeDtypeStruct((A, W), jnp.float32)
-
-    def run(planes, coef, bt, ct):
-        re, im = planes
-        ro, io = pl.pallas_call(
-            kernel,
-            out_shape=(shape, shape),
-            in_specs=[spec, spec, cf_spec, bt_spec, ct_spec],
-            out_specs=(spec, spec),
-            grid=(A // BR,),
-            input_output_aliases={0: 0, 1: 1},
-            interpret=_interpret(),
-            **_vmem_kwargs(),
-        )(re.reshape(A, W), im.reshape(A, W), coef, bt, ct)
-        return (ro.reshape(-1), io.reshape(-1))
-
-    return jax.jit(run, donate_argnums=0)
-
-
 def stage_prepare(u: np.ndarray, q: int, factors, n: int):
     """Host->device for a fused stage: ``u`` (2, 2) complex on qubit q, plus
     2-qubit diagonal ``factors`` [(d (4,), (q, j))] with j > q. Returns
-    (fn, coef, Btable, Ctable)."""
-    tail = 1 << (n - q - 1)
-    C = tail if tail <= _FLAT_TAIL_MAX else min(2048, tail)
-    B = tail // C
-    Bpad = max(B, 128)
+    (fn, coef, Btable, Ctable): bt (2, R) is the ladder phase over the row
+    index (block-sliced to the |1>-branch rows), ct (2, 2048) over lanes.
+
+        y0 = u00 x0 + u01 x1
+        y1 = (u10 x0 + u11 x1) * Brow[row] * Ccol[lane]
+    """
+    C = canon_cols(n)
+    R = (1 << n) // C
     log_c = C.bit_length() - 1
 
-    brow = np.ones(B, dtype=np.complex128)
+    brow = np.ones(R, dtype=np.complex128)
     ccol = np.ones(C, dtype=np.complex128)
-    bidx = np.arange(B, dtype=np.int64)
+    ridx = np.arange(R, dtype=np.int64)
     cidx = np.arange(C, dtype=np.int64)
     for d, (qq, j) in factors:
         assert qq == q and j > q
         d = np.asarray(d, dtype=np.complex128)
         # phase applied on the |1>_q branch when bit j is 1: d[3] (vs d[2]=1)
         on, off = d[3], d[2]
-        pos = n - 1 - j  # bit position in the tail index (b*C + c)
+        pos = n - 1 - j
         if pos >= log_c:
-            bit = (bidx >> (pos - log_c)) & 1
+            bit = (ridx >> (pos - log_c)) & 1
             brow *= np.where(bit == 1, on, off)
         else:
             bit = (cidx >> pos) & 1
             ccol *= np.where(bit == 1, on, off)
 
-    bt = np.zeros((2, Bpad), dtype=np.float32)
-    bt[0, :B] = brow.real
-    bt[1, :B] = brow.imag
+    bt = np.stack([brow.real.astype(np.float32), brow.imag.astype(np.float32)])
     ct = np.stack([ccol.real.astype(np.float32), ccol.imag.astype(np.float32)])
     cu = np.asarray(u, dtype=np.complex128)
     coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
-    return (_stage_fn(q, n), jnp.asarray(coef), jnp.asarray(bt), jnp.asarray(ct))
+    return (_gate_fn((q,), n, True), jnp.asarray(coef), jnp.asarray(bt),
+            jnp.asarray(ct))

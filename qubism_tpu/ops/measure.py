@@ -66,7 +66,8 @@ def collapse_traced(planes: Planes, outcome, q: int, n: int,
     mi = jnp.where(sel, i, 0)
     nrm = jnp.sqrt(norm_reduce(jnp.sum(mr * mr) + jnp.sum(mi * mi)))
     scale = 1.0 / jnp.where(nrm == 0, 1, nrm)
-    return ((mr * scale).reshape(-1), (mi * scale).reshape(-1))
+    # preserve the caller's device layout (flat or canonical 2-D)
+    return ((mr * scale).reshape(re.shape), (mi * scale).reshape(im.shape))
 
 
 @functools.partial(jax.jit, static_argnames=("q", "n"))
@@ -158,8 +159,8 @@ def _collapse_with_scale(planes, outcome, scale, q: int, n: int) -> Planes:
     (the global 1/norm — shard-spanning, so it cannot be computed locally)."""
     bits, r, i = _sel_views(planes, q, n)
     sel = bits == outcome
-    return ((jnp.where(sel, r, 0) * scale).reshape(-1),
-            (jnp.where(sel, i, 0) * scale).reshape(-1))
+    return ((jnp.where(sel, r, 0) * scale).reshape(planes[0].shape),
+            (jnp.where(sel, i, 0) * scale).reshape(planes[1].shape))
 
 
 @functools.partial(jax.jit, donate_argnums=0)

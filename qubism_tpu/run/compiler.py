@@ -313,12 +313,10 @@ class CompiledProgram:
         name = "(x)".join(self.layout) if self.layout else ""
         out = ["Dump of the internal state: \n\n"]
         if state is not None:
-            if self.v:
-                amps = state_to_complex_virtual(state, self.v)
-                sv = StateVec(self.n, np.asarray([amps.real, amps.imag],
-                                                 dtype=np.float32))
-            else:
-                sv = StateVec(self.n, state)
+            # state may be flat, canonical 2-D, or a shard tuple
+            amps = state_to_complex_virtual(state, self.v)
+            sv = StateVec(self.n, np.asarray([amps.real, amps.imag],
+                                             dtype=np.float32))
             out.append(f"State Vector {name}:\n{sv}")
         out.append("\n")
         for reg, base in sorted(self.layout.items()):
