@@ -36,6 +36,7 @@ Qubit-index convention (matches the reference, src/Qubism/StateVec.hs:65-67):
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 import string
 
 import jax
@@ -324,6 +325,28 @@ def prepare_gate(u: np.ndarray, targets: tuple[int, ...], n: int):
     return (u.real.astype(np.float32), u.imag.astype(np.float32))
 
 
+#: device-resident gate operands, keyed by table content (LRU): repeated
+#: applications of the same gate shape must not pay a host->device upload
+#: per op — through a remote-device tunnel the transfer costs more than the
+#: kernel (interpreter/REPL/mesh paths; the compiled path has its own
+#: per-op plan cache in ops/fusion.py)
+_OPERAND_LRU_MAX = 512
+_operand_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+
+def _cached_operands(kind: str, table_bytes: bytes, shape, targets, n, build):
+    key = (kind, table_bytes, shape, targets, n)
+    hit = _operand_cache.get(key)
+    if hit is not None:
+        _operand_cache.move_to_end(key)
+        return hit
+    val = build()
+    _operand_cache[key] = val
+    if len(_operand_cache) > _OPERAND_LRU_MAX:
+        _operand_cache.popitem(last=False)
+    return val
+
+
 def apply_gate(planes: Planes, u, targets: tuple[int, ...], n: int) -> Planes:
     """Apply a k-qubit unitary to ``targets`` of an n-qubit state.
 
@@ -335,8 +358,10 @@ def apply_gate(planes: Planes, u, targets: tuple[int, ...], n: int) -> Planes:
     tgts = tuple(int(t) for t in targets)
     un = np.asarray(u, dtype=np.complex128)
     un, sorted_targets = _sort_targets(un, tgts)
-    ur, ui = prepare_gate(un, sorted_targets, n)
-    return _apply_gate_impl(planes, (jnp.asarray(ur), jnp.asarray(ui)), sorted_targets, n)
+    operands = _cached_operands(
+        "gate", un.tobytes(), un.shape, sorted_targets, n,
+        lambda: tuple(jnp.asarray(x) for x in prepare_gate(un, sorted_targets, n)))
+    return _apply_gate_impl(planes, operands, sorted_targets, n)
 
 
 # ---------------------------------------------------------------------------
@@ -421,7 +446,10 @@ def apply_diag(planes: Planes, d, targets: tuple[int, ...], n: int) -> Planes:
     order = tuple(sorted(range(k), key=lambda j: tgts[j]))
     if order != tuple(range(k)):
         dn = dn.reshape((2,) * k).transpose(order).reshape(-1)
-    table = (jnp.asarray(dn.real.astype(np.float32)), jnp.asarray(dn.imag.astype(np.float32)))
+    table = _cached_operands(
+        "diag", dn.tobytes(), dn.shape, tuple(sorted(tgts)), n,
+        lambda: (jnp.asarray(dn.real.astype(np.float32)),
+                 jnp.asarray(dn.imag.astype(np.float32))))
     return _apply_diag_impl(planes, table, tuple(sorted(tgts)), n)
 
 

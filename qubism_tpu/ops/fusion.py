@@ -513,6 +513,22 @@ class CompiledCircuit:
                     return "ident"
                 return "mat"
 
+            def local_apply(planes, blk):
+                """Apply blk on ``rest`` within a shard, staying canonical
+                (a flat reshape here would cost a 4 GiB temp at n=30)."""
+                from . import kernels
+
+                b = max(m - _apply._COL, 0)
+                if rest and all(t >= b for t in rest):
+                    u = _apply.expand_for_view(blk, m, rest)
+                    fn, mr, mi = kernels.lane_gate_prepare(u, m)
+                    return fn(planes, mr, mi)
+                if 1 <= len(rest) <= 2:
+                    fn, coef = kernels.row_gate_prepare(blk, rest, m)
+                    return fn(planes, coef)
+                return kernels.like_shape(
+                    _apply.apply_gate_traced(planes, blk, rest, m), planes)
+
             def analyze_out(s_out):
                 terms = []
                 for s_in in range(S):
@@ -528,17 +544,13 @@ class CompiledCircuit:
                 reads = [t[0] for t in terms]
 
                 def run(*inputs):
-                    from . import kernels
-
                     by_sin = dict(zip(reads, inputs))
                     acc = None
                     for s_in, kind, blk in terms:
                         if kind == "ident":
                             term = by_sin[s_in]
                         elif rest:
-                            term = kernels.like_shape(
-                                _apply.apply_gate_traced(by_sin[s_in], blk, rest, m),
-                                by_sin[s_in])
+                            term = local_apply(by_sin[s_in], blk)
                         else:
                             c = complex(blk[0, 0])
                             xr, xi = by_sin[s_in]

@@ -69,6 +69,9 @@ class ShardedSim:
             lambda: _apply.zero_state(n), out_shardings=(sh, sh)
         )()
         self._cache: dict = {}
+        #: jitted dispatches issued (observability: each costs a full tunnel
+        #: round-trip on remote backends, so fusion quality = this counter)
+        self.dispatch_count = 0
 
     # -- shard_map plumbing ---------------------------------------------------
 
@@ -129,6 +132,7 @@ class ShardedSim:
         """Exchange global physical position pg (< d) with local pl (>= d)."""
         assert pg < self.d <= pl
         self.planes = self._swap_fn(pg, pl)(self.planes)
+        self.dispatch_count += 1
         self._swap_positions(pg, pl)
 
     def _pick_local_slot(self, avoid: set[int]) -> int:
@@ -202,6 +206,155 @@ class ShardedSim:
             self._cache[key] = self._smap(body, in_extra=((P(), P()),))
         return self._cache[key]
 
+    # -- fused segment execution -------------------------------------------------
+
+    def _lower_segment(self, prims):
+        """Lower a run of prims (dense targets already physically local under
+        the current perm) into (sig, steps, operands): a structural signature
+        for jit reuse, per-step metadata, and the device operand list."""
+        from ..ops.fusion import DenseOp, DiagLayer, StageOp, fuse
+
+        d, m = self.d, self.n_local
+        steps: list = []
+        operands: list = []
+        sig: list = []
+
+        def flush_dense(run):
+            if not run:
+                return
+            for op in fuse(run, m):
+                if isinstance(op, StageOp):
+                    # decompose: the XLA traced path has no fused-stage kernel
+                    ops = [DenseOp(np.asarray(op.u), (op.q,)),
+                           DiagLayer(op.factors)]
+                else:
+                    ops = [op]
+                for o in ops:
+                    if isinstance(o, DiagLayer):
+                        steps.append(("ldiag", tuple(t for _, t in o.factors)))
+                        sig.append(("ldiag", tuple(t for _, t in o.factors)))
+                        for dtab, _ in o.factors:
+                            dtab = np.asarray(dtab, dtype=np.complex128)
+                            operands.append((
+                                jnp.asarray(dtab.real.astype(np.float32)),
+                                jnp.asarray(dtab.imag.astype(np.float32))))
+                    else:
+                        ur, ui = _apply.prepare_gate(
+                            np.asarray(o.u, dtype=np.complex128), o.targets, m)
+                        steps.append(("dense", o.targets))
+                        sig.append(("dense", o.targets, ur.shape))
+                        operands.append((jnp.asarray(ur), jnp.asarray(ui)))
+            run.clear()
+
+        dense_run: list = []
+        for p in prims:
+            if p.diag:
+                flush_dense(dense_run)
+                phys = [self.perm[q] for q in p.targets]
+                order = sorted(range(len(phys)),
+                               key=lambda j: (phys[j] >= d, phys[j]))
+                dn = np.asarray(p.u, dtype=np.complex128).reshape((2,) * len(phys))
+                dn = dn.transpose(order).reshape(-1)
+                sphys = [phys[j] for j in order]
+                kg = sum(1 for x in sphys if x < d)
+                gpos, lpos = tuple(sphys[:kg]), tuple(sphys[kg:])
+                steps.append(("gdiag", gpos, lpos))
+                sig.append(("gdiag", gpos, lpos))
+                operands.append((jnp.asarray(dn.real.astype(np.float32)),
+                                 jnp.asarray(dn.imag.astype(np.float32))))
+            else:
+                u = np.asarray(p.dense(), dtype=np.complex128)
+                u, sorted_phys = _apply._sort_targets(
+                    u, tuple(self.perm[q] for q in p.targets))
+                dense_run.append(Prim(u, tuple(x - d for x in sorted_phys)))
+        flush_dense(dense_run)
+        return tuple(sig), steps, operands
+
+    def _segment_fn(self, sig, steps):
+        """One jitted shard_map applying a whole fused segment (the operand
+        tables are arguments, so same-shaped segments share a compile)."""
+        key = ("segment", sig)
+        if key not in self._cache:
+            d, m = self.d, self.n_local
+
+            def body(planes, operands):
+                it = iter(operands)
+                for step in steps:
+                    if step[0] == "dense":
+                        _, targets = step
+                        op = next(it)
+                        dims, tpos, lane = _apply.plan_view(m, targets)
+                        if lane:
+                            planes = _apply.apply_gate_lane_traced(
+                                planes, op, dims, tpos)
+                        else:
+                            table = _apply._row_table_dyn(op[0], op[1], dims, tpos)
+                            planes = _apply.apply_gate_row_traced(
+                                planes, table, dims, tpos)
+                    elif step[0] == "ldiag":
+                        _, factor_targets = step
+                        for targets in factor_targets:
+                            dr, di = next(it)
+                            tr, ti, rrow, has_lane = _apply.expand_diag_traced(
+                                dr, di, m, targets)
+                            planes = _apply.diag_factor_traced(
+                                planes[0], planes[1], tr, ti, rrow, has_lane, m)
+                    else:  # gdiag
+                        _, gpos, lpos = step
+                        table = next(it)
+                        kg, kl = len(gpos), len(lpos)
+                        local_targets = tuple(p - d for p in lpos)
+                        idx = jax.lax.axis_index(AXIS)
+                        gidx = jnp.int32(0)
+                        for g in gpos:
+                            bit = ((idx >> (d - 1 - g)) & 1).astype(jnp.int32)
+                            gidx = (gidx << 1) | bit
+                        rows = tuple(
+                            jax.lax.dynamic_index_in_dim(
+                                t.reshape(1 << kg, 1 << kl), gidx, axis=0,
+                                keepdims=False)
+                            for t in table)
+                        if kl == 0:
+                            rr, ri = rows[0][0], rows[1][0]
+                            planes = (planes[0] * rr - planes[1] * ri,
+                                      planes[0] * ri + planes[1] * rr)
+                        else:
+                            tr, ti, rrow, has_lane = _apply.expand_diag_traced(
+                                rows[0], rows[1], m, local_targets)
+                            planes = _apply.diag_factor_traced(
+                                planes[0], planes[1], tr, ti, rrow, has_lane, m)
+                return planes
+
+            self._cache[key] = self._smap(body, in_extra=(P(),))
+        return self._cache[key]
+
+    def apply_fused(self, prims):
+        """Apply a primitive stream with whole-segment fusion: one jitted
+        shard_map per run of communication-free prims, relabel swaps only at
+        segment boundaries (SURVEY §7.6: plan relabelings over the stream,
+        not per gate). Diagonals never break a segment (zero-communication
+        for any targets)."""
+        seg: list = []
+
+        def flush():
+            if not seg:
+                return
+            sig, steps, operands = self._lower_segment(seg)
+            fn = self._segment_fn(sig, steps)
+            self.planes = fn(self.planes, tuple(operands))
+            self.dispatch_count += 1
+            seg.clear()
+
+        for p in prims:
+            if not p.diag:
+                phys = [self.perm[q] for q in p.targets]
+                if any(t < self.d for t in phys):
+                    flush()
+                    self.localize(tuple(p.targets))
+            seg.append(p)
+        flush()
+        return self
+
     def apply_prim(self, p: Prim):
         """Apply one primitive at LOGICAL targets."""
         if p.diag:
@@ -218,6 +371,7 @@ class ShardedSim:
             table = (jnp.asarray(dn.real.astype(np.float32)),
                      jnp.asarray(dn.imag.astype(np.float32)))
             self.planes = fn(self.planes, table)
+            self.dispatch_count += 1
         else:
             phys = self.localize(tuple(p.targets))
             u = np.asarray(p.dense(), dtype=np.complex128)
@@ -226,8 +380,15 @@ class ShardedSim:
             ur, ui = _apply.prepare_gate(u, local_targets, self.n_local)
             fn = self._local_dense_fn(local_targets)
             self.planes = fn(self.planes, (jnp.asarray(ur), jnp.asarray(ui)))
+            self.dispatch_count += 1
 
-    def apply(self, prims):
+    def apply(self, prims, fused: bool = True):
+        """Apply a primitive stream. ``fused`` (default) batches
+        communication-free runs into single shard_map dispatches —
+        essential through a high-latency dispatch tunnel; ``fused=False``
+        keeps the one-dispatch-per-prim reference path."""
+        if fused:
+            return self.apply_fused(prims)
         for p in prims:
             self.apply_prim(p)
         return self

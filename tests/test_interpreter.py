@@ -380,3 +380,26 @@ def test_reference_compat_mode_u1_global_phase():
         assert str(ps.cregs["c"]) == "1"
     finally:
         config.reference_u3_bug = False
+
+
+def test_gate_operands_device_cached():
+    """Repeated applications of the same gate shape reuse the SAME device
+    operands (no per-op host->device upload — ADVICE/VERDICT item 8)."""
+    import numpy as np
+
+    from qubism_tpu.ops import apply as A
+
+    u = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+    A._operand_cache.clear()
+    planes = A.zero_state(6)
+    A.apply_gate(planes, u, (2,), 6)
+    assert len(A._operand_cache) == 1
+    first = next(iter(A._operand_cache.values()))
+    A.apply_gate(planes, u, (2,), 6)
+    assert len(A._operand_cache) == 1
+    assert next(iter(A._operand_cache.values()))[0] is first[0]
+    # diagonals too
+    d = np.array([1, 1, 1, -1], dtype=np.complex128)
+    A.apply_diag(planes, d, (1, 3), 6)
+    A.apply_diag(planes, d, (1, 3), 6)
+    assert len(A._operand_cache) == 2

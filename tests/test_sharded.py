@@ -162,3 +162,33 @@ def test_swap_roundtrip_identity(mesh):
     sim.swap_global_local(0, 5)
     # two swaps restore the physical layout; amplitudes() is permutation-aware
     assert np.linalg.norm(sim.amplitudes() - before) < 1e-6
+
+
+def test_fused_apply_dispatch_count(mesh):
+    """VERDICT item 4 bar: a fused sharded QFT issues at most ~2x the
+    single-chip fused pass count (was ~n^2/2 one-prim dispatches)."""
+    from qubism_tpu.models.circuits import qft_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+    from qubism_tpu.parallel.sharded import ShardedSim
+
+    n = 16
+    single = CompiledCircuit(n, qft_prims(n), use_pallas=False)
+    sim = ShardedSim(n, mesh)
+    sim.apply(qft_prims(n))
+    assert sim.dispatch_count <= 2 * len(single.ops), (
+        sim.dispatch_count, len(single.ops))
+    # and it computes the right state
+    expected = single.state_to_complex(single(single.init_state()))
+    got = sim.amplitudes()
+    assert np.linalg.norm(got - expected) < 1e-5
+
+
+def test_fused_vs_unfused_equivalence(mesh):
+    from qubism_tpu.models.circuits import brickwork_prims
+    from qubism_tpu.parallel.sharded import ShardedSim
+
+    n = 10
+    prims = brickwork_prims(n, depth=3, seed=5)
+    a = ShardedSim(n, mesh).apply(prims, fused=True).amplitudes()
+    b = ShardedSim(n, mesh).apply(prims, fused=False).amplitudes()
+    assert np.linalg.norm(a - b) < 1e-5
