@@ -161,53 +161,48 @@ def run_adder(width: int) -> dict:
     ast = parse_openqasm(path, src)
     prog = CompiledProgram(ast)
     _, cregs, _ = prog.run(seed=0)
-    total_s = time.time() - t0
+    first_s = time.time() - t0
+    t0 = time.time()
+    _, cregs, _ = prog.run(seed=1)  # steady state: compiles are cached
+    steady_s = time.time() - t0
     os.unlink(path)
     ok = cregs["ans"].to_natural() == a_val + b_val
-    return {"width": width, "n_qubits": 2 * width + 2, "seconds": total_s,
-            "sum_ok": bool(ok)}
+    return {"width": width, "n_qubits": 2 * width + 2, "seconds": steady_s,
+            "first_s": first_s, "sum_ok": bool(ok)}
 
 
-def run_big_family() -> dict:
-    """The n=30 family (state = half of HBM), meant for a fresh process.
-    Families are isolated: a failure reports as an "error" entry instead of
-    losing the whole batch."""
-    out: dict = {}
-    for name, fn in (
-        ("qft30", lambda: run_qft(30, reps=2)),
-        ("ghz30", lambda: run_sampled("ghz", 30, 8192)),
-        ("brickwork30", lambda: run_sampled("brickwork", 30, 8192, depth=4)),
-    ):
-        try:
-            out[name] = fn()
-        except Exception as e:
-            out[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
-        gc.collect()
-    return out
+def run_big(name: str) -> dict:
+    """One n=30 workload (state = half of HBM), meant for a fresh process."""
+    if name == "qft30":
+        return run_qft(30, reps=2)
+    if name == "ghz30":
+        return run_sampled("ghz", 30, 8192)
+    return run_sampled("brickwork", 30, 8192, depth=4)
 
 
-def try_big_family_subprocess() -> dict | None:
+def try_big_subprocess(name: str, retries: int = 1) -> dict:
+    """Run one n=30 workload in an isolated fresh process (the device
+    releases a finished/crashed process's HBM with minutes of lag, so each
+    big workload gets its own cold start)."""
     code = (
         "import json,sys; sys.path.insert(0, %r); import bench;"
-        "print('RESULT:' + json.dumps(bench.run_big_family()))"
-    ) % HERE
-    # the device releases a finished/crashed process's HBM with minutes of
-    # lag; an 8 GiB family needs a clean slate
-    log("cooling down before the n=30 family...")
-    time.sleep(90)
-    for attempt in range(2):
+        "print('RESULT:' + json.dumps(bench.run_big(%r)))"
+    ) % (HERE, name)
+    last = ""
+    for attempt in range(retries + 1):
+        log(f"cooling down before {name}...")
+        time.sleep(90)
         try:
             out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                                 text=True, timeout=2400)
+                                 text=True, timeout=1800)
             for line in out.stdout.splitlines():
                 if line.startswith("RESULT:"):
                     return json.loads(line[len("RESULT:"):])
-            log(f"big-family attempt {attempt} no result (rc={out.returncode}): "
-                f"{out.stderr[-500:]}")
+            last = f"rc={out.returncode}: {out.stderr[-300:]}"
         except Exception as e:
-            log(f"big-family attempt {attempt} failed: {e}")
-        time.sleep(180)
-    return None
+            last = f"{type(e).__name__}: {e}"
+        log(f"{name} attempt {attempt} failed: {last}")
+    return {"error": last}
 
 
 def main():
@@ -222,26 +217,27 @@ def main():
 
     big = None
     if on_tpu:
-        # the n=30 family first: it needs a cold device
-        big = try_big_family_subprocess()
-        if big:
-            q = big.get("qft30", {})
-            if "seconds" in q:
-                extra["qft30_actual_s"] = round(q["seconds"], 3)
-                extra["qft30_virtual_shards"] = q["virtual_shards"]
-            else:
-                extra["qft30_actual_s"] = None
-                extra["qft30_error"] = q.get("error")
-            g = big.get("ghz30", {})
-            if "run_s" in g:
-                extra["ghz30_8192shots_s"] = round(g["run_s"] + g["sample_s"], 3)
-                extra["ghz30_counts_ok"] = g.get("ghz_counts_ok")
-            bw = big.get("brickwork30", {})
-            if "run_s" in bw:
-                extra["brickwork30_d4_8192shots_s"] = round(
-                    bw["run_s"] + bw["sample_s"], 3)
+        # the n=30 workloads first, each in its own cold process
+        q = try_big_subprocess("qft30", retries=1)
+        if "seconds" in q:
+            big = q
+            extra["qft30_actual_s"] = round(q["seconds"], 3)
+            extra["qft30_virtual_shards"] = q["virtual_shards"]
         else:
             extra["qft30_actual_s"] = None
+            extra["qft30_error"] = q.get("error")
+        g = try_big_subprocess("ghz30")
+        if "run_s" in g:
+            extra["ghz30_8192shots_s"] = round(g["run_s"] + g["sample_s"], 3)
+            extra["ghz30_counts_ok"] = g.get("ghz_counts_ok")
+        else:
+            extra["ghz30_error"] = g.get("error")
+        bw = try_big_subprocess("brickwork30")
+        if "run_s" in bw:
+            extra["brickwork30_d4_8192shots_s"] = round(
+                bw["run_s"] + bw["sample_s"], 3)
+        else:
+            extra["brickwork30_error"] = bw.get("error")
 
     # single-buffer QFT: the HBM-fraction measurement
     res = None
@@ -281,7 +277,7 @@ def main():
             log(f"adder failed: {type(e).__name__}: {str(e)[:200]}")
             extra["adder_28q_s"] = None
 
-    if big and extra.get("qft30_actual_s"):
+    if extra.get("qft30_actual_s"):
         value = extra["qft30_actual_s"]
         metric = "qft30_wallclock"
         vs = 2.0 / value

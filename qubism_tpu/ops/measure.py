@@ -103,6 +103,33 @@ def measure_qubit(planes: Planes, key: jax.Array, q: int, n: int):
     return _measure_qubit_impl(planes, key, q, n, config.reference_sqrt_born)
 
 
+@functools.partial(jax.jit, static_argnames=("qubits", "n", "sqrt_born"))
+def _measure_seq_impl(planes, key, qubits: tuple[int, ...], n: int,
+                      sqrt_born: bool):
+    outcomes = []
+    for q in qubits:
+        p1 = prob_one_traced(planes, q, n)
+        threshold = jnp.sqrt(p1) if sqrt_born else p1
+        key, sub = jax.random.split(key)
+        r = jax.random.uniform(sub, dtype=threshold.dtype)
+        outcome = (r < threshold).astype(jnp.int32)
+        planes = collapse_traced(planes, outcome, q, n)
+        outcomes.append(outcome)
+    return jnp.stack(outcomes), planes, key
+
+
+def measure_qubits(planes: Planes, key: jax.Array, qubits: tuple[int, ...],
+                   n: int):
+    """Measure ``qubits`` sequentially in order (collapse-as-you-go,
+    reference semantics StateVec.hs:133-137) in ONE device program — a
+    whole-register measurement is one dispatch instead of two per bit,
+    which dominates e.g. the Cuccaro adder through a remote tunnel. The
+    key-split order matches per-qubit :func:`measure_qubit` exactly, so
+    seeded outcomes are identical. Returns (outcomes (k,), planes', key')."""
+    return _measure_seq_impl(planes, key, tuple(qubits), n,
+                             config.reference_sqrt_born)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def probabilities(planes: Planes, n: int) -> jnp.ndarray:
     """|psi|^2 over the computational basis, shape (2^n,) float32."""

@@ -41,9 +41,17 @@ class EvGates:
 
 @dataclass(frozen=True)
 class EvMeasure:
+    """One measurement EVENT: possibly several source statements' worth of
+    qubits, measured sequentially in one device program (adjacent measure
+    statements coalesce — e.g. the Cuccaro adder's per-bit readout becomes
+    ONE dispatch instead of two per bit).
+
+    ``writes``: per original statement, (creg, bit_index_or_None, count) —
+    count qubits are consumed in order; bit_index None = whole-register
+    write."""
+
     qubits: tuple[int, ...]        # absolute qubit indices, in order
-    creg: str
-    bit_index: int | None          # None = whole register write
+    writes: tuple[tuple[str, int | None, int], ...]
 
 
 @dataclass(frozen=True)
@@ -80,6 +88,10 @@ class _Elaborator(Interpreter):
         target = self._sink if self._sink is not None else self.events
         if isinstance(ev, EvGates) and target and isinstance(target[-1], EvGates):
             target[-1] = EvGates(target[-1].prims + ev.prims)
+        elif isinstance(ev, EvMeasure) and target and isinstance(target[-1], EvMeasure):
+            prev = target[-1]
+            target[-1] = EvMeasure(prev.qubits + ev.qubits,
+                                   prev.writes + ev.writes)
         else:
             target.append(ev)
 
@@ -126,11 +138,11 @@ class _Elaborator(Interpreter):
             if isinstance(tgt, A.ArgBit):
                 if not tgt.index < cr.size:
                     ps.runtime_error(f"Index out of bounds when writing to {tgt.name}")
-                self._emit(EvMeasure(qubits, tgt.name, tgt.index))
+                self._emit(EvMeasure(qubits, ((tgt.name, tgt.index, len(qubits)),)))
             else:
                 if len(qubits) != cr.size:
                     ps.runtime_error(f"Mismatched size on overwrite of {tgt.name}")
-                self._emit(EvMeasure(qubits, tgt.name, None))
+                self._emit(EvMeasure(qubits, ((tgt.name, None, len(qubits)),)))
         elif isinstance(op, A.Reset):
             self._emit(EvReset(tuple(self._abs_qubits(op.arg))))
         else:
@@ -196,6 +208,18 @@ class CompiledProgram:
         outcome, state, key = _measure.measure_qubit(state, key, q, self.n)
         return int(outcome), state, key
 
+    def _measure_many(self, state, key, qubits):
+        """All of an EvMeasure's qubits in one device program (v=0)."""
+        if self.v:
+            bits = []
+            for q in qubits:
+                outcome, state, key = self._measure_one(state, key, q)
+                bits.append(outcome)
+            return bits, state, key
+        outs, state, key = _measure.measure_qubits(state, key, tuple(qubits),
+                                                   self.n)
+        return [int(o) for o in np.asarray(outs)], state, key
+
     def _reset_one(self, state, q):
         if self.v:
             return _measure.collapse_sharded(state, 0, q, self.n, self.v)
@@ -215,14 +239,14 @@ class CompiledProgram:
                 if isinstance(ev, EvGates):
                     state = self._segment(id(ev), ev.prims)(state)
                 elif isinstance(ev, EvMeasure):
-                    bits = []
-                    for q in ev.qubits:
-                        outcome, state, key = self._measure_one(state, key, q)
-                        bits.append(outcome)
-                    if ev.bit_index is None:
-                        cregs[ev.creg] = CReg.of(bits)
-                    else:
-                        cregs[ev.creg] = cregs[ev.creg].set_bit(ev.bit_index, bits[0])
+                    bits, state, key = self._measure_many(state, key, ev.qubits)
+                    off = 0
+                    for creg, bit_index, count in ev.writes:
+                        if bit_index is None:
+                            cregs[creg] = CReg.of(bits[off:off + count])
+                        else:
+                            cregs[creg] = cregs[creg].set_bit(bit_index, bits[off])
+                        off += count
                 elif isinstance(ev, EvReset):
                     for q in ev.qubits:
                         state = self._reset_one(state, q)
@@ -270,10 +294,13 @@ class CompiledProgram:
                     for q in ev.qubits:
                         outcome, key = sim.measure_qubit(q, key)
                         bits.append(outcome)
-                    if ev.bit_index is None:
-                        cregs[ev.creg] = CReg.of(bits)
-                    else:
-                        cregs[ev.creg] = cregs[ev.creg].set_bit(ev.bit_index, bits[0])
+                    off = 0
+                    for creg, bit_index, count in ev.writes:
+                        if bit_index is None:
+                            cregs[creg] = CReg.of(bits[off:off + count])
+                        else:
+                            cregs[creg] = cregs[creg].set_bit(bit_index, bits[off])
+                        off += count
                 elif isinstance(ev, EvReset):
                     for q in ev.qubits:
                         sim.collapse(q, 0)

@@ -203,8 +203,15 @@ class Interpreter:
             self._check_index(arg_q, ps.find_qr_size(arg_q.name))
             bits = CReg.of([self._measure_one(arg_q.name, arg_q.index)])
         else:
-            size = ps.find_qr_size(arg_q.name)
-            bits = CReg.of([self._measure_one(arg_q.name, k) for k in range(size)])
+            # whole register: ONE device program measuring sequentially
+            # (same key-split order as per-qubit, so seeds reproduce)
+            view = ps.find(arg_q.name, ps.qregs)
+            sv = ps.find(view.target, ps.stvecs)
+            qubits = tuple(view.start + k for k in range(view.size))
+            outs, planes, ps.key = _measure.measure_qubits(
+                sv.planes, ps.key, qubits, sv.n)
+            ps.write_statevec(StateVec(sv.n, planes), view.target)
+            bits = CReg.of([int(o) for o in np.asarray(outs)])
         if isinstance(arg_c, A.ArgBit):
             ps.write_bit(bits[0], arg_c.name, arg_c.index)
         else:

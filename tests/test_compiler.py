@@ -263,3 +263,23 @@ def test_virtual_shard_measurement_distribution():
             snapshot, jax.random.PRNGKey(seed), 0, 3, 1)
         ones += outcome
     assert 40 < ones < 105  # ~Bin(200, 0.36)
+
+
+def test_adjacent_measures_coalesce_into_one_event():
+    """Per-bit readout statements (the adder pattern) become ONE measurement
+    event — one device dispatch instead of two per bit."""
+    src = """
+    qreg q[3]; creg c[3]; creg d[1];
+    x q[0]; x q[2];
+    measure q[0] -> c[0];
+    measure q[1] -> c[1];
+    measure q[2] -> d[0];
+    """
+    prog = CompiledProgram(parse_src(src))
+    measures = [e for e in prog.events if isinstance(e, EvMeasure)]
+    assert len(measures) == 1
+    assert measures[0].qubits == (0, 1, 2)
+    assert [w[0] for w in measures[0].writes] == ["c", "c", "d"]
+    _, cregs, _ = prog.run(seed=0)
+    assert cregs["c"][0] == 1 and cregs["c"][1] == 0
+    assert cregs["d"][0] == 1
