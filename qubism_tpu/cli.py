@@ -58,10 +58,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--reference-compat", action="store_true",
                    help="replicate the reference's numerical quirks "
                         "(buggy u3, sqrt-Born sampling, truncated pi)")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-event timing + fusion statistics to stderr")
     return p
 
 
 def _apply_flags(args):
+    if getattr(args, "verbose", False):
+        from .utils import profiling
+
+        profiling.VERBOSE = True
     if args.dtype == "complex128":
         raise SystemExit(
             "qubism: complex128 amplitudes are not supported: the engine "

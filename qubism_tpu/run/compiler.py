@@ -170,6 +170,22 @@ class _Elaborator(Interpreter):
             self.ps.runtime_error(f"CX with identical control and target qubit: {qr1}[{i}]")
         self._emit(EvGates((Prim(u, (q1, q2)),)))
 
+def _ev_desc(ev) -> str:
+    if isinstance(ev, EvGates):
+        return f"EvGates({len(ev.prims)} prims)"
+    if isinstance(ev, EvMeasure):
+        return f"EvMeasure({len(ev.qubits)} qubits)"
+    return type(ev).__name__
+
+
+def _force_state(state, v: int):
+    """Scalar readback so verbose timings reflect device completion."""
+    if state is None:
+        return
+    x = (state[0] if v else state)[0]
+    float(x[(0,) * getattr(x, "ndim", 1)])
+
+
 class CompiledProgram:
     """A QASM program lowered to fused segments + host-level control flow."""
 
@@ -198,8 +214,12 @@ class CompiledProgram:
 
     def _segment(self, key: int, prims) -> CompiledCircuit:
         if key not in self._segments:
-            self._segments[key] = CompiledCircuit(self.n, prims, self.max_block,
-                                                  virtual_shards=self.v)
+            from ..utils.profiling import vlog
+
+            circ = CompiledCircuit(self.n, prims, self.max_block,
+                                   virtual_shards=self.v)
+            vlog(f"segment: {circ.stats()}")
+            self._segments[key] = circ
         return self._segments[key]
 
     def _measure_one(self, state, key, q):
@@ -229,32 +249,39 @@ class CompiledProgram:
         """Execute. Returns (state, cregs dict, key) — state is a plane pair,
         or a tuple of 2^v shard pairs when virtual sharding is active (n > 29
         on TPU); ``self.v`` tells which."""
+        from ..utils.profiling import vtimed
+
         dump_writer = dump_writer or (lambda s: None)
         key = jax.random.PRNGKey(0 if seed is None else seed)
         state = zero_state_virtual(self.n, self.v) if self.n else None
         cregs = dict(self.cregs0)
 
         def exec_events(events, state, key, path="r"):
+            def sync():
+                _force_state(state, self.v)
+
             for i, ev in enumerate(events):
-                if isinstance(ev, EvGates):
-                    state = self._segment(id(ev), ev.prims)(state)
-                elif isinstance(ev, EvMeasure):
-                    bits, state, key = self._measure_many(state, key, ev.qubits)
-                    off = 0
-                    for creg, bit_index, count in ev.writes:
-                        if bit_index is None:
-                            cregs[creg] = CReg.of(bits[off:off + count])
-                        else:
-                            cregs[creg] = cregs[creg].set_bit(bit_index, bits[off])
-                        off += count
-                elif isinstance(ev, EvReset):
-                    for q in ev.qubits:
-                        state = self._reset_one(state, q)
-                elif isinstance(ev, EvCond):
-                    if cregs[ev.creg].to_natural() == ev.value:
-                        state, key = exec_events(ev.body, state, key, path + f".c{i}")
-                elif isinstance(ev, EvDump):
-                    dump_writer(self._pretty(state, cregs))
+                with vtimed(f"{path}[{i}] {_ev_desc(ev)}", sync):
+                    if isinstance(ev, EvGates):
+                        state = self._segment(id(ev), ev.prims)(state)
+                    elif isinstance(ev, EvMeasure):
+                        bits, state, key = self._measure_many(state, key, ev.qubits)
+                        off = 0
+                        for creg, bit_index, count in ev.writes:
+                            if bit_index is None:
+                                cregs[creg] = CReg.of(bits[off:off + count])
+                            else:
+                                cregs[creg] = cregs[creg].set_bit(bit_index, bits[off])
+                            off += count
+                    elif isinstance(ev, EvReset):
+                        for q in ev.qubits:
+                            state = self._reset_one(state, q)
+                    elif isinstance(ev, EvCond):
+                        if cregs[ev.creg].to_natural() == ev.value:
+                            state, key = exec_events(ev.body, state, key,
+                                                     path + f".c{i}")
+                    elif isinstance(ev, EvDump):
+                        dump_writer(self._pretty(state, cregs))
             return state, key
 
         state, key = exec_events(self.events, state, key)

@@ -54,10 +54,13 @@ def run_program_incremental(ast, ps: ProgState) -> ProgState:
     Simulation.hs:47-53). ``ps`` is never mutated: on success a new state is
     returned, on error the exception propagates and the caller's state is
     intact — the REPL's atomic-line contract."""
+    from ..utils.profiling import vtimed
+
     new = ps.copy()
     interp = Interpreter(new)
-    for stmt in ast:
-        interp.run_stmt(stmt)
+    for i, stmt in enumerate(ast):
+        with vtimed(f"stmt[{i}] line {getattr(getattr(stmt, 'pos', None), 'line', '?')}"):
+            interp.run_stmt(stmt)
     return new
 
 

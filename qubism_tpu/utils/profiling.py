@@ -9,9 +9,35 @@ The reference has no tracing/profiling at all (SURVEY.md §5). Here:
 from __future__ import annotations
 
 import contextlib
+import sys
 import time
 
 import jax
+
+#: set by the CLI's --verbose flag: per-event/per-layer timing to stderr
+VERBOSE = False
+
+
+def vlog(msg: str):
+    if VERBOSE:
+        print(f"[qubism] {msg}", file=sys.stderr, flush=True)
+
+
+@contextlib.contextmanager
+def vtimed(label: str, sync=None):
+    """Time a block when VERBOSE; ``sync()`` forces device completion first
+    (timing through an async remote dispatch queue is meaningless without a
+    readback)."""
+    if not VERBOSE:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if sync is not None:
+            sync()
+        vlog(f"{label}: {(time.perf_counter() - t0) * 1e3:.1f} ms")
 
 
 @contextlib.contextmanager

@@ -140,3 +140,18 @@ def test_mesh_flag_with_shots(tmp_path, capsys):
     for line in out.splitlines():
         if line.strip().startswith("|"):
             assert line.strip().startswith(("|000>", "|111>"))
+
+
+def test_verbose_flag_emits_timings(tmp_path, capsys):
+    from qubism_tpu.cli import main
+    from qubism_tpu.utils import profiling
+
+    f = tmp_path / "v.qasm"
+    f.write_text("qreg q[2]; creg c[2]; U(pi/2,0,pi) q[0]; CX q[0],q[1];"
+                 " measure q -> c;")
+    try:
+        assert main([str(f), "--seed", "0", "--verbose", "--compile"]) == 0
+    finally:
+        profiling.VERBOSE = False
+    err = capsys.readouterr().err
+    assert "EvGates" in err and "EvMeasure" in err and "segment:" in err
