@@ -109,6 +109,10 @@ def run_sampled(kind: str, n: int, shots: int, depth: int = 4) -> dict:
     state = circ(state)
     _sync(state)
     build_s = time.time() - t0
+    # release the warm-up state BEFORE allocating the timed run's (at n=30
+    # each is half of HBM — binding both at once exhausts the chip)
+    del state
+    gc.collect()
     t0 = time.time()
     state = circ(circ.init_state())
     _sync(state)

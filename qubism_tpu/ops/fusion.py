@@ -104,6 +104,26 @@ class StageOp:
 
 
 @dataclass(frozen=True)
+class StagePairOp:
+    """TWO consecutive fused stages on adjacent qubits (q2 = q1 + 1, the
+    QFT shape) collapsed into ONE kernel pass: the 4x4 mixing (u1, the
+    (q1, q2) ladder factor, u2) folds into a constant coefficient block and
+    each branch multiplies its own factorized phase tables
+    (kernels.stage2_prepare)."""
+
+    u1: np.ndarray
+    q1: int
+    factors1: tuple                    # full ladder of stage 1 (incl (q1, q2))
+    u2: np.ndarray
+    q2: int
+    factors2: tuple
+
+    @property
+    def targets(self):  # for stats/debug
+        return (self.q1, self.q2)
+
+
+@dataclass(frozen=True)
 class DiagLayer:
     """A product of commuting diagonal factors, applied in one fused pass."""
 
@@ -244,7 +264,22 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
                 out.append(DiagLayer(((d, b.targets),)))
         else:
             out.append(b)
-    return out
+
+    # pair up consecutive stages on adjacent qubits (halves QFT pass count)
+    paired: list = []
+    i = 0
+    while i < len(out):
+        a = out[i]
+        b = out[i + 1] if i + 1 < len(out) else None
+        if (isinstance(a, StageOp) and isinstance(b, StageOp)
+                and b.q == a.q + 1):
+            paired.append(StagePairOp(a.u, a.q, a.factors, b.u, b.q,
+                                      b.factors))
+            i += 2
+        else:
+            paired.append(a)
+            i += 1
+    return paired
 
 
 def _apply_dense_traced(planes, u: np.ndarray, targets: tuple[int, ...], n: int):
@@ -337,6 +372,7 @@ class CompiledCircuit:
         dense = [op for op in self.ops if isinstance(op, DenseOp)]
         layers = [op for op in self.ops if isinstance(op, DiagLayer)]
         stages = [op for op in self.ops if isinstance(op, StageOp)]
+        pairs = [op for op in self.ops if isinstance(op, StagePairOp)]
         return {
             "n": self.n,
             "prims": len(self.prims),
@@ -345,6 +381,7 @@ class CompiledCircuit:
             "diag_layers": len(layers),
             "diag_factors": sum(len(l.factors) for l in layers),
             "fused_stages": len(stages),
+            "fused_stage_pairs": len(pairs),
             "max_block_qubits": max((len(op.targets) for op in dense), default=0),
             "backend": "pallas" if self.use_pallas else "xla",
             "virtual_shards": self.v,
@@ -368,7 +405,10 @@ class CompiledCircuit:
         hit = self._op_cache.get(key)
         if hit is not None:
             return hit
-        if isinstance(op, StageOp):
+        if isinstance(op, StagePairOp):
+            plan = ("stage2", kernels.stage2_prepare(
+                op.u1, op.q1, op.factors1, op.u2, op.q2, op.factors2, n))
+        elif isinstance(op, StageOp):
             plan = ("stage", kernels.stage_prepare(op.u, op.q, op.factors, n))
         elif isinstance(op, DiagLayer):
             plan = ("diag", kernels.diag_layer_prepare(op.factors, n))
@@ -389,6 +429,14 @@ class CompiledCircuit:
     def _run_op_at(self, op, state, n):
         from . import kernels
 
+        if isinstance(op, StagePairOp):
+            if self.use_pallas:
+                fn, coef, bt1, ct1, bt2, ct2 = self._prepared(op, n)[1]
+                return fn(state, coef, bt1, ct1, bt2, ct2)
+            state = _apply_dense_traced(state, op.u1, (op.q1,), n)
+            state = _apply_diag_layer_traced(state, DiagLayer(op.factors1), n)
+            state = _apply_dense_traced(state, op.u2, (op.q2,), n)
+            return _apply_diag_layer_traced(state, DiagLayer(op.factors2), n)
         if isinstance(op, StageOp):
             if self.use_pallas:
                 fn, coef, bt, ct = self._prepared(op, n)[1]
@@ -432,6 +480,13 @@ class CompiledCircuit:
         """Specialize one fused op for the 2^v shards. Returns
         ("per_shard", [op_for_shard_s]) or ("cross", DenseOp)."""
         v, m = self.v, self.n - self.v
+        if isinstance(op, StagePairOp):
+            shifted = StagePairOp(
+                op.u1, op.q1 - v,
+                tuple((d, (t[0] - v, t[1] - v)) for d, t in op.factors1),
+                op.u2, op.q2 - v,
+                tuple((d, (t[0] - v, t[1] - v)) for d, t in op.factors2))
+            return ("per_shard", [shifted] * (1 << v))
         if isinstance(op, StageOp):
             # the stage prepass never creates StageOps touching virtual bits
             shifted = StageOp(op.u, op.q - v, tuple(
@@ -670,7 +725,11 @@ class CompiledCircuit:
                 for payload in run:
                     op = payload[s]
                     kind, prep = self._prepared(op, m)
-                    if kind == "stage":
+                    if kind == "stage2":
+                        fn = prep[0]
+                        plans.append(("stage2", fn, None))
+                        operands.extend(prep[1:])
+                    elif kind == "stage":
                         fn, coef, bt, ct = prep
                         plans.append(("stage", fn, None))
                         operands.extend([coef, bt, ct])
@@ -692,7 +751,10 @@ class CompiledCircuit:
                 def chunk_fn(state, ops_args, plans=tuple(plans)):
                     it = iter(ops_args)
                     for kind, payload, _ in plans:
-                        if kind == "stage":
+                        if kind == "stage2":
+                            state = payload(state, next(it), next(it),
+                                            next(it), next(it), next(it))
+                        elif kind == "stage":
                             state = payload(state, next(it), next(it), next(it))
                         elif kind == "diag":
                             for fn in payload:
@@ -754,7 +816,11 @@ class CompiledCircuit:
             operands: list = []
             for op in chunk:
                 kind, prep = self._prepared(op, n)
-                if kind == "stage":
+                if kind == "stage2":
+                    fn = prep[0]
+                    plans.append(("stage2", fn, None))
+                    operands.extend(prep[1:])
+                elif kind == "stage":
                     fn, coef, bt, ct = prep
                     plans.append(("stage", fn, None))
                     operands.extend([coef, bt, ct])
@@ -777,7 +843,10 @@ class CompiledCircuit:
             def chunk_fn(state, ops_args, plans=tuple(plans)):
                 it = iter(ops_args)
                 for kind, payload, extra in plans:
-                    if kind == "stage":
+                    if kind == "stage2":
+                        state = payload(state, next(it), next(it),
+                                        next(it), next(it), next(it))
+                    elif kind == "stage":
                         state = payload(state, next(it), next(it), next(it))
                     elif kind == "diag":
                         for fn in payload:

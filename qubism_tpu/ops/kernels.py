@@ -123,11 +123,27 @@ def _subsets(items):
         yield from itertools.combinations(items, r)
 
 
+def _trail_rows(targets: tuple[int, ...], n: int) -> int:
+    """The trailing row-dim of _gate_fn's view (= the phase tables' period:
+    every ladder phase bit sits below the lowest axis target)."""
+    C = canon_cols(n)
+    ps = [p for kind, p in (_mech(t, n) for t in targets) if kind == "axis"]
+    return (1 << min(ps)) if ps else (1 << n) // C
+
+
 @functools.lru_cache(maxsize=None)
-def _gate_fn(targets: tuple[int, ...], n: int, stage: bool):
-    """Dense gate on <=2 row qubits (or a fused stage: 1q gate + diagonal
-    ladder phase) over canonical planes. Returns a jitted
-    ``fn(planes, coef[, bt, ct])`` with every state buffer aliased in place.
+def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
+    """Dense gate on <=2 row qubits over canonical planes, optionally fused
+    with per-branch diagonal ladder phases ("stages"). Returns a jitted
+    ``fn(planes, coef, *(bt_i, ct_i)*stage)`` with every state buffer
+    aliased in place.
+
+    ``stage`` = how many targets carry a ladder phase (0 = plain dense;
+    1 = the QFT stage H+ladder; 2 = a fused PAIR of stages — the whole
+    4x4 mixing collapses into ``coef`` and each branch multiplies its own
+    row x lane phase tables, so two QFT stages cost ONE state sweep).
+    Phase i multiplies elements whose targets[i] bit is 1; its bt table has
+    period ``_trail_rows`` (ladder bits sit below every axis target).
 
     Gate coefficients live in SMEM as a (2, 2^k, 2^k) argument whose index
     bit order is targets ascending (first target = MSB), so every gate with
@@ -166,11 +182,16 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: bool):
     # sublane rolls wrap within the block: rows must cover whole pair groups
     sr_max = max((v for _, kind, v in rolls if kind == "rowroll"), default=0)
     BT = max(BT, 2 * sr_max)
+    if stage:
+        # the bt phase tables are block-sliced (2, BT): lane tiling demands
+        # BT >= 128 unless the block covers the whole table (== trail)
+        BT = max(BT, min(128, trail))
     BT = min(BT, trail)
     while trail % BT:
         BT //= 2
     BT = max(BT, 1)
     assert BT >= 2 * sr_max, (targets, n, BT, sr_max)
+    assert not stage or BT >= 128 or BT == trail, (targets, n, BT, trail)
     block = [1] * rank
     for i, _ in axis_sorted:
         block[tdim[i]] = 2
@@ -199,31 +220,13 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: bool):
                            memory_space=pltpu.SMEM)
 
     # -- stage phase tables ---------------------------------------------------
-    # bt: (2, R) full row-phase table, block-sliced to the |1>-branch rows;
-    # ct: (2, 2048) lane-phase table, resident.
+    # bt_i: (2, trail) row-phase table (period = trail: ladder bits sit
+    # below every axis target), block-sliced in lockstep with the trailing
+    # row blocks; ct_i: (2, C) lane-phase table, resident.
     if stage:
-        (tq,) = targets
-        mech_q = mechs[0]
-        if mech_q[0] == "axis":
-            p_q = mech_q[1]
-            # rows of the |1> slot: flat row = (lead*2 + 1)*trail + j*BT
-            lead_sizes = [dims[a] for a in grid_axes if a < trail_pos]
-
-            def bt_index(*gids):
-                lead = 0
-                for g, a in zip(gids, grid_axes):
-                    if a < trail_pos:
-                        lead = lead * dims[a] + g
-                j = gids[-1] if trail_pos in grid_axes else 0
-                return (0, (lead * 2 + 1) * (trail // BT) + j)
-        else:
-            def bt_index(*gids):
-                lead = 0
-                for g, a in zip(gids, grid_axes):
-                    if a < trail_pos:
-                        lead = lead * dims[a] + g
-                j = gids[-1] if trail_pos in grid_axes else 0
-                return (0, lead * (trail // BT) + j)
+        def bt_index(*gids):
+            j = gids[-1] if trail_pos in grid_axes else 0
+            return (0, j)
 
         bt_spec = pl.BlockSpec((2, BT), bt_index, memory_space=pltpu.VMEM)
         ct_spec = pl.BlockSpec((2, C), lambda *g: (0, 0),
@@ -257,11 +260,13 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: bool):
     axis_assigns = list(itertools.product((0, 1), repeat=n_ax))
     roll_assigns = list(itertools.product((0, 1), repeat=n_rl))
 
+    ax_pos = {i: a for a, (i, _) in enumerate(axis_sorted)}
+    roll_pos = {i: r for r, (i, _, _) in enumerate(rolls)}
+
     def kernel(*refs):
-        if stage:
-            re_ref, im_ref, cf_ref, bt_ref, ct_ref, ro_ref, io_ref = refs
-        else:
-            re_ref, im_ref, cf_ref, ro_ref, io_ref = refs
+        re_ref, im_ref, cf_ref = refs[:3]
+        tables = refs[3:3 + 2 * stage]
+        ro_ref, io_ref = refs[3 + 2 * stage:]
 
         # roll masks: absolute bit of each roll target, from block-local iota
         # (blocks are aligned: BT is a multiple of 8 >= 2*sr, lanes full)
@@ -309,13 +314,14 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: bool):
                 jnp.where(masks[1], entry((0, 1)), entry((0, 0))),
             )
 
-        if stage:
+        phases = []
+        for t in range(stage):
+            bt_ref, ct_ref = tables[2 * t], tables[2 * t + 1]
             prr = bt_ref[0, :].reshape(BT, 1)
             pri = bt_ref[1, :].reshape(BT, 1)
             pcr = ct_ref[0, :].reshape(1, C)
             pci = ct_ref[1, :].reshape(1, C)
-            phr = prr * pcr - pri * pci
-            phi = prr * pci + pri * pcr
+            phases.append((prr * pcr - pri * pci, prr * pci + pri * pcr))
 
         for ia in axis_assigns:
             yr, yi = None, None
@@ -328,48 +334,37 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: bool):
                     ti = cr * xi + ci * xr
                     yr = tr if yr is None else yr + tr
                     yi = ti if yi is None else yi + ti
-            if stage:
-                if mechs[0][0] == "axis":
-                    if ia[0] == 1:  # the |1> branch slot
+            for t in range(stage):
+                phr, phi = phases[t]
+                if t in ax_pos:
+                    if ia[ax_pos[t]] == 1:  # the |1> branch slot of target t
                         yr, yi = yr * phr - yi * phi, yr * phi + yi * phr
                 else:
                     zr = yr * phr - yi * phi
                     zi = yr * phi + yi * phr
-                    yr = jnp.where(masks[0], zr, yr)
-                    yi = jnp.where(masks[0], zi, yi)
+                    m = masks[roll_pos[t]]
+                    yr = jnp.where(m, zr, yr)
+                    yi = jnp.where(m, zi, yi)
             ro_ref[slot(ia)] = yr
             io_ref[slot(ia)] = yi
 
     shape = jax.ShapeDtypeStruct(tuple(dims), jnp.float32)
 
-    if stage:
-        def run(planes, coef, bt, ct):
-            re, im = planes
-            ro, io = pl.pallas_call(
-                kernel,
-                out_shape=(shape, shape),
-                in_specs=[spec, spec, cf_spec, bt_spec, ct_spec],
-                out_specs=(spec, spec),
-                grid=grid,
-                input_output_aliases={0: 0, 1: 1},
-                interpret=_interpret(),
-                **_vmem_kwargs(),
-            )(re.reshape(dims), im.reshape(dims), coef, bt, ct)
-            return (ro.reshape(R, C), io.reshape(R, C))
-    else:
-        def run(planes, coef):
-            re, im = planes
-            ro, io = pl.pallas_call(
-                kernel,
-                out_shape=(shape, shape),
-                in_specs=[spec, spec, cf_spec],
-                out_specs=(spec, spec),
-                grid=grid,
-                input_output_aliases={0: 0, 1: 1},
-                interpret=_interpret(),
-                **_vmem_kwargs(),
-            )(re.reshape(dims), im.reshape(dims), coef)
-            return (ro.reshape(R, C), io.reshape(R, C))
+    in_specs = [spec, spec, cf_spec] + ([bt_spec, ct_spec] * stage if stage else [])
+
+    def run(planes, coef, *tabs):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=in_specs,
+            out_specs=(spec, spec),
+            grid=grid,
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+            **_vmem_kwargs(),
+        )(re.reshape(dims), im.reshape(dims), coef, *tabs)
+        return (ro.reshape(R, C), io.reshape(R, C))
 
     return jax.jit(run, donate_argnums=0)
 
@@ -383,7 +378,7 @@ def row_gate_prepare(u: np.ndarray, targets: tuple[int, ...], n: int):
     """Host->device once: returns (fn, device operands) for repeated use."""
     cu = np.asarray(u, dtype=np.complex128)
     coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
-    return (_gate_fn(tuple(targets), n, False), jnp.asarray(coef))
+    return (_gate_fn(tuple(targets), n, 0), jnp.asarray(coef))
 
 
 def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
@@ -734,22 +729,18 @@ def shard_butterfly_prepare(u: np.ndarray, m: int):
 # ---------------------------------------------------------------------------
 
 
-def stage_prepare(u: np.ndarray, q: int, factors, n: int):
-    """Host->device for a fused stage: ``u`` (2, 2) complex on qubit q, plus
-    2-qubit diagonal ``factors`` [(d (4,), (q, j))] with j > q. Returns
-    (fn, coef, Btable, Ctable): bt (2, R) is the ladder phase over the row
-    index (block-sliced to the |1>-branch rows), ct (2, 2048) over lanes.
-
-        y0 = u00 x0 + u01 x1
-        y1 = (u10 x0 + u11 x1) * Brow[row] * Ccol[lane]
-    """
+def _phase_tables(factors, q: int, targets: tuple[int, ...], n: int):
+    """(bt (2, trail), ct (2, C)) for a ladder of 2q diagonal factors
+    (q, j), j > q: the phase applied on the |1>_q branch, factorized into a
+    trailing-row table x a lane table (ladder bits sit below every axis
+    target of ``targets``, so the row table has period _trail_rows)."""
     C = canon_cols(n)
-    R = (1 << n) // C
     log_c = C.bit_length() - 1
+    T = _trail_rows(targets, n)
 
-    brow = np.ones(R, dtype=np.complex128)
+    brow = np.ones(T, dtype=np.complex128)
     ccol = np.ones(C, dtype=np.complex128)
-    ridx = np.arange(R, dtype=np.int64)
+    ridx = np.arange(T, dtype=np.int64)
     cidx = np.arange(C, dtype=np.int64)
     for d, (qq, j) in factors:
         assert qq == q and j > q
@@ -766,7 +757,57 @@ def stage_prepare(u: np.ndarray, q: int, factors, n: int):
 
     bt = np.stack([brow.real.astype(np.float32), brow.imag.astype(np.float32)])
     ct = np.stack([ccol.real.astype(np.float32), ccol.imag.astype(np.float32)])
+    return jnp.asarray(bt), jnp.asarray(ct)
+
+
+def stage_prepare(u: np.ndarray, q: int, factors, n: int):
+    """Host->device for a fused stage: ``u`` (2, 2) complex on qubit q, plus
+    2-qubit diagonal ``factors`` [(d (4,), (q, j))] with j > q. Returns
+    (fn, coef, Btable, Ctable):
+
+        y0 = u00 x0 + u01 x1
+        y1 = (u10 x0 + u11 x1) * Brow[row] * Ccol[lane]
+    """
+    bt, ct = _phase_tables(factors, q, (q,), n)
     cu = np.asarray(u, dtype=np.complex128)
     coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
-    return (_gate_fn((q,), n, True), jnp.asarray(coef), jnp.asarray(bt),
-            jnp.asarray(ct))
+    return (_gate_fn((q,), n, 1), jnp.asarray(coef), bt, ct)
+
+
+def stage2_prepare(u1: np.ndarray, q1: int, factors1, u2: np.ndarray,
+                   q2: int, factors2, n: int):
+    """Host->device for a fused PAIR of stages (q2 > q1): two QFT stages in
+    one state sweep. The circuit U1(q1); D1(q1,*); U2(q2); D2(q2,*) has
+
+        y(i1,i2) = P1(t)^i1 P2(t)^i2 * sum_{j1,j2}
+                   U1[i1,j1] * d1[i1,j2] * U2[i2,j2] * x(j1,j2)
+
+    where d1 is D1's (q1, q2) factor (identity if absent) and P1/P2 are the
+    remaining ladders' phases — all constant but the P tables, so the 4x4
+    mixing folds into one SMEM coefficient block.
+
+    Returns (fn, coef, bt1, ct1, bt2, ct2)."""
+    assert q2 > q1
+    d1 = np.ones(4, dtype=np.complex128)
+    rest1 = []
+    for d, (qq, j) in factors1:
+        if j == q2:
+            d1 = np.asarray(d, dtype=np.complex128)
+        else:
+            rest1.append((d, (qq, j)))
+    targets = (q1, q2)
+    bt1, ct1 = _phase_tables(rest1, q1, targets, n)
+    bt2, ct2 = _phase_tables(factors2, q2, targets, n)
+
+    u1 = np.asarray(u1, dtype=np.complex128)
+    u2 = np.asarray(u2, dtype=np.complex128)
+    cmat = np.zeros((4, 4), dtype=np.complex128)
+    for i1 in range(2):
+        for i2 in range(2):
+            for j1 in range(2):
+                for j2 in range(2):
+                    cmat[(i1 << 1) | i2, (j1 << 1) | j2] = (
+                        u1[i1, j1] * d1[(i1 << 1) | j2] * u2[i2, j2])
+    coef = np.stack([cmat.real.astype(np.float32),
+                     cmat.imag.astype(np.float32)])
+    return (_gate_fn(targets, n, 2), jnp.asarray(coef), bt1, ct1, bt2, ct2)

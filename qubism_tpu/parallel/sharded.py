@@ -212,7 +212,8 @@ class ShardedSim:
         """Lower a run of prims (dense targets already physically local under
         the current perm) into (sig, steps, operands): a structural signature
         for jit reuse, per-step metadata, and the device operand list."""
-        from ..ops.fusion import DenseOp, DiagLayer, StageOp, fuse
+        from ..ops.fusion import (DenseOp, DiagLayer, StageOp, StagePairOp,
+                                  fuse)
 
         d, m = self.d, self.n_local
         steps: list = []
@@ -223,8 +224,13 @@ class ShardedSim:
             if not run:
                 return
             for op in fuse(run, m):
-                if isinstance(op, StageOp):
+                if isinstance(op, StagePairOp):
                     # decompose: the XLA traced path has no fused-stage kernel
+                    ops = [DenseOp(np.asarray(op.u1), (op.q1,)),
+                           DiagLayer(op.factors1),
+                           DenseOp(np.asarray(op.u2), (op.q2,)),
+                           DiagLayer(op.factors2)]
+                elif isinstance(op, StageOp):
                     ops = [DenseOp(np.asarray(op.u), (op.q,)),
                            DiagLayer(op.factors)]
                 else:

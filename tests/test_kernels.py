@@ -181,7 +181,8 @@ def test_qft_uses_stage_fusion():
     n = 16
     circ = CompiledCircuit(n, qft_prims(n), use_pallas=True)
     stats = circ.stats()
-    assert stats["fused_stages"] >= n - 10  # most stages fuse
+    # most stages fuse (and most of those pair up)
+    assert stats["fused_stages"] + 2 * stats["fused_stage_pairs"] >= n - 10
     # correctness vs XLA backend
     ref = CompiledCircuit(n, qft_prims(n), use_pallas=False)
     a = complex_from_planes(circ(zero_state(n)))
@@ -228,3 +229,42 @@ def test_stage_kernel_flat_and_classic(n, q):
     fn, coef, bt, ct = KK.stage_prepare(H, q, factors, n)
     got = complex_from_planes(fn(planes, coef, bt, ct))
     assert np.linalg.norm(got - expected) < 1e-5, (n, q)
+
+
+def test_stage_pair_kernel_matches_reference():
+    """A fused pair of stages (H+ladder on q, q+1) vs the op-by-op engine."""
+    import qubism_tpu.ops.kernels as KK
+    from qubism_tpu.ops.apply import apply_diag, apply_gate, complex_from_planes
+
+    cu1 = lambda l: np.array([1, 1, 1, np.exp(1j * l)], dtype=complex)  # noqa: E731
+    for n, q in ((12, 2), (18, 4), (18, 9), (14, 0)):
+        planes, _ = rand_planes(n, 5 * n + q)
+        f1 = [(cu1(0.4 / (j - q)), (q, j)) for j in range(q + 1, n)]
+        f2 = [(cu1(0.7 / (j - q)), (q + 1, j)) for j in range(q + 2, n)]
+        expected = apply_gate(planes, H, (q,), n)
+        for d, t in f1:
+            expected = apply_diag(expected, d, t, n)
+        expected = apply_gate(expected, H, (q + 1,), n)
+        for d, t in f2:
+            expected = apply_diag(expected, d, t, n)
+        expected = complex_from_planes(expected)
+        fn, coef, bt1, ct1, bt2, ct2 = KK.stage2_prepare(
+            H, q, tuple(f1), H, q + 1, tuple(f2), n)
+        got = complex_from_planes(fn(planes, coef, bt1, ct1, bt2, ct2))
+        assert np.linalg.norm(got - expected) < 1e-5, (n, q)
+
+
+def test_qft_uses_stage_pair_fusion():
+    from qubism_tpu.models.circuits import qft_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit, StagePairOp
+
+    n = 16
+    circ = CompiledCircuit(n, qft_prims(n), use_pallas=True)
+    stats = circ.stats()
+    assert stats["fused_stage_pairs"] >= (n - 8) // 2
+    # pass count ~halves vs unpaired stages
+    assert stats["fused_ops"] <= n // 2 + 4
+    ref = CompiledCircuit(n, qft_prims(n), use_pallas=False)
+    a = circ.state_to_complex(circ(circ.init_state()))
+    b = ref.state_to_complex(ref(ref.init_state()))
+    assert np.linalg.norm(a - b) < 1e-5

@@ -64,7 +64,11 @@ def test_native_rejects_garbage_falls_back():
 def test_native_is_fast():
     from qubism_tpu.models.circuits import brickwork_qasm
 
-    text = brickwork_qasm(24, depth=120, seed=0) * 4  # ~1-2 MB
+    # comment-heavy input isolates SCANNING speed (Python-side Tok
+    # materialization costs the same for both paths and would otherwise
+    # leave a margin thin enough for host-load noise to flip)
+    text = (brickwork_qasm(24, depth=12, seed=0)
+            + ("// " + "x" * 117 + "\n") * 20000)  # ~2.4 MB, few tokens
 
     def best_of(f, k=3):
         out, best = None, float("inf")
