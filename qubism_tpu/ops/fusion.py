@@ -325,9 +325,9 @@ class CompiledCircuit:
             use_pallas = engine_uses_pallas(n)
         self.use_pallas = use_pallas
         if use_pallas:
-            # the pallas row kernel handles <= 2 targets; wider blocks would
-            # fall back to the slow XLA path
-            max_block = min(max_block, 2)
+            # the pallas row kernel handles <= 4 targets (16x16 butterflies;
+            # wider blocks would fall back to the slow XLA path)
+            max_block = min(max_block, 4)
         self.ops = fuse(self.prims, n, max_block, self.v) if optimize else [
             DenseOp(*_prim_sorted_dense(p)) for p in self.prims
         ]
@@ -418,7 +418,7 @@ class CompiledCircuit:
                 # pure-lane blocks: one expanded 128-wide MXU matmul
                 u = _apply.expand_for_view(op.u, n, op.targets)
                 plan = ("lane", kernels.lane_gate_prepare(u, n))
-            elif 1 <= len(op.targets) <= 2:
+            elif 1 <= len(op.targets) <= 4:
                 # row and row/lane-straddling gates: axis/roll kernel
                 plan = ("row", kernels.row_gate_prepare(op.u, op.targets, n))
             else:
@@ -452,7 +452,7 @@ class CompiledCircuit:
             if all(t >= b for t in op.targets):
                 u = _apply.expand_for_view(op.u, n, op.targets)
                 return kernels.lane_gate(state, u, n)
-            if len(op.targets) <= 2:
+            if len(op.targets) <= 4:
                 return kernels.row_gate(state, op.u, op.targets, n)
             # very wide blocks: XLA fallback (shape-restoring, so the
             # canonical chain stays intact around it)
@@ -520,7 +520,6 @@ class CompiledCircuit:
     def _build_sharded(self):
         v, m = self.v, self.n - self.v
         self._events = [self._split_op_sharded(op) for op in self.ops]
-        self._shard_fn_cache: dict = {}
         self._cross_fns: dict = {}
 
     def _cross_fn(self, op: DenseOp):
@@ -681,20 +680,6 @@ class CompiledCircuit:
             return tuple(new)
 
         return apply_cross
-
-    def _shard_fn(self, op):
-        """Single-shard application (kernels are individually jitted and
-        compile-cached; the XLA path wraps in a cached jit)."""
-        key = id(op)
-        if key not in self._shard_fn_cache:
-            m = self.n - self.v
-            if self.use_pallas:
-                self._shard_fn_cache[key] = lambda planes, op=op: self._run_op_at(op, planes, m)
-            else:
-                self._shard_fn_cache[key] = jax.jit(
-                    lambda planes, op=op: self._run_op_at(op, planes, m),
-                    donate_argnums=0)
-        return self._shard_fn_cache[key]
 
     @staticmethod
     def _force(planes):

@@ -133,7 +133,7 @@ def _trail_rows(targets: tuple[int, ...], n: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
-    """Dense gate on <=2 row qubits over canonical planes, optionally fused
+    """Dense gate on <=4 row qubits over canonical planes, optionally fused
     with per-branch diagonal ladder phases ("stages"). Returns a jitted
     ``fn(planes, coef, *(bt_i, ct_i)*stage)`` with every state buffer
     aliased in place.
@@ -149,7 +149,7 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
     bit order is targets ascending (first target = MSB), so every gate with
     the same target positions shares one compile."""
     k = len(targets)
-    assert 1 <= k <= 2
+    assert 1 <= k <= 4
     C = canon_cols(n)
     mechs = [_mech(t, n) for t in targets]
     axis = [(i, p) for i, (kind, p) in enumerate(mechs) if kind == "axis"]
@@ -299,20 +299,18 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
         def coef(part, ia, ja, S):
             """u[(ia, b), (ja, b ^ S)] selected over element roll bits b."""
             def entry(b):
-                bi = list(b)
-                bj = [bb ^ (1 if ridx in S else 0)
-                      for ridx, bb in enumerate(b)]
-                return cf_ref[part, u_index(ia, tuple(bi)), u_index(ja, tuple(bj))]
+                bj = tuple(bb ^ (1 if ridx in S else 0)
+                           for ridx, bb in enumerate(b))
+                return cf_ref[part, u_index(ia, tuple(b)), u_index(ja, bj)]
 
-            if n_rl == 0:
-                return entry(())
-            if n_rl == 1:
-                return jnp.where(masks[0], entry((1,)), entry((0,)))
-            return jnp.where(
-                masks[0],
-                jnp.where(masks[1], entry((1, 1)), entry((1, 0))),
-                jnp.where(masks[1], entry((0, 1)), entry((0, 0))),
-            )
+            def tree(prefix):
+                if len(prefix) == n_rl:
+                    return entry(prefix)
+                d = len(prefix)
+                return jnp.where(masks[d], tree(prefix + (1,)),
+                                 tree(prefix + (0,)))
+
+            return tree(())
 
         phases = []
         for t in range(stage):

@@ -58,10 +58,61 @@ def _sample_parts(planes, n: int, shots: int, key: jax.Array):
     return c.astype(jnp.int32), lo.astype(jnp.int32)
 
 
+#: states at or above this use the gather-based 3-level sampler: the
+#: 2-level one materializes |psi|^2 AND its prefix sums (= +two state-sized
+#: buffers — at n=30 the state is already half of HBM)
+_BIG_SAMPLE_BITS = 27
+_LEAF_BITS = 9
+
+
+@functools.partial(jax.jit, static_argnames=("n", "shots"), donate_argnums=())
+def _sample_parts_big(planes, n: int, shots: int, key: jax.Array):
+    """3-level inverse CDF with O(2^n / 2^_LEAF_BITS) memory: chunk sums via
+    a FUSED square+reduce (|psi|^2 is never materialized), then per-shot
+    gathers of one mid row and one leaf chunk. Returns (chunk, leaf) int32
+    pairs with 2^_LEAF_BITS-element leaves."""
+    L = _LEAF_BITS
+    TM = n - L
+    M = min(10, TM)
+    T = TM - M
+    re, im = planes
+    re = re.reshape(1 << TM, 1 << L)
+    im = im.reshape(1 << TM, 1 << L)
+    chunk = jnp.sum(re * re + im * im, axis=1)          # (2^TM,) — one pass
+    top_cdf = jnp.cumsum(jnp.sum(chunk.reshape(1 << T, 1 << M), axis=1))
+    total = top_cdf[-1]
+
+    u = jax.random.uniform(key, (shots,), dtype=jnp.float32) * total
+    t = jnp.clip(jnp.searchsorted(top_cdf, u, side="right"), 0, (1 << T) - 1)
+    resid = u - jnp.where(t > 0, top_cdf[jnp.maximum(t - 1, 0)], 0.0)
+
+    rows = chunk.reshape(1 << T, 1 << M)[t]             # (shots, 2^M)
+    row_cdf = jnp.cumsum(rows, axis=1)
+    mid = jnp.clip(jnp.sum(row_cdf <= resid[:, None], axis=1), 0, (1 << M) - 1)
+    prev = jnp.take_along_axis(row_cdf, jnp.maximum(mid - 1, 0)[:, None],
+                               axis=1)[:, 0]
+    resid2 = resid - jnp.where(mid > 0, prev, 0.0)
+
+    cidx = (t << M) | mid                               # (shots,) chunk index
+    leaf_re = re[cidx]                                  # (shots, 2^L)
+    leaf_im = im[cidx]
+    leaf_cdf = jnp.cumsum(leaf_re * leaf_re + leaf_im * leaf_im, axis=1)
+    leaf = jnp.clip(jnp.sum(leaf_cdf <= resid2[:, None], axis=1),
+                    0, (1 << L) - 1)
+    return cidx.astype(jnp.int32), leaf.astype(jnp.int32)
+
+
+def _leaf_bits(n: int) -> int:
+    return _LEAF_BITS if n >= _BIG_SAMPLE_BITS else n - max(0, n // 2)
+
+
 def sample_indices_np(planes, n: int, shots: int, key: jax.Array) -> np.ndarray:
     """Sample basis-state indices; (shots,) int64 on the host (safe at any n)."""
-    c, lo = jax.device_get(_sample_parts(planes, n, shots, key))
-    r = n - max(0, n // 2)
+    if n >= _BIG_SAMPLE_BITS:
+        c, lo = jax.device_get(_sample_parts_big(planes, n, shots, key))
+    else:
+        c, lo = jax.device_get(_sample_parts(planes, n, shots, key))
+    r = _leaf_bits(n)
     return (np.asarray(c).astype(np.int64) << r) | np.asarray(lo).astype(np.int64)
 
 

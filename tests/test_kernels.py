@@ -268,3 +268,20 @@ def test_qft_uses_stage_pair_fusion():
     a = circ.state_to_complex(circ(circ.init_state()))
     b = ref.state_to_complex(ref(ref.init_state()))
     assert np.linalg.norm(a - b) < 1e-5
+
+
+@pytest.mark.parametrize("n,targets", [
+    (18, (0, 5, 9)),     # axis + gap + narrow mix, k=3
+    (18, (2, 3, 8, 9)),  # k=4, mixed mechanics
+    (14, (0, 1, 2)),     # small n, k=3
+])
+def test_row_gate_wide_blocks(n, targets):
+    """k=3/4 dense blocks (fused brickwork pairs / CX chains) vs XLA."""
+    rng = np.random.default_rng(n + len(targets))
+    k = len(targets)
+    m = rng.normal(size=(1 << k, 1 << k)) + 1j * rng.normal(size=(1 << k, 1 << k))
+    u, _ = np.linalg.qr(m)
+    planes, _ = rand_planes(n, 77 + n)
+    expected = complex_from_planes(apply_gate(planes, u, targets, n))
+    got = complex_from_planes(K.row_gate(planes, u, targets, n))
+    assert np.linalg.norm(got - expected) < 1e-5

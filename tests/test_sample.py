@@ -66,3 +66,34 @@ def test_zero_amplitude_regions_never_sampled():
     planar, _ = planar_state(amps)
     idx = np.asarray(sample_indices(planar, 6, 4096, jax.random.PRNGKey(3)))
     assert set(np.unique(idx)) <= {7, 42}
+
+
+def test_big_sampler_matches_small_distribution():
+    """The 3-level gather sampler (n >= _BIG_SAMPLE_BITS) must agree with
+    the 2-level one; forced at a small n for testability."""
+    import jax
+    import numpy as np
+
+    from qubism_tpu.ops import sample as S
+    from qubism_tpu.ops.apply import planes_from_complex
+
+    rng = np.random.default_rng(9)
+    n = 12
+    v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    v /= np.linalg.norm(v)
+    import jax.numpy as jnp
+
+    re, im = planes_from_complex(v)
+    planes = (jnp.asarray(re), jnp.asarray(im))
+    shots = 4000
+    key = jax.random.PRNGKey(3)
+    c, lo = jax.device_get(S._sample_parts_big(planes, n, shots, key))
+    idx = (np.asarray(c).astype(np.int64) << S._LEAF_BITS) | np.asarray(lo)
+    assert idx.min() >= 0 and idx.max() < (1 << n)
+    # chi-squared-ish sanity on coarse bins vs true probabilities
+    p = np.abs(v) ** 2
+    bins = p.reshape(16, -1).sum(1)
+    counts = np.bincount(idx >> (n - 4), minlength=16)
+    expected = bins * shots
+    chi2 = float(((counts - expected) ** 2 / np.maximum(expected, 1e-9)).sum())
+    assert chi2 < 60, chi2  # 15 dof; ~25 typical, 60 = far tail
