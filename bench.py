@@ -117,12 +117,16 @@ def run_sampled(kind: str, n: int, shots: int, depth: int = 4) -> dict:
     state = circ(circ.init_state())
     _sync(state)
     run_s = time.time() - t0
-    t0 = time.time()
     key = jax.random.PRNGKey(11)
-    if circ.v:
-        idx = sample_indices_sharded(state, n, circ.v, shots, key)
-    else:
-        idx = sample_indices_np(state, n, shots, key)
+
+    def draw(k):
+        if circ.v:
+            return sample_indices_sharded(state, n, circ.v, shots, k)
+        return sample_indices_np(state, n, shots, k)
+
+    draw(key)  # warm-up: compiles the sampler
+    t0 = time.time()
+    idx = draw(key)
     sample_s = time.time() - t0
     out = {
         "kind": kind,
@@ -144,6 +148,37 @@ def run_sampled(kind: str, n: int, shots: int, depth: int = 4) -> dict:
     del state, circ
     gc.collect()
     return out
+
+
+def measure_plateau(n: int = 28, k: int = 16) -> float:
+    """The chip's actual streaming ceiling (GB/s, combined read+write):
+    k chained in-place diagonal sweeps — the purest full-state pass the
+    engine has. The v5e spec sheet says 819 GB/s; this environment measures
+    ~480-530 on EVERY well-formed kernel including raw copies, so per-pass
+    efficiency is honest only against this number."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qubism_tpu.ops import fusion, kernels
+
+    d = np.array([1, 1, 1, -1], dtype=np.complex128)
+    fn, rt, ct = kernels.diag_layer_prepare([(d, (0, n - 1))], n)[0]
+    chain = jax.jit(
+        lambda p: functools.reduce(lambda q, _: fn(q, rt, ct), range(k), p),
+        donate_argnums=0)
+    planes = fusion.zero_state_virtual(n, 0, canonical=True)
+    planes = chain(planes)
+    float(planes[0][0, 0])
+    t0 = time.time()
+    planes = chain(planes)
+    float(planes[0][0, 0])
+    dt = time.time() - t0
+    del planes
+    gc.collect()
+    return 16.0 * (1 << n) * k / dt  # bytes/s
 
 
 def run_adder(width: int) -> dict:
@@ -270,6 +305,13 @@ def main():
             "achieved_hbm_gbps": round(achieved_bw / 1e9, 1),
             "hbm_fraction_of_peak": round(achieved_bw / peak_bw(dev), 3),
         })
+        if on_tpu:
+            try:
+                plateau = measure_plateau(n)
+                extra["streaming_plateau_gbps"] = round(plateau / 1e9, 1)
+                extra["fraction_of_plateau"] = round(achieved_bw / plateau, 3)
+            except Exception as e:
+                log(f"plateau measurement failed: {type(e).__name__}: {str(e)[:150]}")
 
     # the widened adder (after the big states are gone)
     if on_tpu:
