@@ -104,23 +104,18 @@ class StageOp:
 
 
 @dataclass(frozen=True)
-class StagePairOp:
-    """TWO consecutive fused stages on adjacent qubits (q2 = q1 + 1, the
-    QFT shape) collapsed into ONE kernel pass: the 4x4 mixing (u1, the
-    (q1, q2) ladder factor, u2) folds into a constant coefficient block and
-    each branch multiplies its own factorized phase tables
-    (kernels.stage2_prepare)."""
+class StageBlockOp:
+    """Up to FOUR consecutive fused stages on adjacent qubits (the QFT
+    shape) collapsed into ONE kernel pass: the intra-block ladder factors
+    and all the 1q gates fold into a constant 2^k x 2^k coefficient block,
+    and each branch multiplies its own factorized external phase tables
+    (kernels.stage_block_prepare)."""
 
-    u1: np.ndarray
-    q1: int
-    factors1: tuple                    # full ladder of stage 1 (incl (q1, q2))
-    u2: np.ndarray
-    q2: int
-    factors2: tuple
+    stages: tuple  # ((u (2,2), q, factors), ...), q strictly ascending
 
     @property
     def targets(self):  # for stats/debug
-        return (self.q1, self.q2)
+        return tuple(q for _, q, _ in self.stages)
 
 
 @dataclass(frozen=True)
@@ -217,9 +212,29 @@ def _stage_prepass(prims, n: int, keep_separate_below: int = 0):
     return out
 
 
+#: default stage-group width. Measured on v5e (QFT-28, 3-rep steady state):
+#: k=2 runs 12 passes in 99 ms — exactly the chip's 512 GB/s streaming
+#: plateau — while k=3 (8-10 passes, 104-116 ms) and k=4 (7-9 passes,
+#: 152 ms) go COMPUTE-bound: the mixing sum grows 4^k per element and roll
+#: targets add 2^rolls select trees, so fewer passes lose to slower passes.
+#: k=2 is the sweet spot where the kernel stays DMA-bound.
+STAGE_GROUP = 2
+
+#: max "axis"-mechanism targets per stage block (VMEM hard cap: window bytes
+#: scale as 2^axis x 128 rows x 2048 lanes x 4 B, double-buffered, in+out —
+#: 4 axis slots = 143 MB > the 128 MB chip VMEM, a compile error)
+_MAX_AXIS_SLOTS = 3
+
+
 def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
-         keep_separate_below: int = 0) -> list:
-    """Greedy fusion: prims -> [StageOp | DenseOp | DiagLayer]."""
+         keep_separate_below: int = 0,
+         stage_group: int | None = None,
+         max_axis_slots: int | None = None) -> list:
+    """Greedy fusion: prims -> [StageBlockOp | DenseOp | DiagLayer]."""
+    if stage_group is None:
+        stage_group = STAGE_GROUP
+    if max_axis_slots is None:
+        max_axis_slots = _MAX_AXIS_SLOTS
     prims = _stage_prepass(prims, n, keep_separate_below)
     blocks: list = []
     cur_u: np.ndarray | None = None
@@ -265,21 +280,36 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
         else:
             out.append(b)
 
-    # pair up consecutive stages on adjacent qubits (halves QFT pass count)
-    paired: list = []
+    # group runs of consecutive stages on adjacent qubits into blocks of up
+    # to ``stage_group`` (a k-block cuts QFT pass count by k). The VMEM cap:
+    # each "axis"-mechanism target doubles the kernel's block footprint
+    # (stage tables force >= 128 trailing rows), so groups keep at most
+    # _MAX_AXIS_SLOTS axis targets — beyond that the double-buffered blocks
+    # exceed the chip's VMEM.
+    from .kernels import _mech
+
+    grouped: list = []
     i = 0
     while i < len(out):
         a = out[i]
-        b = out[i + 1] if i + 1 < len(out) else None
-        if (isinstance(a, StageOp) and isinstance(b, StageOp)
-                and b.q == a.q + 1):
-            paired.append(StagePairOp(a.u, a.q, a.factors, b.u, b.q,
-                                      b.factors))
-            i += 2
-        else:
-            paired.append(a)
+        if not isinstance(a, StageOp):
+            grouped.append(a)
             i += 1
-    return paired
+            continue
+        grp = [a]
+        n_axis = 1 if _mech(a.q, n)[0] == "axis" else 0
+        while len(grp) < stage_group and i + len(grp) < len(out):
+            b = out[i + len(grp)]
+            if not (isinstance(b, StageOp) and b.q == grp[-1].q + 1):
+                break
+            b_axis = 1 if _mech(b.q, n)[0] == "axis" else 0
+            if n_axis + b_axis > max_axis_slots:
+                break
+            n_axis += b_axis
+            grp.append(b)
+        grouped.append(StageBlockOp(tuple((s.u, s.q, s.factors) for s in grp)))
+        i += len(grp)
+    return grouped
 
 
 def _apply_dense_traced(planes, u: np.ndarray, targets: tuple[int, ...], n: int):
@@ -371,8 +401,7 @@ class CompiledCircuit:
         """Fusion statistics (observability; the reference had none)."""
         dense = [op for op in self.ops if isinstance(op, DenseOp)]
         layers = [op for op in self.ops if isinstance(op, DiagLayer)]
-        stages = [op for op in self.ops if isinstance(op, StageOp)]
-        pairs = [op for op in self.ops if isinstance(op, StagePairOp)]
+        blocks = [op for op in self.ops if isinstance(op, StageBlockOp)]
         return {
             "n": self.n,
             "prims": len(self.prims),
@@ -380,8 +409,9 @@ class CompiledCircuit:
             "dense_blocks": len(dense),
             "diag_layers": len(layers),
             "diag_factors": sum(len(l.factors) for l in layers),
-            "fused_stages": len(stages),
-            "fused_stage_pairs": len(pairs),
+            "fused_stage_blocks": len(blocks),
+            "fused_stages": sum(len(b.stages) for b in blocks),
+            "max_stage_group": max((len(b.stages) for b in blocks), default=0),
             "max_block_qubits": max((len(op.targets) for op in dense), default=0),
             "backend": "pallas" if self.use_pallas else "xla",
             "virtual_shards": self.v,
@@ -405,11 +435,8 @@ class CompiledCircuit:
         hit = self._op_cache.get(key)
         if hit is not None:
             return hit
-        if isinstance(op, StagePairOp):
-            plan = ("stage2", kernels.stage2_prepare(
-                op.u1, op.q1, op.factors1, op.u2, op.q2, op.factors2, n))
-        elif isinstance(op, StageOp):
-            plan = ("stage", kernels.stage_prepare(op.u, op.q, op.factors, n))
+        if isinstance(op, StageBlockOp):
+            plan = ("stageblk", kernels.stage_block_prepare(op.stages, n))
         elif isinstance(op, DiagLayer):
             plan = ("diag", kernels.diag_layer_prepare(op.factors, n))
         else:
@@ -429,20 +456,16 @@ class CompiledCircuit:
     def _run_op_at(self, op, state, n):
         from . import kernels
 
-        if isinstance(op, StagePairOp):
+        if isinstance(op, StageBlockOp):
             if self.use_pallas:
-                fn, coef, bt1, ct1, bt2, ct2 = self._prepared(op, n)[1]
-                return fn(state, coef, bt1, ct1, bt2, ct2)
-            state = _apply_dense_traced(state, op.u1, (op.q1,), n)
-            state = _apply_diag_layer_traced(state, DiagLayer(op.factors1), n)
-            state = _apply_dense_traced(state, op.u2, (op.q2,), n)
-            return _apply_diag_layer_traced(state, DiagLayer(op.factors2), n)
-        if isinstance(op, StageOp):
-            if self.use_pallas:
-                fn, coef, bt, ct = self._prepared(op, n)[1]
-                return fn(state, coef, bt, ct)
-            state = _apply_dense_traced(state, op.u, (op.q,), n)
-            return _apply_diag_layer_traced(state, DiagLayer(op.factors), n)
+                fn, coef, *tabs = self._prepared(op, n)[1]
+                return fn(state, coef, *tabs)
+            for u, q, factors in op.stages:
+                state = _apply_dense_traced(state, u, (q,), n)
+                if factors:
+                    state = _apply_diag_layer_traced(
+                        state, DiagLayer(factors), n)
+            return state
         if isinstance(op, DiagLayer):
             if self.use_pallas:
                 return kernels.diag_layer(state, op.factors, n)
@@ -480,17 +503,12 @@ class CompiledCircuit:
         """Specialize one fused op for the 2^v shards. Returns
         ("per_shard", [op_for_shard_s]) or ("cross", DenseOp)."""
         v, m = self.v, self.n - self.v
-        if isinstance(op, StagePairOp):
-            shifted = StagePairOp(
-                op.u1, op.q1 - v,
-                tuple((d, (t[0] - v, t[1] - v)) for d, t in op.factors1),
-                op.u2, op.q2 - v,
-                tuple((d, (t[0] - v, t[1] - v)) for d, t in op.factors2))
-            return ("per_shard", [shifted] * (1 << v))
-        if isinstance(op, StageOp):
-            # the stage prepass never creates StageOps touching virtual bits
-            shifted = StageOp(op.u, op.q - v, tuple(
-                (d, (t[0] - v, t[1] - v)) for d, t in op.factors))
+        if isinstance(op, StageBlockOp):
+            # the stage prepass never creates stages touching virtual bits
+            shifted = StageBlockOp(tuple(
+                (u, q - v,
+                 tuple((d, (t[0] - v, t[1] - v)) for d, t in factors))
+                for u, q, factors in op.stages))
             return ("per_shard", [shifted] * (1 << v))
         if isinstance(op, DiagLayer):
             per = []
@@ -710,14 +728,10 @@ class CompiledCircuit:
                 for payload in run:
                     op = payload[s]
                     kind, prep = self._prepared(op, m)
-                    if kind == "stage2":
+                    if kind == "stageblk":
                         fn = prep[0]
-                        plans.append(("stage2", fn, None))
+                        plans.append(("stageblk", fn, len(prep) - 1))
                         operands.extend(prep[1:])
-                    elif kind == "stage":
-                        fn, coef, bt, ct = prep
-                        plans.append(("stage", fn, None))
-                        operands.extend([coef, bt, ct])
                     elif kind == "diag":
                         plans.append(("diag", [p[0] for p in prep], None))
                         for _, rt, ct in prep:
@@ -735,12 +749,10 @@ class CompiledCircuit:
 
                 def chunk_fn(state, ops_args, plans=tuple(plans)):
                     it = iter(ops_args)
-                    for kind, payload, _ in plans:
-                        if kind == "stage2":
-                            state = payload(state, next(it), next(it),
-                                            next(it), next(it), next(it))
-                        elif kind == "stage":
-                            state = payload(state, next(it), next(it), next(it))
+                    for kind, payload, extra in plans:
+                        if kind == "stageblk":
+                            args = [next(it) for _ in range(extra)]
+                            state = payload(state, *args)
                         elif kind == "diag":
                             for fn in payload:
                                 state = fn(state, next(it), next(it))
@@ -801,14 +813,10 @@ class CompiledCircuit:
             operands: list = []
             for op in chunk:
                 kind, prep = self._prepared(op, n)
-                if kind == "stage2":
+                if kind == "stageblk":
                     fn = prep[0]
-                    plans.append(("stage2", fn, None))
+                    plans.append(("stageblk", fn, len(prep) - 1))
                     operands.extend(prep[1:])
-                elif kind == "stage":
-                    fn, coef, bt, ct = prep
-                    plans.append(("stage", fn, None))
-                    operands.extend([coef, bt, ct])
                 elif kind == "diag":
                     fns = [p[0] for p in prep]
                     plans.append(("diag", fns, len(prep)))
@@ -828,11 +836,9 @@ class CompiledCircuit:
             def chunk_fn(state, ops_args, plans=tuple(plans)):
                 it = iter(ops_args)
                 for kind, payload, extra in plans:
-                    if kind == "stage2":
-                        state = payload(state, next(it), next(it),
-                                        next(it), next(it), next(it))
-                    elif kind == "stage":
-                        state = payload(state, next(it), next(it), next(it))
+                    if kind == "stageblk":
+                        args = [next(it) for _ in range(extra)]
+                        state = payload(state, *args)
                     elif kind == "diag":
                         for fn in payload:
                             state = fn(state, next(it), next(it))

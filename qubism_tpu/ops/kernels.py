@@ -758,54 +758,67 @@ def _phase_tables(factors, q: int, targets: tuple[int, ...], n: int):
     return jnp.asarray(bt), jnp.asarray(ct)
 
 
-def stage_prepare(u: np.ndarray, q: int, factors, n: int):
-    """Host->device for a fused stage: ``u`` (2, 2) complex on qubit q, plus
-    2-qubit diagonal ``factors`` [(d (4,), (q, j))] with j > q. Returns
-    (fn, coef, Btable, Ctable):
+def stage_block_prepare(stages, n: int):
+    """Host->device for a fused BLOCK of k <= 4 stages: the circuit
+    U1(q1); D1(q1,*); U2(q2); D2(q2,*); ...; Uk(qk); Dk(qk,*) with
+    q1 < q2 < ... < qk in ONE state sweep.
 
-        y0 = u00 x0 + u01 x1
-        y1 = (u10 x0 + u11 x1) * Brow[row] * Ccol[lane]
-    """
-    bt, ct = _phase_tables(factors, q, (q,), n)
-    cu = np.asarray(u, dtype=np.complex128)
-    coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
-    return (_gate_fn((q,), n, 1), jnp.asarray(coef), bt, ct)
+    ``stages`` = ((u (2,2) complex, q, factors), ...) where each ``factors``
+    is a ladder ((d (4,), (q, j)), ...) with j > q. The (q_t, q_s) factors
+    internal to the block see U_t's OUTPUT bit i_t and U_s's INPUT bit j_s
+    (D_t sits between them), so the whole mixing folds into a constant
+    2^k x 2^k coefficient block:
+
+        y(i1..ik) = prod_t P_t^{i_t} * sum_{j1..jk}
+                    prod_t U_t[i_t, j_t] * prod_{t<s} d_ts[(i_t<<1)|j_s]
+                    * x(j1..jk)
+
+    where P_t are the per-stage EXTERNAL ladders' phases, factorized into
+    row x lane tables (valid because grouping is over consecutive q's, so
+    every external j exceeds the block's max target and its bit sits below
+    every target). Returns (fn, coef, bt_1, ct_1, ..., bt_k, ct_k)."""
+    k = len(stages)
+    assert 1 <= k <= 4
+    targets = tuple(q for _, q, _ in stages)
+    assert all(targets[i] < targets[i + 1] for i in range(k - 1)), targets
+    pos = {q: t for t, q in enumerate(targets)}
+
+    intra: dict[tuple[int, int], np.ndarray] = {}
+    tables = []
+    for t, (_, q, factors) in enumerate(stages):
+        rest = []
+        for d, (qq, j) in factors:
+            if j in pos:
+                intra[(t, pos[j])] = np.asarray(d, dtype=np.complex128)
+            else:
+                assert j > targets[-1], (targets, j)
+                rest.append((d, (qq, j)))
+        tables.extend(_phase_tables(rest, q, targets, n))
+
+    us = [np.asarray(u, dtype=np.complex128) for u, _, _ in stages]
+    dim = 1 << k
+    cmat = np.zeros((dim, dim), dtype=np.complex128)
+    for i in range(dim):
+        ib = [(i >> (k - 1 - t)) & 1 for t in range(k)]
+        for j in range(dim):
+            jb = [(j >> (k - 1 - t)) & 1 for t in range(k)]
+            val = np.complex128(1)
+            for t in range(k):
+                val *= us[t][ib[t], jb[t]]
+            for (t, s), d in intra.items():
+                val *= d[(ib[t] << 1) | jb[s]]
+            cmat[i, j] = val
+    coef = np.stack([cmat.real.astype(np.float32),
+                     cmat.imag.astype(np.float32)])
+    return (_gate_fn(targets, n, k), jnp.asarray(coef), *tables)
+
+
+def stage_prepare(u: np.ndarray, q: int, factors, n: int):
+    """One fused stage (u on q + its ladder): stage_block_prepare k=1."""
+    return stage_block_prepare(((u, q, factors),), n)
 
 
 def stage2_prepare(u1: np.ndarray, q1: int, factors1, u2: np.ndarray,
                    q2: int, factors2, n: int):
-    """Host->device for a fused PAIR of stages (q2 > q1): two QFT stages in
-    one state sweep. The circuit U1(q1); D1(q1,*); U2(q2); D2(q2,*) has
-
-        y(i1,i2) = P1(t)^i1 P2(t)^i2 * sum_{j1,j2}
-                   U1[i1,j1] * d1[i1,j2] * U2[i2,j2] * x(j1,j2)
-
-    where d1 is D1's (q1, q2) factor (identity if absent) and P1/P2 are the
-    remaining ladders' phases — all constant but the P tables, so the 4x4
-    mixing folds into one SMEM coefficient block.
-
-    Returns (fn, coef, bt1, ct1, bt2, ct2)."""
-    assert q2 > q1
-    d1 = np.ones(4, dtype=np.complex128)
-    rest1 = []
-    for d, (qq, j) in factors1:
-        if j == q2:
-            d1 = np.asarray(d, dtype=np.complex128)
-        else:
-            rest1.append((d, (qq, j)))
-    targets = (q1, q2)
-    bt1, ct1 = _phase_tables(rest1, q1, targets, n)
-    bt2, ct2 = _phase_tables(factors2, q2, targets, n)
-
-    u1 = np.asarray(u1, dtype=np.complex128)
-    u2 = np.asarray(u2, dtype=np.complex128)
-    cmat = np.zeros((4, 4), dtype=np.complex128)
-    for i1 in range(2):
-        for i2 in range(2):
-            for j1 in range(2):
-                for j2 in range(2):
-                    cmat[(i1 << 1) | i2, (j1 << 1) | j2] = (
-                        u1[i1, j1] * d1[(i1 << 1) | j2] * u2[i2, j2])
-    coef = np.stack([cmat.real.astype(np.float32),
-                     cmat.imag.astype(np.float32)])
-    return (_gate_fn(targets, n, 2), jnp.asarray(coef), bt1, ct1, bt2, ct2)
+    """A fused pair of stages: stage_block_prepare k=2."""
+    return stage_block_prepare(((u1, q1, factors1), (u2, q2, factors2)), n)

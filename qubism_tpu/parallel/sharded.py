@@ -212,8 +212,7 @@ class ShardedSim:
         """Lower a run of prims (dense targets already physically local under
         the current perm) into (sig, steps, operands): a structural signature
         for jit reuse, per-step metadata, and the device operand list."""
-        from ..ops.fusion import (DenseOp, DiagLayer, StageOp, StagePairOp,
-                                  fuse)
+        from ..ops.fusion import DenseOp, DiagLayer, StageBlockOp, fuse
 
         d, m = self.d, self.n_local
         steps: list = []
@@ -224,15 +223,13 @@ class ShardedSim:
             if not run:
                 return
             for op in fuse(run, m):
-                if isinstance(op, StagePairOp):
+                if isinstance(op, StageBlockOp):
                     # decompose: the XLA traced path has no fused-stage kernel
-                    ops = [DenseOp(np.asarray(op.u1), (op.q1,)),
-                           DiagLayer(op.factors1),
-                           DenseOp(np.asarray(op.u2), (op.q2,)),
-                           DiagLayer(op.factors2)]
-                elif isinstance(op, StageOp):
-                    ops = [DenseOp(np.asarray(op.u), (op.q,)),
-                           DiagLayer(op.factors)]
+                    ops = []
+                    for u, q, factors in op.stages:
+                        ops.append(DenseOp(np.asarray(u), (q,)))
+                        if factors:
+                            ops.append(DiagLayer(factors))
                 else:
                     ops = [op]
                 for o in ops:

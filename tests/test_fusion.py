@@ -109,14 +109,14 @@ def test_brickwork_matches_reference():
 
 
 def test_fusion_reduces_passes():
-    from qubism_tpu.ops.fusion import StageOp
+    from qubism_tpu.ops.fusion import StageBlockOp
 
     n = 12
     prims = qft_prims(n)  # n H's + n(n-1)/2 cu1's = 78 prims
     ops = fuse(prims, n)
-    # row stages fuse to ONE StageOp each; the lane tail becomes blocks/layers
+    # row stages fuse into multi-stage blocks; lane tail becomes blocks/layers
     assert len(ops) <= 2 * n
-    assert any(isinstance(o, (DiagLayer, StageOp)) for o in ops)
+    assert any(isinstance(o, (DiagLayer, StageBlockOp)) for o in ops)
     # brickwork: all CZs of a layer collapse into diagonal layers
     bops = fuse(brickwork_prims(10, 4, 0), 10)
     assert len(bops) < len(brickwork_prims(10, 4, 0)) / 2

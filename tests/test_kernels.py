@@ -176,13 +176,14 @@ def test_stage_kernel_matches_reference():
 
 def test_qft_uses_stage_fusion():
     from qubism_tpu.models.circuits import qft_prims
-    from qubism_tpu.ops.fusion import CompiledCircuit, StageOp
+    from qubism_tpu.ops.fusion import CompiledCircuit
 
     n = 16
     circ = CompiledCircuit(n, qft_prims(n), use_pallas=True)
     stats = circ.stats()
-    # most stages fuse (and most of those pair up)
-    assert stats["fused_stages"] + 2 * stats["fused_stage_pairs"] >= n - 10
+    # most stages fuse (into multi-stage blocks)
+    assert stats["fused_stages"] >= n - 10
+    assert stats["max_stage_group"] >= 2
     # correctness vs XLA backend
     ref = CompiledCircuit(n, qft_prims(n), use_pallas=False)
     a = complex_from_planes(circ(zero_state(n)))
@@ -254,20 +255,45 @@ def test_stage_pair_kernel_matches_reference():
         assert np.linalg.norm(got - expected) < 1e-5, (n, q)
 
 
-def test_qft_uses_stage_pair_fusion():
+def test_qft_uses_stage_block_fusion():
     from qubism_tpu.models.circuits import qft_prims
-    from qubism_tpu.ops.fusion import CompiledCircuit, StagePairOp
+    from qubism_tpu.ops.fusion import STAGE_GROUP, CompiledCircuit
 
     n = 16
     circ = CompiledCircuit(n, qft_prims(n), use_pallas=True)
     stats = circ.stats()
-    assert stats["fused_stage_pairs"] >= (n - 8) // 2
-    # pass count ~halves vs unpaired stages
-    assert stats["fused_ops"] <= n // 2 + 4
+    assert stats["max_stage_group"] >= min(2, STAGE_GROUP)
+    # pass count drops ~k-fold vs unfused stages
+    assert stats["fused_ops"] <= n // STAGE_GROUP + 4
     ref = CompiledCircuit(n, qft_prims(n), use_pallas=False)
     a = circ.state_to_complex(circ(circ.init_state()))
     b = ref.state_to_complex(ref(ref.init_state()))
     assert np.linalg.norm(a - b) < 1e-5
+
+
+@pytest.mark.parametrize("n,q0,k", [
+    (12, 2, 3), (14, 0, 3), (18, 4, 3), (18, 8, 3),
+    (12, 1, 4), (18, 3, 4), (18, 7, 4), (16, 0, 4),
+])
+def test_stage_block_kernel_matches_reference(n, q0, k):
+    """A fused block of k stages (H+ladder on q0..q0+k-1) vs op-by-op."""
+    import qubism_tpu.ops.kernels as KK
+    from qubism_tpu.ops.apply import apply_diag, apply_gate, complex_from_planes
+
+    cu1 = lambda l: np.array([1, 1, 1, np.exp(1j * l)], dtype=complex)  # noqa: E731
+    planes, _ = rand_planes(n, 17 * n + q0 + k)
+    stages = []
+    expected = planes
+    for q in range(q0, q0 + k):
+        factors = tuple((cu1(0.9 / (j - q)), (q, j)) for j in range(q + 1, n))
+        stages.append((H, q, factors))
+        expected = apply_gate(expected, H, (q,), n)
+        for d, t in factors:
+            expected = apply_diag(expected, d, t, n)
+    expected = complex_from_planes(expected)
+    fn, coef, *tabs = KK.stage_block_prepare(tuple(stages), n)
+    got = complex_from_planes(fn(planes, coef, *tabs))
+    assert np.linalg.norm(got - expected) < 1e-5, (n, q0, k)
 
 
 @pytest.mark.parametrize("n,targets", [
