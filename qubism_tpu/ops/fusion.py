@@ -172,6 +172,29 @@ def _union_ok(union: tuple[int, ...], n: int, max_block: int,
     return len(union) <= max_block
 
 
+def _pass_cost(u: np.ndarray) -> float:
+    """Relative cost of one row-kernel pass applying ``u``, in units of a
+    DMA-bound state sweep. Measured on v5e (n=28 steady state): dense k<=2
+    blocks run at the 512 GB/s streaming plateau (~8.5 ms), dense k=3 at
+    ~10.6 ms, dense k=4 at ~19 ms — the mixing sum (nonzero terms per output
+    row; structural zeros are skipped via kernels._zero_pattern) turns the
+    kernel compute-bound past ~7 terms. Permutation-like blocks (CX/Toffoli
+    chains: 1 term/row) stay DMA-bound at any width."""
+    nnz_per_row = float((np.abs(u) > 1e-12).sum(axis=1).mean())
+    return max(1.0, nnz_per_row / 7.0)
+
+
+def _merge_pays(cur_u: np.ndarray, fused_u: np.ndarray, new_u: np.ndarray,
+                union: tuple[int, ...], n: int) -> bool:
+    """Cost-based fusion admission for row blocks: merge only if one fused
+    pass beats the two separate passes (pure-lane unions are matmul-path
+    free and skip this)."""
+    b = max(n - _apply._COL, 0)
+    if all(t >= b for t in union):
+        return True
+    return _pass_cost(fused_u) < _pass_cost(cur_u) + _pass_cost(new_u)
+
+
 def _stage_prepass(prims, n: int, keep_separate_below: int = 0):
     """Detect [1q dense on row qubit q] + [run of 2q diagonals (q, j), j>q,
     with trivial q=0 branch] and fuse each into a StageOp — the dominant
@@ -259,10 +282,12 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
         if _union_ok(union, n, max_block, keep_separate_below):
             a = _expand(cur_u, cur_t, union)
             b = _expand(u, t, union)
-            cur_u, cur_t = b @ a, union  # p applies after the block
-        else:
-            flush()
-            cur_u, cur_t = u, t
+            fused = b @ a  # p applies after the block
+            if _merge_pays(cur_u, fused, u, union, n):
+                cur_u, cur_t = fused, union
+                continue
+        flush()
+        cur_u, cur_t = u, t
     flush()
 
     # merge consecutive diagonal blocks into broadcast layers

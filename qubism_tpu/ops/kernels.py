@@ -132,7 +132,8 @@ def _trail_rows(targets: tuple[int, ...], n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
+def _gate_fn(targets: tuple[int, ...], n: int, stage: int,
+             pattern: tuple | None = None):
     """Dense gate on <=4 row qubits over canonical planes, optionally fused
     with per-branch diagonal ladder phases ("stages"). Returns a jitted
     ``fn(planes, coef, *(bt_i, ct_i)*stage)`` with every state buffer
@@ -147,7 +148,15 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
 
     Gate coefficients live in SMEM as a (2, 2^k, 2^k) argument whose index
     bit order is targets ascending (first target = MSB), so every gate with
-    the same target positions shares one compile."""
+    the same target positions shares one compile.
+
+    ``pattern`` (optional) is a static (2^k, 2^k) tuple-of-tuples zero mask:
+    True = entry may be nonzero. Terms whose every contributing entry is a
+    structural zero are skipped at trace time — for permutation-like fused
+    blocks (CX / Toffoli chains: 2^k nonzeros out of 4^k) this removes
+    nearly all the mixing arithmetic AND the roll translates feeding it,
+    keeping the pass DMA-bound. Compiles are keyed by the mask, so the
+    all-dense mask (None) still shares one compile per target shape."""
     k = len(targets)
     assert 1 <= k <= 4
     C = canon_cols(n)
@@ -301,6 +310,9 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
             def entry(b):
                 bj = tuple(bb ^ (1 if ridx in S else 0)
                            for ridx, bb in enumerate(b))
+                if pattern is not None and not pattern[
+                        u_index(ia, tuple(b))][u_index(ja, bj)]:
+                    return jnp.float32(0.0)  # structural zero: constant-folds
                 return cf_ref[part, u_index(ia, tuple(b)), u_index(ja, bj)]
 
             def tree(prefix):
@@ -311,6 +323,17 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
                                  tree(prefix + (0,)))
 
             return tree(())
+
+        def term_live(ia, ja, S):
+            """Does u have any maybe-nonzero entry feeding term (ja, S)?"""
+            if pattern is None:
+                return True
+            for b in roll_assigns:
+                bj = tuple(bb ^ (1 if ridx in S else 0)
+                           for ridx, bb in enumerate(b))
+                if pattern[u_index(ia, b)][u_index(ja, bj)]:
+                    return True
+            return False
 
         phases = []
         for t in range(stage):
@@ -325,6 +348,8 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
             yr, yi = None, None
             for ja in axis_assigns:
                 for S in _subsets(range(n_rl)):
+                    if not term_live(ia, ja, S):
+                        continue
                     xr, xi = X(ja, S)
                     cr = coef(0, ia, ja, S)
                     ci = coef(1, ia, ja, S)
@@ -332,6 +357,9 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
                     ti = cr * xi + ci * xr
                     yr = tr if yr is None else yr + tr
                     yi = ti if yi is None else yi + ti
+            if yr is None:  # unreachable for a unitary; keep shapes legal
+                yr = jnp.zeros((BT, C), jnp.float32)
+                yi = jnp.zeros((BT, C), jnp.float32)
             for t in range(stage):
                 phr, phi = phases[t]
                 if t in ax_pos:
@@ -372,11 +400,25 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int):
 # ---------------------------------------------------------------------------
 
 
+#: specialize the kernel on the zero mask only when it pays: sparser than
+#: this fraction of nonzeros (permutation-like blocks: CX/Toffoli chains)
+_PATTERN_NNZ_MAX = 0.5
+
+
+def _zero_pattern(cu: np.ndarray) -> tuple | None:
+    """Static zero mask for _gate_fn, or None for dense-ish matrices (which
+    then share the one all-dense compile per target shape)."""
+    nz = np.abs(cu) > 1e-12
+    if nz.mean() > _PATTERN_NNZ_MAX:
+        return None
+    return tuple(tuple(bool(x) for x in row) for row in nz)
+
+
 def row_gate_prepare(u: np.ndarray, targets: tuple[int, ...], n: int):
     """Host->device once: returns (fn, device operands) for repeated use."""
     cu = np.asarray(u, dtype=np.complex128)
     coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
-    return (_gate_fn(tuple(targets), n, 0), jnp.asarray(coef))
+    return (_gate_fn(tuple(targets), n, 0, _zero_pattern(cu)), jnp.asarray(coef))
 
 
 def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
