@@ -119,6 +119,19 @@ class StageBlockOp:
 
 
 @dataclass(frozen=True)
+class Layer1QOp:
+    """A run of disjoint single-qubit dense gates applied in ONE pass,
+    each as a 2-term butterfly while the block sits in VMEM
+    (kernels.layer1q_prepare) — the generic RCS u3-layer shape."""
+
+    gates: tuple  # ((u (2,2) complex, q), ...), q ascending, distinct
+
+    @property
+    def targets(self):
+        return tuple(q for _, q in self.gates)
+
+
+@dataclass(frozen=True)
 class DiagLayer:
     """A product of commuting diagonal factors, applied in one fused pass."""
 
@@ -249,16 +262,74 @@ STAGE_GROUP = 2
 _MAX_AXIS_SLOTS = 3
 
 
+#: sub-gate cap per 1q layer pass. Each sub-gate costs ~2 complex muls per
+#: element and the measured v5e budget before a pass leaves the 512 GB/s
+#: DMA plateau is ~8 muls, so ~4 gates ride free and 6 balances pass count
+#: against VPU time (a 14-gate pass measured ~4x plateau; 6-gate ~1.5x)
+_LAYER1Q_MAX = 6
+
+
+def _layer1q_prepass(items, n: int, keep_separate_below: int = 0):
+    """Group runs of consecutive dense 1q prims on DISTINCT row qubits into
+    Layer1QOp passes. Disjoint 1q gates commute, so each maximal run is
+    repartitioned freely: up to _MAX_AXIS_SLOTS axis-mechanism targets per
+    pass (VMEM: each costs a block slot doubling) with roll-mechanism
+    targets (cheap: one translate + 2 muls each) filling to _LAYER1Q_MAX.
+    Runs shorter than 4 stay prims — greedy dense fusion handles those at
+    the same cost and can absorb neighboring 2q gates. Items may include
+    StageOps from the stage prepass — they break runs and pass through."""
+    from .kernels import _mech
+
+    b_lane = max(n - _apply._COL, 0)
+    out: list = []
+    run: list = []  # [(u, q)]
+
+    def flush():
+        if len(run) < 4:
+            out.extend(Prim(u, (q,)) for u, q in run)
+            run.clear()
+            return
+        ax = [(u, q) for u, q in run if _mech(q, n)[0] == "axis"]
+        rl = [(u, q) for u, q in run if _mech(q, n)[0] != "axis"]
+        while ax or rl:
+            chunk = ax[:_MAX_AXIS_SLOTS]
+            ax = ax[_MAX_AXIS_SLOTS:]
+            take = _LAYER1Q_MAX - len(chunk)
+            chunk += rl[:take]
+            rl = rl[take:]
+            if len(chunk) == 1:
+                out.append(Prim(chunk[0][0], (chunk[0][1],)))
+            else:
+                out.append(Layer1QOp(tuple(sorted(chunk, key=lambda g: g[1]))))
+        run.clear()
+
+    for p in items:
+        ok = (isinstance(p, Prim) and not p.diag and len(p.targets) == 1
+              and keep_separate_below <= p.targets[0] < b_lane)
+        if not ok:
+            flush()
+            out.append(p)
+            continue
+        q = p.targets[0]
+        if any(q == g[1] for g in run):
+            flush()
+        run.append((np.asarray(p.u, dtype=np.complex128), q))
+    flush()
+    return out
+
+
 def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
          keep_separate_below: int = 0,
          stage_group: int | None = None,
          max_axis_slots: int | None = None) -> list:
-    """Greedy fusion: prims -> [StageBlockOp | DenseOp | DiagLayer]."""
+    """Greedy fusion: prims -> [StageBlockOp | Layer1QOp | DenseOp |
+    DiagLayer]."""
     if stage_group is None:
         stage_group = STAGE_GROUP
     if max_axis_slots is None:
         max_axis_slots = _MAX_AXIS_SLOTS
     prims = _stage_prepass(prims, n, keep_separate_below)
+    prims = _layer1q_prepass(prims, n, keep_separate_below)
     blocks: list = []
     cur_u: np.ndarray | None = None
     cur_t: tuple[int, ...] = ()
@@ -270,7 +341,7 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
             cur_u, cur_t = None, ()
 
     for p in prims:
-        if isinstance(p, StageOp):
+        if isinstance(p, (StageOp, Layer1QOp)):
             flush()
             blocks.append(p)
             continue
@@ -293,7 +364,7 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
     # merge consecutive diagonal blocks into broadcast layers
     out: list = []
     for b in blocks:
-        if isinstance(b, StageOp):
+        if isinstance(b, (StageOp, Layer1QOp)):
             out.append(b)
             continue
         if is_diagonal(b.u):
@@ -427,7 +498,10 @@ class CompiledCircuit:
         dense = [op for op in self.ops if isinstance(op, DenseOp)]
         layers = [op for op in self.ops if isinstance(op, DiagLayer)]
         blocks = [op for op in self.ops if isinstance(op, StageBlockOp)]
+        layers1q = [op for op in self.ops if isinstance(op, Layer1QOp)]
         return {
+            "layer1q_passes": len(layers1q),
+            "layer1q_gates": sum(len(l.gates) for l in layers1q),
             "n": self.n,
             "prims": len(self.prims),
             "fused_ops": len(self.ops),
@@ -462,6 +536,9 @@ class CompiledCircuit:
             return hit
         if isinstance(op, StageBlockOp):
             plan = ("stageblk", kernels.stage_block_prepare(op.stages, n))
+        elif isinstance(op, Layer1QOp):
+            # fn(state, coefs): same dispatch shape as a row gate
+            plan = ("row", kernels.layer1q_prepare(op.gates, n))
         elif isinstance(op, DiagLayer):
             plan = ("diag", kernels.diag_layer_prepare(op.factors, n))
         else:
@@ -490,6 +567,13 @@ class CompiledCircuit:
                 if factors:
                     state = _apply_diag_layer_traced(
                         state, DiagLayer(factors), n)
+            return state
+        if isinstance(op, Layer1QOp):
+            if self.use_pallas:
+                fn, coefs = self._prepared(op, n)[1]
+                return fn(state, coefs)
+            for u, q in op.gates:
+                state = _apply_dense_traced(state, u, (q,), n)
             return state
         if isinstance(op, DiagLayer):
             if self.use_pallas:
@@ -534,6 +618,10 @@ class CompiledCircuit:
                 (u, q - v,
                  tuple((d, (t[0] - v, t[1] - v)) for d, t in factors))
                 for u, q, factors in op.stages))
+            return ("per_shard", [shifted] * (1 << v))
+        if isinstance(op, Layer1QOp):
+            # the 1q-layer prepass never groups virtual-bit targets
+            shifted = Layer1QOp(tuple((u, q - v) for u, q in op.gates))
             return ("per_shard", [shifted] * (1 << v))
         if isinstance(op, DiagLayer):
             per = []

@@ -429,6 +429,184 @@ def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) ->
 
 
 # ---------------------------------------------------------------------------
+# Sequential 1q layers: many disjoint single-qubit gates in one pass
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _layer1q_fn(targets: tuple[int, ...], n: int):
+    """Many disjoint single-qubit gates applied SEQUENTIALLY to each block
+    while it sits in VMEM — one streaming pass for a whole 1q layer (the
+    generic RCS shape). Cost per element is 2 complex muls per sub-gate,
+    vs 2^k for the dense fused block of the same targets: a layer of m
+    gates stays near the DMA plateau instead of going compute-bound.
+
+    Coefficients: (m, 2, 2, 2) SMEM argument (sub-gate, re/im, 2x2) in
+    ``targets`` order (disjoint 1q gates commute, so order is free);
+    every layer with the same target positions shares one compile."""
+    k = len(targets)
+    assert k >= 1
+    C = canon_cols(n)
+    mechs = [_mech(t, n) for t in targets]
+    axis = [(i, p) for i, (kind, p) in enumerate(mechs) if kind == "axis"]
+    rolls = [(i, kind, v) for i, (kind, v) in enumerate(mechs)
+             if kind != "axis"]
+    R = (1 << n) // C
+    row_bits = n - (C.bit_length() - 1)
+
+    axis_sorted = sorted(axis, key=lambda ip: -ip[1])
+    dims: list[int] = []
+    tdim: dict[int, int] = {}
+    cur_top = row_bits
+    for i, p in axis_sorted:
+        seg = cur_top - (p + 1)
+        if seg > 0:
+            dims.append(1 << seg)
+        tdim[i] = len(dims)
+        dims.append(2)
+        cur_top = p
+    trail = 1 << cur_top
+    dims.append(trail)
+    dims.append(C)
+    rank = len(dims)
+    trail_pos = rank - 2
+
+    target_elems = max(8, (1 << 21) // 4 // C)
+    BT = max(8, target_elems // (1 << len(axis)))
+    sr_max = max((v for _, kind, v in rolls if kind == "rowroll"), default=0)
+    BT = max(BT, 2 * sr_max)
+    BT = min(BT, trail)
+    while trail % BT:
+        BT //= 2
+    BT = max(BT, 1)
+    assert BT >= 2 * sr_max, (targets, n, BT, sr_max)
+    block = [1] * rank
+    for i, _ in axis_sorted:
+        block[tdim[i]] = 2
+    block[trail_pos] = BT
+    block[rank - 1] = C
+
+    grid_axes = [a for a in range(rank)
+                 if a not in {tdim[i] for i, _ in axis_sorted}
+                 and a != rank - 1 and not (a == trail_pos and BT == trail)]
+    if trail_pos in grid_axes:
+        grid_axes.remove(trail_pos)
+        grid_axes.append(trail_pos)
+    grid = tuple(dims[a] // block[a] for a in grid_axes)
+    if not grid:
+        grid = (1,)
+
+    def index_map(*gids):
+        out = [0] * rank
+        for g, a in zip(gids, grid_axes):
+            out[a] = g
+        return tuple(out)
+
+    spec = pl.BlockSpec(tuple(block), index_map, memory_space=pltpu.VMEM)
+    cf_spec = pl.BlockSpec((k, 2, 2, 2), lambda *g: (0, 0, 0, 0),
+                           memory_space=pltpu.SMEM)
+
+    axis_assigns = list(itertools.product((0, 1), repeat=len(axis_sorted)))
+    ax_slot = {i: a for a, (i, _) in enumerate(axis_sorted)}
+    roll_of = {i: r for r, (i, _, _) in enumerate(rolls)}
+
+    def slot(bits):
+        idx: list = [0] * rank
+        for (i, _), b in zip(axis_sorted, bits):
+            idx[tdim[i]] = b
+        idx[trail_pos] = slice(None)
+        idx[rank - 1] = slice(None)
+        return tuple(idx)
+
+    def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
+        masks = []
+        for _, kind, v in rolls:
+            ax = 0 if kind == "rowroll" else 1
+            it = jax.lax.broadcasted_iota(jnp.int32, (BT, C), ax)
+            masks.append((it & v) > 0)
+
+        def fetch(x, ridx):
+            _, kind, v = rolls[ridx]
+            ax, size = (0, BT) if kind == "rowroll" else (1, C)
+            return jnp.where(masks[ridx], pltpu.roll(x, v, ax),
+                             pltpu.roll(x, (size - v) % size, ax))
+
+        vals = {ja: (re_ref[slot(ja)], im_ref[slot(ja)])
+                for ja in axis_assigns}
+
+        for g in range(k):
+            c = [[(cf_ref[g, 0, i, j], cf_ref[g, 1, i, j])
+                  for j in range(2)] for i in range(2)]
+            if g in ax_slot:
+                a = ax_slot[g]
+                for ja in axis_assigns:
+                    if ja[a] == 1:
+                        continue
+                    jb = ja[:a] + (1,) + ja[a + 1:]
+                    x0r, x0i = vals[ja]
+                    x1r, x1i = vals[jb]
+                    (r00, i00), (r01, i01) = c[0]
+                    (r10, i10), (r11, i11) = c[1]
+                    vals[ja] = (r00 * x0r - i00 * x0i + r01 * x1r - i01 * x1i,
+                                r00 * x0i + i00 * x0r + r01 * x1i + i01 * x1r)
+                    vals[jb] = (r10 * x0r - i10 * x0i + r11 * x1r - i11 * x1i,
+                                r10 * x0i + i10 * x0r + r11 * x1i + i11 * x1r)
+            else:
+                ridx = roll_of[g]
+                m = masks[ridx]
+                (r00, i00), (r01, i01) = c[0]
+                (r10, i10), (r11, i11) = c[1]
+                # bit=0 elements: y = u00 x + u01 partner
+                # bit=1 elements: y = u11 x + u10 partner
+                cxr = jnp.where(m, r11, r00)
+                cxi = jnp.where(m, i11, i00)
+                cpr = jnp.where(m, r10, r01)
+                cpi = jnp.where(m, i10, i01)
+                for ja in axis_assigns:
+                    xr, xi = vals[ja]
+                    pr = fetch(xr, ridx)
+                    pi = fetch(xi, ridx)
+                    vals[ja] = (cxr * xr - cxi * xi + cpr * pr - cpi * pi,
+                                cxr * xi + cxi * xr + cpr * pi + cpi * pr)
+
+        for ja in axis_assigns:
+            yr, yi = vals[ja]
+            ro_ref[slot(ja)] = yr
+            io_ref[slot(ja)] = yi
+
+    shape = jax.ShapeDtypeStruct(tuple(dims), jnp.float32)
+
+    def run(planes, coefs):
+        re, im = planes
+        ro, io = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            in_specs=[spec, spec, cf_spec],
+            out_specs=(spec, spec),
+            grid=grid,
+            input_output_aliases={0: 0, 1: 1},
+            interpret=_interpret(),
+            **_vmem_kwargs(),
+        )(re.reshape(dims), im.reshape(dims), coefs)
+        return (ro.reshape(R, C), io.reshape(R, C))
+
+    return jax.jit(run, donate_argnums=0)
+
+
+def layer1q_prepare(gates, n: int):
+    """Host->device for a disjoint-1q layer: ``gates`` = ((u (2,2), q), ...)
+    with distinct row qubits q. Returns (fn, coefs)."""
+    order = sorted(range(len(gates)), key=lambda i: gates[i][1])
+    targets = tuple(gates[i][1] for i in order)
+    cs = np.stack([
+        np.stack([np.asarray(gates[i][0]).real.astype(np.float32),
+                  np.asarray(gates[i][0]).imag.astype(np.float32)])
+        for i in order
+    ])
+    return (_layer1q_fn(targets, n), jnp.asarray(cs))
+
+
+# ---------------------------------------------------------------------------
 # Fused diagonal layer
 # ---------------------------------------------------------------------------
 

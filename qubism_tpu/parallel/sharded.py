@@ -212,7 +212,8 @@ class ShardedSim:
         """Lower a run of prims (dense targets already physically local under
         the current perm) into (sig, steps, operands): a structural signature
         for jit reuse, per-step metadata, and the device operand list."""
-        from ..ops.fusion import DenseOp, DiagLayer, StageBlockOp, fuse
+        from ..ops.fusion import (DenseOp, DiagLayer, Layer1QOp, StageBlockOp,
+                                  fuse)
 
         d, m = self.d, self.n_local
         steps: list = []
@@ -230,6 +231,8 @@ class ShardedSim:
                         ops.append(DenseOp(np.asarray(u), (q,)))
                         if factors:
                             ops.append(DiagLayer(factors))
+                elif isinstance(op, Layer1QOp):
+                    ops = [DenseOp(np.asarray(u), (q,)) for u, q in op.gates]
                 else:
                     ops = [op]
                 for o in ops:

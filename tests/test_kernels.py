@@ -311,3 +311,43 @@ def test_row_gate_wide_blocks(n, targets):
     expected = complex_from_planes(apply_gate(planes, u, targets, n))
     got = complex_from_planes(K.row_gate(planes, u, targets, n))
     assert np.linalg.norm(got - expected) < 1e-5
+
+
+@pytest.mark.parametrize("n,qubits", [
+    (18, (0, 1, 2, 5, 9, 10)),   # 3 axis slots + rolls
+    (14, (0, 2, 3, 4, 6)),       # small n mix
+    (18, (4, 6, 8, 9, 10)),      # boundary mechanics
+])
+def test_layer1q_kernel_matches_reference(n, qubits):
+    """A sequential disjoint-1q layer pass vs op-by-op application."""
+    import qubism_tpu.ops.kernels as KK
+    from qubism_tpu.ops.apply import apply_gate, complex_from_planes
+
+    rng = np.random.default_rng(n + len(qubits))
+    planes, _ = rand_planes(n, 23 * n + len(qubits))
+    gates = []
+    expected = planes
+    for q in qubits:
+        u = u3_matrix(*rng.uniform(0, 2 * math.pi, 3), reference_bug=False)
+        gates.append((u, q))
+        expected = apply_gate(expected, u, (q,), n)
+    expected = complex_from_planes(expected)
+    fn, coefs = KK.layer1q_prepare(tuple(gates), n)
+    got = complex_from_planes(fn(planes, coefs))
+    assert np.linalg.norm(got - expected) < 1e-5, (n, qubits)
+
+
+def test_brickwork_uses_layer1q_fusion():
+    from qubism_tpu.models.circuits import brickwork_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+
+    n = 16
+    circ = CompiledCircuit(n, brickwork_prims(n, depth=3, seed=2),
+                           use_pallas=True)
+    stats = circ.stats()
+    assert stats["layer1q_passes"] >= 3  # one+ per u3 layer
+    ref = CompiledCircuit(n, brickwork_prims(n, depth=3, seed=2),
+                          use_pallas=False)
+    a = circ.state_to_complex(circ(circ.init_state()))
+    b = ref.state_to_complex(ref(ref.init_state()))
+    assert np.linalg.norm(a - b) < 1e-5
