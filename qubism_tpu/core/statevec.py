@@ -118,6 +118,13 @@ class StateVec:
         re, im = self.planes
         return StateVec(self.n, (re, -im))
 
+    def expectation(self, pauli: str) -> float:
+        """<psi|P|psi> for a Pauli string like "XZI..." (one char per
+        qubit, I/X/Y/Z; qubit 0 = leftmost). One fused on-device reduction
+        (ops/measure.py:expectation_pauli) — an engine extension with no
+        reference analogue."""
+        return _measure.expectation_pauli(self.planes, self.n, pauli)
+
     # -- measurement ---------------------------------------------------------
 
     def prob_one(self, i: int) -> float:

@@ -144,3 +144,129 @@ def adder_qasm(width: int, a_val: int, b_val: int) -> str:
         lines.append(f"measure b[{i}] -> ans[{i}];")
     lines.append(f"measure cout[0] -> ans[{width}];")
     return "\n".join(lines) + "\n"
+
+
+# -- Grover search -------------------------------------------------------------
+
+
+def grover_qasm(n: int, marked: int, iterations: int | None = None,
+                measure: bool = True) -> str:
+    """Grover search for basis state ``marked`` on n qubits via the
+    textbook oracle + diffusion circuit: multi-controlled Z built from a
+    ccx cascade over n-2 ancillas (qelib1 gates only, so the file runs
+    through the interpreter unchanged)."""
+    if not 2 <= n:
+        raise ValueError("grover needs n >= 2")
+    if iterations is None:
+        iterations = max(1, int(math.floor(math.pi / 4 * math.sqrt(1 << n))))
+    anc = max(n - 2, 0)
+    lines = ["OPENQASM 2.0;", 'include "qelib1.inc";', f"qreg q[{n}];"]
+    if anc:
+        lines.append(f"qreg anc[{anc}];")
+    lines.append(f"creg c[{n}];")
+
+    def mcz() -> list[str]:
+        """Z on q[n-1] controlled on q[0..n-2] (h-sandwich turns the
+        cascade's final cx/ccx into cz)."""
+        if n == 2:
+            return ["cz q[0],q[1];"]
+        out = [f"h q[{n - 1}];", "ccx q[0],q[1],anc[0];"]
+        for i in range(2, n - 1):
+            out.append(f"ccx q[{i}],anc[{i - 2}],anc[{i - 1}];")
+        out.append(f"cx anc[{n - 3}],q[{n - 1}];")
+        for i in range(n - 2, 1, -1):
+            out.append(f"ccx q[{i}],anc[{i - 2}],anc[{i - 1}];")
+        out.append("ccx q[0],q[1],anc[0];")
+        out.append(f"h q[{n - 1}];")
+        return out
+
+    for q in range(n):
+        lines.append(f"h q[{q}];")
+    for _ in range(iterations):
+        # oracle: phase-flip |marked>
+        offs = [q for q in range(n) if not ((marked >> (n - 1 - q)) & 1)]
+        for q in offs:
+            lines.append(f"x q[{q}];")
+        lines.extend(mcz())
+        for q in offs:
+            lines.append(f"x q[{q}];")
+        # diffusion: reflect about the uniform state
+        for q in range(n):
+            lines.append(f"h q[{q}];")
+            lines.append(f"x q[{q}];")
+        lines.extend(mcz())
+        for q in range(n):
+            lines.append(f"x q[{q}];")
+            lines.append(f"h q[{q}];")
+    if measure:
+        lines.append("measure q -> c;")
+    return "\n".join(lines) + "\n"
+
+
+def grover_prims(n: int, marked: int, iterations: int | None = None) -> list[Prim]:
+    """Grover as a primitive stream for the compiled engine: each oracle /
+    diffusion reflection is ONE diagonal prim over the whole register (the
+    TPU-native shape of a multi-controlled Z — a diagonal table instead of
+    the ancilla ccx-cascade the gate-model QASM version needs). Demo scale
+    (n <= 16): Grover's useful depth grows as 2^(n/2) anyway."""
+    if not 2 <= n <= 16:
+        raise ValueError("grover_prims is demo-scale: 2 <= n <= 16")
+    if iterations is None:
+        iterations = max(1, int(math.floor(math.pi / 4 * math.sqrt(1 << n))))
+    prims: list[Prim] = [Prim(_H, (q,)) for q in range(n)]
+    for _ in range(iterations):
+        prims.append(_phase_flip_prim(n, marked))
+        for q in range(n):
+            prims.append(Prim(_H, (q,)))
+        prims.append(_phase_flip_prim(n, 0))
+        for q in range(n):
+            prims.append(Prim(_H, (q,)))
+    return prims
+
+
+def _phase_flip_prim(n: int, basis: int) -> Prim:
+    """-1 phase on one basis state: a full-register diagonal prim."""
+    d = np.ones(1 << n, dtype=np.complex128)
+    d[basis] = -1
+    return Prim(d, tuple(range(n)), diag=True)
+
+
+# -- W state ---------------------------------------------------------------------
+
+
+def _w_angles(n: int) -> list[tuple[float, float]]:
+    """(cos, sin) per cascade step: after step i the excitation amplitude
+    remaining on q[i] is 1/sqrt(n) and sqrt((n-i-1)/n) moves on."""
+    out = []
+    for i in range(n - 1):
+        c = 1.0 / math.sqrt(n - i)
+        out.append((c, math.sqrt(1.0 - c * c)))
+    return out
+
+
+def w_state_prims(n: int) -> list[Prim]:
+    """|W_n> = (|10..0> + |01..0> + ... + |0..01>)/sqrt(n) via the rotation
+    cascade: X on q0, then per step a 2q rotation in the {|01>,|10>}
+    subspace splitting the excitation between q[i] and q[i+1]."""
+    prims = [Prim(_X, (0,))]
+    for i, (c, s) in enumerate(_w_angles(n)):
+        m = np.array([[1, 0, 0, 0],
+                      [0, c, s, 0],
+                      [0, -s, c, 0],
+                      [0, 0, 0, 1]], dtype=np.complex128)
+        prims.append(Prim(m, (i, i + 1)))
+    return prims
+
+
+def w_state_qasm(n: int, measure: bool = True) -> str:
+    """The same cascade in qelib1 gates: cu3(theta,0,0) = controlled-ry
+    splits the excitation onto q[i+1], cx moves it off q[i]."""
+    lines = ["OPENQASM 2.0;", 'include "qelib1.inc";', f"qreg q[{n}];",
+             f"creg c[{n}];", "x q[0];"]
+    for i, (c, s) in enumerate(_w_angles(n)):
+        theta = 2.0 * math.atan2(s, c)
+        lines.append(f"cu3({theta:.12f},0,0) q[{i}],q[{i + 1}];")
+        lines.append(f"cx q[{i + 1}],q[{i}];")
+    if measure:
+        lines.append("measure q -> c;")
+    return "\n".join(lines) + "\n"

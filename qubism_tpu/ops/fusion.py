@@ -345,6 +345,18 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
             flush()
             blocks.append(p)
             continue
+        if p.diag and len(p.targets) > 4:
+            # wide diagonals (e.g. a whole-register Grover oracle) go
+            # straight to a DiagLayer factor — densifying a 2^k x 2^k
+            # matrix just to re-extract its diagonal would explode
+            flush()
+            d = np.asarray(p.u, dtype=np.complex128)
+            order = tuple(sorted(range(len(p.targets)),
+                                 key=lambda i: p.targets[i]))
+            if order != tuple(range(len(p.targets))):
+                d = d.reshape((2,) * len(p.targets)).transpose(order).reshape(-1)
+            blocks.append(DiagLayer(((d, tuple(sorted(p.targets))),)))
+            continue
         u, t = _prim_sorted_dense(p)
         if cur_u is None:
             cur_u, cur_t = u, t
@@ -366,6 +378,12 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
     for b in blocks:
         if isinstance(b, (StageOp, Layer1QOp)):
             out.append(b)
+            continue
+        if isinstance(b, DiagLayer):
+            if out and isinstance(out[-1], DiagLayer):
+                out[-1] = DiagLayer(out[-1].factors + b.factors)
+            else:
+                out.append(b)
             continue
         if is_diagonal(b.u):
             d = np.diag(b.u).copy()

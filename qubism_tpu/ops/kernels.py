@@ -664,13 +664,25 @@ def _diag_tables(factors, n: int, C: int):
             cidx = np.zeros(C, dtype=np.int64)
             for bv, _ in cbs:
                 cidx = (cidx << 1) | bv
-            terms = []
-            for a in range(1 << kr):
+            def ind_of(a):
                 ind = np.ones(R, dtype=np.float32)
                 for j, (bv, _) in enumerate(rbs):
                     want = (a >> (kr - 1 - j)) & 1
                     ind *= (bv == want).astype(np.float32)
-                terms.append((ind, dk[a][cidx]))
+                return ind
+
+            terms = [(ind_of(a), dk[a][cidx]) for a in range(1 << kr)]
+            # common-vector extraction: v = T_base + sum_{a: T_a != base}
+            # Ind_a (T_a - base). A one-point diagonal (e.g. a Grover
+            # oracle's phase flip over the whole register) collapses from
+            # 2^kr terms to 2 regardless of width.
+            keys = [dk[a].tobytes() for a in range(1 << kr)]
+            base_key = max(set(keys), key=keys.count)
+            a0 = keys.index(base_key)
+            alt = [(ind_of(a), (dk[a] - dk[a0])[cidx])
+                   for a in range(1 << kr) if keys[a] != base_key]
+            if 1 + len(alt) < len(terms):
+                terms = [(np.ones(R, dtype=np.float32), dk[a0][cidx])] + alt
             straddle.append(terms)
 
     row_tables = [prow.real.astype(np.float32), prow.imag.astype(np.float32)]

@@ -234,3 +234,67 @@ def measure_qubit_sharded(shards, key: jax.Array, q: int, n: int, v: int):
     key, sub = jax.random.split(key)
     outcome = int(float(jax.random.uniform(sub)) < threshold)
     return outcome, collapse_sharded(shards, outcome, q, n, v), key
+
+
+# ---------------------------------------------------------------------------
+# Pauli-string expectation values
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _expectation_fn(pauli: str, n: int):
+    """Jitted <psi|P|psi> for a Pauli string (one char per qubit, qubit 0 =
+    leftmost = most significant index bit, matching the engine's big-endian
+    layout). P|x> = c(x) |x ^ f> with f = the X/Y bit mask and
+    c(x) = i^{#Y} * (-1)^{x . (Y|Z mask)}, so the expectation is ONE fused
+    elementwise reduction: sum_x conj(a[x^f]) c(x) a[x] — no state-sized
+    temporary beyond the flipped view, no dense operator."""
+    flip = [q for q, c in enumerate(pauli) if c in "XY"]
+    signq = [q for q, c in enumerate(pauli) if c in "YZ"]
+    n_y = sum(1 for c in pauli if c == "Y")
+
+    def fn(planes):
+        re, im = planes
+        shape = (2,) * n
+        ar = re.reshape(shape)
+        ai = im.reshape(shape)
+        # b[x] = a[x ^ f]: reverse each flipped axis
+        br, bi = ar, ai
+        if flip:
+            br = jnp.flip(br, axis=flip)
+            bi = jnp.flip(bi, axis=flip)
+        # s[x] = (-1)^{x . signmask}, built from broadcast per-axis factors
+        # (XLA fuses the outer product into the reduction — no 2^n temp)
+        prod_r = br * ar + bi * ai          # Re(conj(b) a)
+        prod_i = br * ai - bi * ar          # Im(conj(b) a)
+        for q in signq:
+            s = jnp.array([1.0, -1.0], dtype=jnp.float32).reshape(
+                (1,) * q + (2,) + (1,) * (n - q - 1))
+            prod_r = prod_r * s
+            prod_i = prod_i * s
+        tr = jnp.sum(prod_r)
+        ti = jnp.sum(prod_i)
+        # multiply by i^{#Y}
+        k = n_y % 4
+        if k == 0:
+            return tr, ti
+        if k == 1:
+            return -ti, tr
+        if k == 2:
+            return -tr, -ti
+        return ti, -tr
+
+    return jax.jit(fn)
+
+
+def expectation_pauli(planes: Planes, n: int, pauli: str) -> float:
+    """<psi|P|psi> for a Pauli string like "XZIIY" (len n; I/X/Y/Z).
+    Hermitian, so the result is real (the imaginary part is numerical
+    noise and is discarded). No analogue in the reference — the engine
+    extension that makes VQE-style workloads one reduction instead of a
+    measurement loop."""
+    pauli = pauli.upper()
+    if len(pauli) != n or any(c not in "IXYZ" for c in pauli):
+        raise ValueError(f"Pauli string must be {n} chars of I/X/Y/Z: {pauli!r}")
+    re, _ = _expectation_fn(pauli, n)(planes)
+    return float(re)

@@ -51,5 +51,9 @@ class Session:
         cr, self.sv, self.key = self.sv.measure(self.key)
         return cr
 
+    def expectation(self, pauli: str) -> float:
+        """<psi|P|psi> for a Pauli string (non-destructive)."""
+        return self.sv.expectation(pauli)
+
     def state(self) -> StateVec:
         return self.sv

@@ -1,0 +1,145 @@
+"""Circuit-family builders beyond the reference examples: Grover, W state,
+and the Pauli-expectation API (engine extensions; no reference analogue)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from qubism_tpu.models.circuits import (
+    ghz_prims,
+    grover_prims,
+    grover_qasm,
+    w_state_prims,
+    w_state_qasm,
+)
+from qubism_tpu.ops.fusion import CompiledCircuit
+
+
+def final_amplitudes(prims, n):
+    c = CompiledCircuit(n, prims)
+    return c.state_to_complex(c(c.init_state()))
+
+
+@pytest.mark.parametrize("n,marked", [(3, 5), (4, 9), (6, 42)])
+def test_grover_prims_amplifies_marked(n, marked):
+    amps = final_amplitudes(grover_prims(n, marked), n)
+    p = np.abs(amps) ** 2
+    assert p[marked] == p.max()
+    assert p[marked] > 0.5, (n, marked, p[marked])
+    assert abs(p.sum() - 1.0) < 1e-5
+
+
+@pytest.mark.parametrize("n,marked", [(3, 5), (4, 9)])
+def test_grover_qasm_matches_prims(n, marked):
+    """The gate-model QASM circuit (ccx-cascade oracle with ancillas) agrees
+    with the whole-register-diagonal engine circuit on the q register."""
+    import os
+
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.run.interpreter import run_program
+
+    src = grover_qasm(n, marked, measure=False)
+    here = os.path.join(os.path.dirname(__file__), "..", "examples")
+    path = os.path.join(here, "_grover_tmp.qasm")
+    ast = parse_openqasm(path, src)
+    ps = run_program(ast, seed=0)
+    view = ps.qregs["q"]
+    amps = np.asarray(ps.stvecs[view.target].amps)
+    # q occupies the most significant bits of the (possibly fused) statevec;
+    # the ancillas are uncomputed back to |0>
+    assert view.start == 0
+    probs = np.abs(amps.reshape(1 << n, -1)[:, 0]) ** 2
+    expected = np.abs(final_amplitudes(grover_prims(n, marked), n)) ** 2
+    assert np.linalg.norm(probs - expected) < 1e-5, (n, marked)
+
+
+@pytest.mark.parametrize("n", [2, 3, 5, 8])
+def test_w_state_prims(n):
+    amps = final_amplitudes(w_state_prims(n), n)
+    expected = np.zeros(1 << n, dtype=complex)
+    for q in range(n):
+        expected[1 << (n - 1 - q)] = 1 / math.sqrt(n)
+    assert np.linalg.norm(amps - expected) < 1e-6, n
+
+
+def test_w_state_qasm_matches_prims(n=5):
+    import os
+
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.run.interpreter import run_program
+
+    src = w_state_qasm(n, measure=False)
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "_w_tmp.qasm")
+    ast = parse_openqasm(path, src)
+    ps = run_program(ast, seed=0)
+    amps = np.asarray(ps.stvecs[ps.qregs["q"].target].amps)
+    expected = final_amplitudes(w_state_prims(n), n)
+    assert np.linalg.norm(np.abs(amps) - np.abs(expected)) < 1e-5
+
+
+# -- Pauli expectation values ---------------------------------------------------
+
+
+def dense_pauli(pauli: str) -> np.ndarray:
+    mats = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
+            "Y": np.array([[0, -1j], [1j, 0]]),
+            "Z": np.array([[1, 0], [0, -1]])}
+    out = np.array([[1.0]], dtype=complex)
+    for c in pauli:
+        out = np.kron(out, mats[c])
+    return out
+
+
+@pytest.mark.parametrize("pauli", [
+    "ZII", "IXI", "IIY", "XYZ", "YYX", "ZZZ", "III", "XXI",
+])
+def test_expectation_pauli_vs_dense(pauli):
+    from qubism_tpu.core.statevec import StateVec
+    from qubism_tpu.ops.apply import planes_from_complex
+
+    n = len(pauli)
+    rng = np.random.default_rng(hash(pauli) % 2**31)
+    v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    v /= np.linalg.norm(v)
+    sv = StateVec(n, planes_from_complex(v))
+    got = sv.expectation(pauli)
+    expected = float(np.real(v.conj() @ dense_pauli(pauli) @ v))
+    assert abs(got - expected) < 1e-5, pauli
+
+
+def test_expectation_ghz_correlators(n=10):
+    """GHZ: <Z_i Z_j> = 1, <Z_i> = 0, <X...X> = 1."""
+    from qubism_tpu.core.statevec import StateVec
+
+    c = CompiledCircuit(n, ghz_prims(n))
+    from qubism_tpu.ops.apply import planes_from_complex
+
+    sv = StateVec(n, planes_from_complex(c.state_to_complex(c(c.init_state()))))
+    zz = "ZZ" + "I" * (n - 2)
+    assert abs(sv.expectation(zz) - 1.0) < 1e-5
+    assert abs(sv.expectation("Z" + "I" * (n - 1))) < 1e-5
+    assert abs(sv.expectation("X" * n) - 1.0) < 1e-5
+
+
+def test_session_expectation():
+    import qubism_tpu as qt
+
+    s = qt.Session(qt.mk_state_vec(2), seed=0)
+    s.gate(qt.on_just(0, qt.hadamard(), 2))
+    s.gate(qt.cnot(0, 1, 2))
+    assert abs(s.expectation("ZZ") - 1.0) < 1e-5
+    assert abs(s.expectation("XX") - 1.0) < 1e-5
+
+
+def test_example_files_run():
+    """The bundled grover/wstate examples evaluate through the CLI path."""
+    import os
+
+    from qubism_tpu.cli import eval_file
+
+    ex = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                      "examples"))
+    assert eval_file(os.path.join(ex, "grover.qasm"), seed=1) == 0
+    assert eval_file(os.path.join(ex, "wstate.qasm"), seed=1) == 0
