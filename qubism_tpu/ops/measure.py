@@ -242,29 +242,29 @@ def measure_qubit_sharded(shards, key: jax.Array, q: int, n: int, v: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _expectation_fn(pauli: str, n: int):
-    """Jitted <psi|P|psi> for a Pauli string (one char per qubit, qubit 0 =
-    leftmost = most significant index bit, matching the engine's big-endian
-    layout). P|x> = c(x) |x ^ f> with f = the X/Y bit mask and
-    c(x) = i^{#Y} * (-1)^{x . (Y|Z mask)}, so the expectation is ONE fused
-    elementwise reduction: sum_x conj(a[x^f]) c(x) a[x] — no state-sized
-    temporary beyond the flipped view, no dense operator."""
+def _expectation_pair_fn(pauli: str, n: int):
+    """Jitted partial sum sum_x conj(b[x^f]) s(x) a[x] for a Pauli string
+    over n qubits (one char per qubit, qubit 0 = leftmost = most
+    significant index bit). P|x> = c(x)|x ^ f> with f = the X/Y bit mask
+    and c(x) = i^{#Y} * (-1)^{x . (Y|Z mask)}; this computes the reduction
+    WITHOUT the i^{#Y} factor, over a (possibly partner) plane pair ``b``
+    — so the same kernel serves the single-buffer state (b = a) and the
+    virtual-shard / mesh representations (b = the s^f partner shard)."""
     flip = [q for q, c in enumerate(pauli) if c in "XY"]
     signq = [q for q, c in enumerate(pauli) if c in "YZ"]
-    n_y = sum(1 for c in pauli if c == "Y")
 
-    def fn(planes):
-        re, im = planes
+    def fn(a_planes, b_planes):
         shape = (2,) * n
-        ar = re.reshape(shape)
-        ai = im.reshape(shape)
-        # b[x] = a[x ^ f]: reverse each flipped axis
-        br, bi = ar, ai
+        ar = a_planes[0].reshape(shape)
+        ai = a_planes[1].reshape(shape)
+        br = b_planes[0].reshape(shape)
+        bi = b_planes[1].reshape(shape)
+        # b[x^f]: reverse each flipped axis
         if flip:
             br = jnp.flip(br, axis=flip)
             bi = jnp.flip(bi, axis=flip)
-        # s[x] = (-1)^{x . signmask}, built from broadcast per-axis factors
-        # (XLA fuses the outer product into the reduction — no 2^n temp)
+        # s[x] = (-1)^{x . signmask}, broadcast per-axis factors (XLA fuses
+        # the outer product into the reduction — no 2^n temp)
         prod_r = br * ar + bi * ai          # Re(conj(b) a)
         prod_i = br * ai - bi * ar          # Im(conj(b) a)
         for q in signq:
@@ -272,29 +272,54 @@ def _expectation_fn(pauli: str, n: int):
                 (1,) * q + (2,) + (1,) * (n - q - 1))
             prod_r = prod_r * s
             prod_i = prod_i * s
-        tr = jnp.sum(prod_r)
-        ti = jnp.sum(prod_i)
-        # multiply by i^{#Y}
-        k = n_y % 4
-        if k == 0:
-            return tr, ti
-        if k == 1:
-            return -ti, tr
-        if k == 2:
-            return -tr, -ti
-        return ti, -tr
+        return jnp.sum(prod_r), jnp.sum(prod_i)
 
     return jax.jit(fn)
 
 
-def expectation_pauli(planes: Planes, n: int, pauli: str) -> float:
-    """<psi|P|psi> for a Pauli string like "XZIIY" (len n; I/X/Y/Z).
-    Hermitian, so the result is real (the imaginary part is numerical
-    noise and is discarded). No analogue in the reference — the engine
-    extension that makes VQE-style workloads one reduction instead of a
-    measurement loop."""
+def _check_pauli(pauli: str, n: int) -> str:
     pauli = pauli.upper()
     if len(pauli) != n or any(c not in "IXYZ" for c in pauli):
         raise ValueError(f"Pauli string must be {n} chars of I/X/Y/Z: {pauli!r}")
-    re, _ = _expectation_fn(pauli, n)(planes)
-    return float(re)
+    return pauli
+
+
+def _apply_iy(tr: float, ti: float, n_y: int) -> complex:
+    return complex(tr, ti) * (1j ** (n_y % 4))
+
+
+def expectation_pauli(planes: Planes, n: int, pauli: str) -> float:
+    """<psi|P|psi> for a Pauli string like "XZIIY" (len n; I/X/Y/Z) as ONE
+    fused on-device reduction — no dense operator. Hermitian, so the
+    result is real (the imaginary part is numerical noise, discarded).
+    No analogue in the reference — the engine extension that makes
+    VQE-style workloads one reduction instead of a measurement loop."""
+    pauli = _check_pauli(pauli, n)
+    tr, ti = _expectation_pair_fn(pauli, n)(planes, planes)
+    n_y = sum(1 for c in pauli if c == "Y")
+    return float(_apply_iy(float(tr), float(ti), n_y).real)
+
+
+def expectation_pauli_virtual(shards, n: int, v: int, pauli: str) -> float:
+    """Pauli expectation over a virtual-sharded state (n > 29 on one chip):
+    each shard pairs with its s ^ f_virtual partner, the virtual Y/Z bits
+    contribute a per-shard scalar sign, and the local reduction reuses the
+    pair kernel."""
+    pauli = _check_pauli(pauli, n)
+    m = n - v
+    fv = 0
+    sv = 0
+    for q in range(v):
+        if pauli[q] in "XY":
+            fv |= 1 << (v - 1 - q)
+        if pauli[q] in "YZ":
+            sv |= 1 << (v - 1 - q)
+    fn = _expectation_pair_fn(pauli[v:], m)
+    tr = ti = 0.0
+    for s in range(len(shards)):
+        pr, pi = fn(shards[s], shards[s ^ fv])
+        sign = -1.0 if bin(s & sv).count("1") % 2 else 1.0
+        tr += sign * float(pr)
+        ti += sign * float(pi)
+    n_y = sum(1 for c in pauli if c == "Y")
+    return float(_apply_iy(tr, ti, n_y).real)

@@ -466,6 +466,78 @@ class ShardedSim:
         self.collapse(logical_q, outcome)
         return outcome, key
 
+    # -- observables -------------------------------------------------------------------
+
+    def _expectation_fn(self, phys_pauli: str):
+        """<psi|P|psi> over the mesh: P|x> = c(x)|x ^ f>. The local part of
+        f is an in-shard flipped view; a nonzero GLOBAL part means the
+        partner amplitudes live on device i ^ f_g — ONE ppermute pairs the
+        devices up. Signs factor into a per-device scalar (global Y/Z bits
+        of the axis index) times broadcast per-axis tables; one psum ends
+        it. ``phys_pauli`` is in PHYSICAL bit order."""
+        key = ("expect", phys_pauli)
+        if key not in self._cache:
+            d, m = self.d, self.n_local
+            fg = 0
+            for q in range(d):
+                if phys_pauli[q] in "XY":
+                    fg |= 1 << (d - 1 - q)
+            sg = 0
+            for q in range(d):
+                if phys_pauli[q] in "YZ":
+                    sg |= 1 << (d - 1 - q)
+            lflip = [q - d for q in range(d, self.n) if phys_pauli[q] in "XY"]
+            lsign = [q - d for q in range(d, self.n) if phys_pauli[q] in "YZ"]
+
+            def body(planes):
+                re, im = planes
+                shape = (2,) * m
+                ar = re.reshape(shape)
+                ai = im.reshape(shape)
+                br, bi = ar, ai
+                if lflip:
+                    br = jnp.flip(br, axis=lflip)
+                    bi = jnp.flip(bi, axis=lflip)
+                if fg:
+                    perm = [(i, i ^ fg) for i in range(1 << d)]
+                    br = jax.lax.ppermute(br, AXIS, perm)
+                    bi = jax.lax.ppermute(bi, AXIS, perm)
+                pr = br * ar + bi * ai   # Re(conj(b) a)
+                pi = br * ai - bi * ar   # Im(conj(b) a)
+                for q in lsign:
+                    s = jnp.array([1.0, -1.0], dtype=jnp.float32).reshape(
+                        (1,) * q + (2,) + (1,) * (m - q - 1))
+                    pr = pr * s
+                    pi = pi * s
+                tr, ti = jnp.sum(pr), jnp.sum(pi)
+                if sg:
+                    idx = jax.lax.axis_index(AXIS)
+                    bits = jnp.int32(0)
+                    x = idx & sg
+                    for _ in range(d):
+                        bits = bits + (x & 1)
+                        x = x >> 1
+                    sign = jnp.where(bits % 2 == 1, -1.0, 1.0)
+                    tr, ti = tr * sign, ti * sign
+                return jax.lax.psum(tr, AXIS), jax.lax.psum(ti, AXIS)
+
+            self._cache[key] = self._smap(body, out_specs=(P(), P()))
+        return self._cache[key]
+
+    def expectation(self, pauli: str) -> float:
+        """Pauli-string expectation (logical qubit order, I/X/Y/Z)."""
+        pauli = pauli.upper()
+        if len(pauli) != self.n or any(c not in "IXYZ" for c in pauli):
+            raise ValueError(
+                f"Pauli string must be {self.n} chars of I/X/Y/Z: {pauli!r}")
+        phys = ["I"] * self.n
+        for q, c in enumerate(pauli):
+            phys[self.perm[q]] = c
+        tr, ti = self._expectation_fn("".join(phys))(self.planes)
+        n_y = sum(1 for c in pauli if c == "Y")
+        val = complex(float(tr), float(ti)) * (1j ** n_y)
+        return float(val.real)
+
     # -- sampling --------------------------------------------------------------------
 
     def _sample_fn(self, shots: int):

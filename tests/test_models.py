@@ -143,3 +143,21 @@ def test_example_files_run():
                                       "examples"))
     assert eval_file(os.path.join(ex, "grover.qasm"), seed=1) == 0
     assert eval_file(os.path.join(ex, "wstate.qasm"), seed=1) == 0
+
+
+@pytest.mark.parametrize("pauli", ["ZIIIIII", "XIIIIII", "YXIIIIZ", "XYIIIII",
+                                   "IIIXYZI", "ZZIIIII"])
+def test_expectation_virtual_shards_vs_dense(pauli):
+    """Pauli expectation over the virtual-shard representation (the n>29
+    single-chip layout): shard pairing on virtual X/Y bits + scalar signs."""
+    from qubism_tpu.models.circuits import brickwork_prims
+    from qubism_tpu.ops.measure import expectation_pauli_virtual
+
+    n, v = 7, 2
+    prims = brickwork_prims(n, depth=2, seed=9)
+    circ = CompiledCircuit(n, prims, virtual_shards=v)
+    shards = circ(circ.init_state())
+    val = expectation_pauli_virtual(shards, n, v, pauli)
+    vec = circ.state_to_complex(shards)
+    expected = float(np.real(vec.conj() @ dense_pauli(pauli) @ vec))
+    assert abs(val - expected) < 1e-5, pauli

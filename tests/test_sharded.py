@@ -192,3 +192,36 @@ def test_fused_vs_unfused_equivalence(mesh):
     a = ShardedSim(n, mesh).apply(prims, fused=True).amplitudes()
     b = ShardedSim(n, mesh).apply(prims, fused=False).amplitudes()
     assert np.linalg.norm(a - b) < 1e-5
+
+
+@pytest.mark.parametrize("pauli", ["ZIIIII", "XIIIII", "IYIIII", "XYZIII",
+                                   "ZZIIII", "XXXXXX", "IIIIXZ", "YXIIIZ"])
+def test_sharded_expectation_vs_dense(mesh, pauli):
+    """Pauli expectation over the mesh (incl. global X/Y -> ppermute
+    pairing) vs the dense oracle."""
+    from tests.test_models import dense_pauli
+
+    n = 6
+    prims = brickwork_prims(n, depth=2, seed=5)
+    sim = ShardedSim(n, mesh)
+    sim.apply(prims)
+    v = sim.amplitudes()
+    expected = float(np.real(v.conj() @ dense_pauli(pauli) @ v))
+    got = sim.expectation(pauli)
+    assert abs(got - expected) < 1e-5, pauli
+
+
+def test_sharded_expectation_after_relabel_swap(mesh):
+    """The logical->physical permutation from a relabel swap must be folded
+    into the Pauli string."""
+    from tests.test_models import dense_pauli
+
+    n = 6
+    sim = ShardedSim(n, mesh)
+    sim.apply([Prim(H, (q,)) for q in range(n)])
+    sim.apply([Prim(CNOT, (0, 3))])  # global target: forces a relabel swap
+    assert sim.perm != list(range(n))
+    v = sim.amplitudes()
+    for pauli in ("ZIIIII", "XZIIII", "IIYIIX"):
+        expected = float(np.real(v.conj() @ dense_pauli(pauli) @ v))
+        assert abs(sim.expectation(pauli) - expected) < 1e-5, pauli
