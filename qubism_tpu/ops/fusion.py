@@ -489,8 +489,10 @@ class CompiledCircuit:
         self._op_cache: dict = {}
         # keep the async dispatch queue bounded on large states (temporaries
         # and un-aliased outputs of queued ops stay live until the device
-        # catches up); at n=30 the state alone is half of HBM
-        self._sync_every = 1 if n >= 30 else (6 if n >= 26 else 10 ** 9)
+        # catches up); at n=30 the state alone is half of HBM. Measured:
+        # every-chunk syncing cost ~70 ms of tunnel round-trips per QFT-30
+        # run; 3 chunks in flight still fit (the chains are fully aliased)
+        self._sync_every = 3 if n >= 30 else (6 if n >= 26 else 10 ** 9)
         self._sharded_plan_cache = None
         if self.v > 0:
             self._build_sharded()
