@@ -192,19 +192,23 @@ def run_adder(width: int) -> dict:
     a_val = (1 << width) - 3
     b_val = 5
     src = adder_qasm(width, a_val, b_val)
-    # adder_qasm includes qelib1.inc relative to the examples dir
-    path = os.path.join(HERE, "examples", "adder_bench.qasm")
-    with open(path, "w") as f:
-        f.write(src)
-    t0 = time.time()
-    ast = parse_openqasm(path, src)
-    prog = CompiledProgram(ast)
-    _, cregs, _ = prog.run(seed=0)
-    first_s = time.time() - t0
-    t0 = time.time()
-    _, cregs, _ = prog.run(seed=1)  # steady state: compiles are cached
-    steady_s = time.time() - t0
-    os.unlink(path)
+    # adder_qasm includes qelib1.inc relative to the examples dir; unique
+    # name + finally so a crashed/concurrent run neither leaks nor collides
+    path = os.path.join(HERE, "examples", f"adder_bench_{os.getpid()}.qasm")
+    try:
+        with open(path, "w") as f:
+            f.write(src)
+        t0 = time.time()
+        ast = parse_openqasm(path, src)
+        prog = CompiledProgram(ast)
+        _, cregs, _ = prog.run(seed=0)
+        first_s = time.time() - t0
+        t0 = time.time()
+        _, cregs, _ = prog.run(seed=1)  # steady state: compiles are cached
+        steady_s = time.time() - t0
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
     ok = cregs["ans"].to_natural() == a_val + b_val
     return {"width": width, "n_qubits": 2 * width + 2, "seconds": steady_s,
             "first_s": first_s, "sum_ok": bool(ok)}
@@ -289,8 +293,9 @@ def main():
             log(f"n={n} failed: {type(e).__name__}: {str(e)[:200]}")
             n -= 2
     if res is None and big is None:
+        # keep whatever the big-workload subprocesses did collect
         print(json.dumps({"metric": "qft_wallclock", "value": -1, "unit": "s",
-                          "vs_baseline": 0.0}))
+                          "vs_baseline": 0.0, "extra": extra}))
         return
 
     if res is not None:

@@ -23,7 +23,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from qubism_tpu.models.circuits import qft_prims
-    from qubism_tpu.ops.fusion import CompiledCircuit, DenseOp, DiagLayer, StageOp
+    from qubism_tpu.ops.fusion import (CompiledCircuit, DiagLayer,
+                                       Layer1QOp, StageBlockOp)
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 28
     circ = CompiledCircuit(n, qft_prims(n), chunk_passes=1)
@@ -32,7 +33,9 @@ def main():
 
     def sync(st):
         x = st[0] if circ.v == 0 else st[0][0]
-        return float(x[0])
+        while getattr(x, "ndim", 0) > 0:
+            x = x[0]
+        return float(x)
 
     # warm (compile) everything once
     state = circ(state)
@@ -41,8 +44,10 @@ def main():
     reps = 3
     for idx, (fn, operands) in enumerate(circ._pallas_chunks):
         op = circ.ops[idx]
-        if isinstance(op, StageOp):
-            desc = f"stage q={op.q} ladder={len(op.factors)}"
+        if isinstance(op, StageBlockOp):
+            desc = f"stages q={op.targets}"
+        elif isinstance(op, Layer1QOp):
+            desc = f"layer1q q={op.targets}"
         elif isinstance(op, DiagLayer):
             desc = f"diag factors={len(op.factors)}"
         else:

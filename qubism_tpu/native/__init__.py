@@ -50,6 +50,15 @@ def ensure_built():
                     ["g++", "-O2", "-shared", "-fPIC", "-o", so, _SRC],
                     check=True, capture_output=True, timeout=120,
                 )
+                # drop binaries for superseded source hashes
+                import glob
+
+                for old in glob.glob(os.path.join(_DIR, "_qasm_lexer-*.so")):
+                    if old != so:
+                        try:
+                            os.unlink(old)
+                        except OSError:
+                            pass
             lib = ctypes.CDLL(so)
             lib.qasm_lex.restype = ctypes.c_long
             lib.qasm_lex.argtypes = [

@@ -131,6 +131,124 @@ def _trail_rows(targets: tuple[int, ...], n: int) -> int:
     return (1 << min(ps)) if ps else (1 << n) // C
 
 
+class _RowPlan:
+    """Shared view/block/grid planning for row kernels over the canonical
+    (R, 2048) planes: a leading-dim regroup exposing each "axis" target as
+    a block slot, trailing rows blocked to BT, lanes resident. Both the
+    dense/stage kernel (:func:`_gate_fn`) and the sequential 1q-layer
+    kernel (:func:`_layer1q_fn`) build from this one planner, so the
+    alignment invariants (BT >= 2*sr_max so sublane rolls wrap inside a
+    block; trailing-block grid axis iterates fastest for contiguous DMA)
+    live in exactly one place."""
+
+    def __init__(self, targets: tuple[int, ...], n: int,
+                 table_blocks: bool = False):
+        C = canon_cols(n)
+        mechs = [_mech(t, n) for t in targets]
+        self.C = C
+        self.R = (1 << n) // C
+        self.axis = [(i, p) for i, (kind, p) in enumerate(mechs)
+                     if kind == "axis"]
+        self.rolls = [(i, kind, v) for i, (kind, v) in enumerate(mechs)
+                      if kind != "axis"]
+        row_bits = n - (C.bit_length() - 1)
+
+        self.axis_sorted = sorted(self.axis, key=lambda ip: -ip[1])
+        dims: list[int] = []
+        self.tdim: dict[int, int] = {}
+        cur_top = row_bits
+        for i, p in self.axis_sorted:
+            seg = cur_top - (p + 1)
+            if seg > 0:
+                dims.append(1 << seg)
+            self.tdim[i] = len(dims)
+            dims.append(2)
+            cur_top = p
+        self.trail = 1 << cur_top
+        dims.append(self.trail)
+        dims.append(C)
+        self.dims = dims
+        rank = len(dims)
+        self.rank = rank
+        self.trail_pos = rank - 2
+
+        target_elems = max(8, (1 << 21) // 4 // C)  # ~2 MB blocks per plane
+        BT = max(8, target_elems // (1 << len(self.axis)))
+        sr_max = max((v for _, kind, v in self.rolls if kind == "rowroll"),
+                     default=0)
+        BT = max(BT, 2 * sr_max)
+        if table_blocks:
+            # block-sliced (2, BT) operand tables: lane tiling demands
+            # BT >= 128 unless the block covers the whole table (== trail)
+            BT = max(BT, min(128, self.trail))
+        BT = min(BT, self.trail)
+        while self.trail % BT:
+            BT //= 2
+        BT = max(BT, 1)
+        assert BT >= 2 * sr_max, (targets, n, BT, sr_max)
+        assert not table_blocks or BT >= 128 or BT == self.trail, \
+            (targets, n, BT, self.trail)
+        self.BT = BT
+
+        block = [1] * rank
+        for i, _ in self.axis_sorted:
+            block[self.tdim[i]] = 2
+        block[self.trail_pos] = BT
+        block[rank - 1] = C
+        self.block = block
+
+        slot_dims = {self.tdim[i] for i, _ in self.axis_sorted}
+        grid_axes = [a for a in range(rank)
+                     if a not in slot_dims and a != rank - 1
+                     and not (a == self.trail_pos and BT == self.trail)]
+        if self.trail_pos in grid_axes:
+            # trailing-block axis iterates fastest (contiguous DMA)
+            grid_axes.remove(self.trail_pos)
+            grid_axes.append(self.trail_pos)
+        self.grid_axes = grid_axes
+        self.grid = tuple(dims[a] // block[a] for a in grid_axes) or (1,)
+
+        def index_map(*gids):
+            out = [0] * rank
+            for g, a in zip(gids, grid_axes):
+                out[a] = g
+            return tuple(out)
+
+        self.index_map = index_map
+        self.spec = pl.BlockSpec(tuple(block), index_map,
+                                 memory_space=pltpu.VMEM)
+        self.shape = jax.ShapeDtypeStruct(tuple(dims), jnp.float32)
+
+    def slot(self, bits_by_axis):
+        """Block index tuple selecting one assignment of the axis slots."""
+        idx: list = [0] * self.rank
+        for (i, _), b in zip(self.axis_sorted, bits_by_axis):
+            idx[self.tdim[i]] = b
+        idx[self.trail_pos] = slice(None)
+        idx[self.rank - 1] = slice(None)
+        return tuple(idx)
+
+    def make_masks(self):
+        """In-kernel per-roll-target bit masks (block-local iota is the
+        absolute bit: blocks are aligned, BT is a multiple of 2*sr)."""
+        masks = []
+        for _, kind, v in self.rolls:
+            ax = 0 if kind == "rowroll" else 1
+            it = jax.lax.broadcasted_iota(jnp.int32, (self.BT, self.C), ax)
+            masks.append((it & v) > 0)
+        return masks
+
+    def make_fetch(self, masks):
+        """In-kernel partner fetch: x[index XOR roll stride]."""
+        def fetch(x, ridx):
+            _, kind, v = self.rolls[ridx]
+            ax, size = (0, self.BT) if kind == "rowroll" else (1, self.C)
+            return jnp.where(masks[ridx], pltpu.roll(x, v, ax),
+                             pltpu.roll(x, (size - v) % size, ax))
+
+        return fetch
+
+
 @functools.lru_cache(maxsize=None)
 def _gate_fn(targets: tuple[int, ...], n: int, stage: int,
              pattern: tuple | None = None):
@@ -159,72 +277,12 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int,
     all-dense mask (None) still shares one compile per target shape."""
     k = len(targets)
     assert 1 <= k <= 4
-    C = canon_cols(n)
-    mechs = [_mech(t, n) for t in targets]
-    axis = [(i, p) for i, (kind, p) in enumerate(mechs) if kind == "axis"]
-    rolls = [(i, kind, v) for i, (kind, v) in enumerate(mechs)
-             if kind != "axis"]
-    R = (1 << n) // C
-    row_bits = n - (C.bit_length() - 1)
+    plan = _RowPlan(targets, n, table_blocks=bool(stage))
+    C, R, BT, trail = plan.C, plan.R, plan.BT, plan.trail
+    dims, trail_pos = plan.dims, plan.trail_pos
+    axis_sorted, rolls = plan.axis_sorted, plan.rolls
+    grid_axes, grid, spec, slot = plan.grid_axes, plan.grid, plan.spec, plan.slot
 
-    # -- view: leading-dim regroup of (R, 2048) exposing axis targets -------
-    axis_sorted = sorted(axis, key=lambda ip: -ip[1])  # descending bit pos
-    dims: list[int] = []
-    tdim: dict[int, int] = {}
-    cur_top = row_bits
-    for i, p in axis_sorted:
-        seg = cur_top - (p + 1)
-        if seg > 0:
-            dims.append(1 << seg)
-        tdim[i] = len(dims)
-        dims.append(2)
-        cur_top = p
-    trail = 1 << cur_top          # >= 8 when axis targets exist, else R
-    dims.append(trail)
-    dims.append(C)
-    rank = len(dims)
-    trail_pos = rank - 2
-
-    # block: slots full, trailing rows BT, leading segs sliced to 1
-    target_elems = max(8, (1 << 21) // 4 // C)      # ~2 MB blocks per plane
-    BT = max(8, target_elems // (1 << len(axis)))
-    # sublane rolls wrap within the block: rows must cover whole pair groups
-    sr_max = max((v for _, kind, v in rolls if kind == "rowroll"), default=0)
-    BT = max(BT, 2 * sr_max)
-    if stage:
-        # the bt phase tables are block-sliced (2, BT): lane tiling demands
-        # BT >= 128 unless the block covers the whole table (== trail)
-        BT = max(BT, min(128, trail))
-    BT = min(BT, trail)
-    while trail % BT:
-        BT //= 2
-    BT = max(BT, 1)
-    assert BT >= 2 * sr_max, (targets, n, BT, sr_max)
-    assert not stage or BT >= 128 or BT == trail, (targets, n, BT, trail)
-    block = [1] * rank
-    for i, _ in axis_sorted:
-        block[tdim[i]] = 2
-    block[trail_pos] = BT
-    block[rank - 1] = C
-
-    grid_axes = [a for a in range(rank)
-                 if a not in {tdim[i] for i, _ in axis_sorted}
-                 and a != rank - 1 and not (a == trail_pos and BT == trail)]
-    if trail_pos in grid_axes:
-        # trailing-block axis iterates fastest (contiguous DMA)
-        grid_axes.remove(trail_pos)
-        grid_axes.append(trail_pos)
-    grid = tuple(dims[a] // block[a] for a in grid_axes)
-    if not grid:
-        grid = (1,)  # grid-free pallas_call rejects windowed table specs
-
-    def index_map(*gids):
-        out = [0] * rank
-        for g, a in zip(gids, grid_axes):
-            out[a] = g
-        return tuple(out)
-
-    spec = pl.BlockSpec(tuple(block), index_map, memory_space=pltpu.VMEM)
     cf_spec = pl.BlockSpec((2, 1 << k, 1 << k), lambda *g: (0, 0, 0),
                            memory_space=pltpu.SMEM)
 
@@ -242,16 +300,6 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int,
                                memory_space=pltpu.VMEM)
 
     # -- in-kernel helpers ------------------------------------------------------
-    axis_ids = [i for i, _ in axis_sorted]
-
-    def slot(bits_by_axis):
-        idx: list = [0] * rank
-        for (i, _), b in zip(axis_sorted, bits_by_axis):
-            idx[tdim[i]] = b
-        idx[trail_pos] = slice(None)
-        idx[rank - 1] = slice(None)
-        return tuple(idx)
-
     def u_index(axis_bits, roll_bits):
         """Matrix index from per-target bits (targets ascending = MSB first)."""
         bits = [0] * k
@@ -277,19 +325,8 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int,
         tables = refs[3:3 + 2 * stage]
         ro_ref, io_ref = refs[3 + 2 * stage:]
 
-        # roll masks: absolute bit of each roll target, from block-local iota
-        # (blocks are aligned: BT is a multiple of 8 >= 2*sr, lanes full)
-        masks = []
-        for _, kind, v in rolls:
-            ax = 0 if kind == "rowroll" else 1
-            it = jax.lax.broadcasted_iota(jnp.int32, (BT, C), ax)
-            masks.append((it & v) > 0)
-
-        def fetch(x, ridx):
-            _, kind, v = rolls[ridx]
-            ax, size = (0, BT) if kind == "rowroll" else (1, C)
-            return jnp.where(masks[ridx], pltpu.roll(x, v, ax),
-                             pltpu.roll(x, (size - v) % size, ax))
+        masks = plan.make_masks()
+        fetch = plan.make_fetch(masks)
 
         # load slots, build roll translates lazily
         base = {ja: (re_ref[slot(ja)], im_ref[slot(ja)]) for ja in axis_assigns}
@@ -446,63 +483,11 @@ def _layer1q_fn(targets: tuple[int, ...], n: int):
     every layer with the same target positions shares one compile."""
     k = len(targets)
     assert k >= 1
-    C = canon_cols(n)
-    mechs = [_mech(t, n) for t in targets]
-    axis = [(i, p) for i, (kind, p) in enumerate(mechs) if kind == "axis"]
-    rolls = [(i, kind, v) for i, (kind, v) in enumerate(mechs)
-             if kind != "axis"]
-    R = (1 << n) // C
-    row_bits = n - (C.bit_length() - 1)
+    plan = _RowPlan(targets, n)
+    R, C = plan.R, plan.C
+    dims, grid, spec, slot = plan.dims, plan.grid, plan.spec, plan.slot
+    axis_sorted, rolls = plan.axis_sorted, plan.rolls
 
-    axis_sorted = sorted(axis, key=lambda ip: -ip[1])
-    dims: list[int] = []
-    tdim: dict[int, int] = {}
-    cur_top = row_bits
-    for i, p in axis_sorted:
-        seg = cur_top - (p + 1)
-        if seg > 0:
-            dims.append(1 << seg)
-        tdim[i] = len(dims)
-        dims.append(2)
-        cur_top = p
-    trail = 1 << cur_top
-    dims.append(trail)
-    dims.append(C)
-    rank = len(dims)
-    trail_pos = rank - 2
-
-    target_elems = max(8, (1 << 21) // 4 // C)
-    BT = max(8, target_elems // (1 << len(axis)))
-    sr_max = max((v for _, kind, v in rolls if kind == "rowroll"), default=0)
-    BT = max(BT, 2 * sr_max)
-    BT = min(BT, trail)
-    while trail % BT:
-        BT //= 2
-    BT = max(BT, 1)
-    assert BT >= 2 * sr_max, (targets, n, BT, sr_max)
-    block = [1] * rank
-    for i, _ in axis_sorted:
-        block[tdim[i]] = 2
-    block[trail_pos] = BT
-    block[rank - 1] = C
-
-    grid_axes = [a for a in range(rank)
-                 if a not in {tdim[i] for i, _ in axis_sorted}
-                 and a != rank - 1 and not (a == trail_pos and BT == trail)]
-    if trail_pos in grid_axes:
-        grid_axes.remove(trail_pos)
-        grid_axes.append(trail_pos)
-    grid = tuple(dims[a] // block[a] for a in grid_axes)
-    if not grid:
-        grid = (1,)
-
-    def index_map(*gids):
-        out = [0] * rank
-        for g, a in zip(gids, grid_axes):
-            out[a] = g
-        return tuple(out)
-
-    spec = pl.BlockSpec(tuple(block), index_map, memory_space=pltpu.VMEM)
     cf_spec = pl.BlockSpec((k, 2, 2, 2), lambda *g: (0, 0, 0, 0),
                            memory_space=pltpu.SMEM)
 
@@ -510,26 +495,9 @@ def _layer1q_fn(targets: tuple[int, ...], n: int):
     ax_slot = {i: a for a, (i, _) in enumerate(axis_sorted)}
     roll_of = {i: r for r, (i, _, _) in enumerate(rolls)}
 
-    def slot(bits):
-        idx: list = [0] * rank
-        for (i, _), b in zip(axis_sorted, bits):
-            idx[tdim[i]] = b
-        idx[trail_pos] = slice(None)
-        idx[rank - 1] = slice(None)
-        return tuple(idx)
-
     def kernel(re_ref, im_ref, cf_ref, ro_ref, io_ref):
-        masks = []
-        for _, kind, v in rolls:
-            ax = 0 if kind == "rowroll" else 1
-            it = jax.lax.broadcasted_iota(jnp.int32, (BT, C), ax)
-            masks.append((it & v) > 0)
-
-        def fetch(x, ridx):
-            _, kind, v = rolls[ridx]
-            ax, size = (0, BT) if kind == "rowroll" else (1, C)
-            return jnp.where(masks[ridx], pltpu.roll(x, v, ax),
-                             pltpu.roll(x, (size - v) % size, ax))
+        masks = plan.make_masks()
+        fetch = plan.make_fetch(masks)
 
         vals = {ja: (re_ref[slot(ja)], im_ref[slot(ja)])
                 for ja in axis_assigns}

@@ -58,8 +58,18 @@ def run_program_incremental(ast, ps: ProgState) -> ProgState:
 
     new = ps.copy()
     interp = Interpreter(new)
+
+    def _sync():
+        # block on every live statevec so --verbose timings measure
+        # execution, not async dispatch (costs nothing when not verbose:
+        # vtimed only calls sync while config.verbose is set)
+        for sv in new.stvecs.values():
+            for plane in sv.planes:
+                plane.block_until_ready()
+
     for i, stmt in enumerate(ast):
-        with vtimed(f"stmt[{i}] line {getattr(getattr(stmt, 'pos', None), 'line', '?')}"):
+        with vtimed(f"stmt[{i}] line {getattr(getattr(stmt, 'pos', None), 'line', '?')}",
+                    sync=_sync):
             interp.run_stmt(stmt)
     return new
 

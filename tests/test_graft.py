@@ -76,14 +76,19 @@ def test_dryrun_self_provisions_like_driver():
     )
 
 
-def test_dryrun_provisions_in_process_when_backend_uninitialized():
-    """Fresh process, backend untouched -> in-process CPU-mesh provisioning."""
+def test_dryrun_does_not_pin_parent_to_cpu():
+    """Fresh process: the dryrun must succeed via the subprocess virtual
+    mesh WITHOUT forcing the parent's backend to CPU (a real multi-chip
+    process must keep validating real ICI collectives, and a driver that
+    benches after the dryrun must keep its TPU)."""
     code = (
-        "import sys; sys.path.insert(0, %r)\n"
+        "import sys, os; sys.path.insert(0, %r)\n"
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(8)\n"
+        "flags = os.environ.get('XLA_FLAGS', '')\n"
+        "assert 'xla_force_host_platform_device_count' not in flags, flags\n"
         "import jax\n"
-        "assert jax.device_count() >= 8, jax.devices()\n"
+        "assert jax.device_count() == 1, jax.devices()  # parent untouched\n"
         "print('INPROC DRYRUN OK')\n"
     ) % REPO
     res = subprocess.run(
