@@ -270,3 +270,63 @@ def w_state_qasm(n: int, measure: bool = True) -> str:
     if measure:
         lines.append("measure q -> c;")
     return "\n".join(lines) + "\n"
+
+
+# -- QAOA (MaxCut) -----------------------------------------------------------------
+
+
+def ring_edges(n: int) -> list[tuple[int, int]]:
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def qaoa_prims(n: int, edges, gammas, betas) -> list[Prim]:
+    """p-layer QAOA MaxCut ansatz: H layer, then per layer the cost
+    e^{-i gamma Z_i Z_j} on every edge (2q diagonals — the whole layer
+    fuses into ONE diagonal pass) and the rx(2 beta) mixer (a disjoint 1q
+    layer — sequential in-VMEM butterflies). The TPU-native VQE shape:
+    cost layers are bandwidth-free diagonals, mixers ride the 1q-layer
+    kernel, and the energy is read with Pauli expectations."""
+    assert len(gammas) == len(betas)
+    prims: list[Prim] = [Prim(_H, (q,)) for q in range(n)]
+    for gamma, beta in zip(gammas, betas):
+        for i, j in edges:
+            zz = np.exp(-1j * gamma * np.array([1, -1, -1, 1]))
+            a, b = (i, j) if i < j else (j, i)
+            prims.append(Prim(zz, (a, b), diag=True))
+        c, s = math.cos(beta), math.sin(beta)
+        rx = np.array([[c, -1j * s], [-1j * s, c]], dtype=np.complex128)
+        for q in range(n):
+            prims.append(Prim(rx, (q,)))
+    return prims
+
+
+def qaoa_maxcut_energy(state_or_planes, n: int, edges) -> float:
+    """MaxCut objective <sum_edges (1 - Z_i Z_j)/2> via the expectation
+    API (one fused reduction per edge)."""
+    from ..ops.measure import expectation_pauli
+
+    planes = getattr(state_or_planes, "planes", state_or_planes)
+    total = 0.0
+    for i, j in edges:
+        p = ["I"] * n
+        p[i] = p[j] = "Z"
+        total += 0.5 * (1.0 - expectation_pauli(planes, n, "".join(p)))
+    return total
+
+
+def qaoa_qasm(n: int, edges, gammas, betas, measure: bool = True) -> str:
+    lines = ["OPENQASM 2.0;", 'include "qelib1.inc";', f"qreg q[{n}];",
+             f"creg c[{n}];"]
+    for q in range(n):
+        lines.append(f"h q[{q}];")
+    for gamma, beta in zip(gammas, betas):
+        for i, j in edges:
+            # e^{-i gamma Z_i Z_j} = cx; rz(2 gamma); cx  (global phase off)
+            lines.append(f"cx q[{i}],q[{j}];")
+            lines.append(f"rz({2 * gamma:.12f}) q[{j}];")
+            lines.append(f"cx q[{i}],q[{j}];")
+        for q in range(n):
+            lines.append(f"rx({2 * beta:.12f}) q[{q}];")
+    if measure:
+        lines.append("measure q -> c;")
+    return "\n".join(lines) + "\n"

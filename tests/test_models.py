@@ -161,3 +161,59 @@ def test_expectation_virtual_shards_vs_dense(pauli):
     vec = circ.state_to_complex(shards)
     expected = float(np.real(vec.conj() @ dense_pauli(pauli) @ vec))
     assert abs(val - expected) < 1e-5, pauli
+
+
+# -- QAOA ----------------------------------------------------------------------
+
+
+def test_qaoa_energy_improves_over_random(n=8):
+    """One QAOA layer at textbook ring-MaxCut angles must beat the uniform
+    state's expected cut (n/2 edges cut on average for the ring)."""
+    from qubism_tpu.models.circuits import (qaoa_maxcut_energy, qaoa_prims,
+                                            ring_edges)
+
+    edges = ring_edges(n)
+    # p=1 optimum for the ring under the e^{-i gamma ZZ} convention:
+    # gamma = pi/8, beta = 3 pi/8 (achieves the known 3/4 cut fraction)
+    circ = CompiledCircuit(n, qaoa_prims(n, edges,
+                                         [math.pi / 8], [3 * math.pi / 8]))
+    state = circ(circ.init_state())
+    energy = qaoa_maxcut_energy(state, n, edges)
+    uniform = len(edges) / 2.0
+    assert energy > uniform + 0.5, (energy, uniform)
+    # known closed form: p=1 ring MaxCut achieves 3/4 of the edges
+    assert abs(energy - 0.75 * len(edges)) < 1e-3, energy
+
+
+def test_qaoa_qasm_matches_prims(n=6):
+    import os
+
+    from qubism_tpu.models.circuits import qaoa_prims, qaoa_qasm, ring_edges
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.run.interpreter import run_program
+
+    edges = ring_edges(n)
+    gammas, betas = [0.7], [0.3]
+    src = qaoa_qasm(n, edges, gammas, betas, measure=False)
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "_qaoa_tmp.qasm")
+    ast = parse_openqasm(path, src)
+    ps = run_program(ast, seed=0)
+    amps = np.asarray(ps.stvecs[ps.qregs["q"].target].amps)
+    expected = final_amplitudes(qaoa_prims(n, edges, gammas, betas), n)
+    # rz-based cost differs from e^{-i g ZZ} by a global phase only
+    overlap = abs(np.vdot(amps, expected))
+    assert abs(overlap - 1.0) < 1e-5, overlap
+
+
+def test_qaoa_fuses_well(n=16):
+    """Each QAOA layer = 1 diagonal pass + few 1q-layer passes."""
+    from qubism_tpu.models.circuits import qaoa_prims, ring_edges
+
+    p = 3
+    circ = CompiledCircuit(
+        n, qaoa_prims(n, ring_edges(n), [0.1] * p, [0.2] * p),
+        use_pallas=True)
+    st = circ.stats()
+    assert st["diag_layers"] <= p + 1
+    assert st["fused_ops"] <= p * 6 + 4, st
