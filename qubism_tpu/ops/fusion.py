@@ -164,12 +164,15 @@ def _prim_sorted_dense(p: Prim) -> tuple[np.ndarray, tuple[int, ...]]:
 
 
 def _union_ok(union: tuple[int, ...], n: int, max_block: int,
-              keep_separate_below: int = 0) -> bool:
-    """Fusion admission: a block touching the lane region (last 7 qubits)
-    expands over the whole 128-lane block at apply time, so its cost is set
-    by its ROW bits — allow at most 1 (2*2^1*128-wide matmul, ~2x the
-    bandwidth-bound cost); pure-lane unions are free regardless of size.
-    Row-only unions are capped by max_block as usual."""
+              keep_separate_below: int = 0,
+              mixed_lane: bool = False) -> bool:
+    """Fusion admission by region. Pure-lane unions (all targets in the
+    last 7 qubits) are free at any size: they apply as one 128-wide matmul.
+    Row-only unions are capped by max_block. Row+lane MIXED unions depend
+    on the backend: the Pallas row kernel reaches lane targets as lane
+    rolls, so with ``mixed_lane`` they merge like row blocks (<= 4 targets,
+    cost-gated by _merge_pays); the XLA path would expand them over the
+    whole 128-lane block, so without it they stay separate."""
     if any(t < keep_separate_below for t in union) and len(union) > 1:
         # gates on virtual-shard qubits stay unfused: the cross-shard
         # executor handles single prims cheaply (zero/identity block elision)
@@ -177,11 +180,9 @@ def _union_ok(union: tuple[int, ...], n: int, max_block: int,
     b = max(n - _apply._COL, 0)
     row = [t for t in union if t < b]
     if any(t >= b for t in union):
-        # lane-touching blocks expand over the whole 128-lane block at apply
-        # time: pure-lane unions are free regardless of size, but mixing in
-        # row bits would leave the Pallas fast paths (and multiply the
-        # matmul width) — keep those prims separate
-        return len(row) == 0
+        if len(row) == 0:
+            return True
+        return mixed_lane and len(union) <= min(max_block, 4)
     return len(union) <= max_block
 
 
@@ -321,7 +322,8 @@ def _layer1q_prepass(items, n: int, keep_separate_below: int = 0):
 def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
          keep_separate_below: int = 0,
          stage_group: int | None = None,
-         max_axis_slots: int | None = None) -> list:
+         max_axis_slots: int | None = None,
+         mixed_lane: bool = False) -> list:
     """Greedy fusion: prims -> [StageBlockOp | Layer1QOp | DenseOp |
     DiagLayer]."""
     if stage_group is None:
@@ -362,7 +364,7 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
             cur_u, cur_t = u, t
             continue
         union = tuple(sorted(set(cur_t) | set(t)))
-        if _union_ok(union, n, max_block, keep_separate_below):
+        if _union_ok(union, n, max_block, keep_separate_below, mixed_lane):
             a = _expand(cur_u, cur_t, union)
             b = _expand(u, t, union)
             fused = b @ a  # p applies after the block
@@ -472,7 +474,8 @@ class CompiledCircuit:
             # the pallas row kernel handles <= 4 targets (16x16 butterflies;
             # wider blocks would fall back to the slow XLA path)
             max_block = min(max_block, 4)
-        self.ops = fuse(self.prims, n, max_block, self.v) if optimize else [
+        self.ops = fuse(self.prims, n, max_block, self.v,
+                        mixed_lane=use_pallas) if optimize else [
             DenseOp(*_prim_sorted_dense(p)) for p in self.prims
         ]
         if chunk_passes is None:

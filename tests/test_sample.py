@@ -97,3 +97,29 @@ def test_big_sampler_matches_small_distribution():
     expected = bins * shots
     chi2 = float(((counts - expected) ** 2 / np.maximum(expected, 1e-9)).sum())
     assert chi2 < 60, chi2  # 15 dof; ~25 typical, 60 = far tail
+
+
+def test_measure_qubits_table_matches_sequential():
+    """The marginal-table fast path must produce the SAME outcomes and the
+    same collapsed state as collapse-as-you-go for the same key."""
+    import jax
+    import numpy as np
+
+    from qubism_tpu.ops import measure as M
+    from qubism_tpu.ops.apply import complex_from_planes, planes_from_complex
+
+    rng = np.random.default_rng(5)
+    n = 9
+    for seed in range(8):
+        v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+        v /= np.linalg.norm(v)
+        qubits = (3, 0, 7, 5, 8)
+        key = jax.random.PRNGKey(seed)
+        o1, p1, k1 = M._measure_seq_impl(
+            planes_from_complex(v), key, qubits, n, False)
+        o2, p2, k2 = M._measure_table_impl(
+            planes_from_complex(v), key, qubits, n, False)
+        assert np.array_equal(np.asarray(o1), np.asarray(o2)), seed
+        a, b = complex_from_planes(p1), complex_from_planes(p2)
+        assert np.linalg.norm(a - b) < 1e-5, seed
+        assert np.array_equal(np.asarray(k1), np.asarray(k2))
