@@ -137,15 +137,31 @@ def _measure_table_impl(planes, key, qubits: tuple[int, ...], n: int,
     flat_r = re.reshape(-1)
     flat_i = im.reshape(-1)
 
-    # marginal table over sorted(qubits), by summing out one unmeasured
-    # qubit at a time (highest surviving stride first keeps ops contiguous)
+    # marginal table over sorted(qubits). Unmeasured ROW qubits are summed
+    # out one at a time on rank-3 views (the trailing dim stays >= the lane
+    # block, so TPU tiling never pads); the lane block is then folded and
+    # reordered in ONE exact 0/1 matmul (a rank-3 sum of a lane bit would
+    # leave a sub-128 trailing dim — a ~32x padding blowup).
+    lanes = min(1 << n, 1 << _COL)
+    log_c = lanes.bit_length() - 1
+    row_cnt = n - log_c
     cur = flat_r * flat_r + flat_i * flat_i
-    live = list(range(n))
-    for q in [q for q in range(n) if q not in qubits]:
+    live = list(range(row_cnt))
+    for q in [q for q in range(row_cnt) if q not in qubits]:
         pos = live.index(q)
         A = 1 << pos
         cur = cur.reshape(A, 2, -1).sum(axis=1).reshape(-1)
         live.remove(q)
+    mlane = [q for q in range(row_cnt, n) if q in qubits]
+    if log_c:
+        fold = np.zeros((lanes, 1 << len(mlane)), dtype=np.float32)
+        for c in range(lanes):
+            j = 0
+            for q in mlane:
+                j = (j << 1) | ((c >> (n - 1 - q)) & 1)
+            fold[c, j] = 1.0
+        cur = jnp.dot(cur.reshape(-1, lanes), jnp.asarray(fold),
+                      precision=jax.lax.Precision.HIGHEST).reshape(-1)
     # cur: (2^k,), bit order = sorted(qubits) (MSB = smallest qubit)
     srt = sorted(qubits)
 
@@ -328,6 +344,32 @@ def measure_qubit_sharded(shards, key: jax.Array, q: int, n: int, v: int):
 # ---------------------------------------------------------------------------
 
 
+def _lane_flip_matrix(C: int, fc: int) -> np.ndarray:
+    """(C, C) 0/1 permutation: right-multiplying a (rows, C) plane XORs the
+    lane index by ``fc`` — the lane-safe way to flip low qubits (a rank-3
+    reverse there would leave a trailing dim < 128, which the TPU memory
+    tiling pads ~32x). Matmul by a 0/1 matrix is exact at any precision."""
+    P = np.zeros((C, C), dtype=np.float32)
+    idx = np.arange(C)
+    P[idx ^ fc, idx] = 1.0
+    return P
+
+
+def _flip_bits(x, n: int, qubits, lane_p=None):
+    """b[i] = x[i ^ mask(qubits)] on a flat (2^n,) array: rank-3 reverses
+    for high bits, one lane permutation matmul (``lane_p``) for low bits."""
+    C = min(1 << n, 1 << _COL)
+    log_c = C.bit_length() - 1
+    for q in qubits:
+        if n - 1 - q >= log_c:
+            A = 1 << q
+            x = jnp.flip(x.reshape(A, 2, -1), axis=1).reshape(-1)
+    if lane_p is not None:
+        x = jnp.dot(x.reshape(-1, C), lane_p,
+                    precision=jax.lax.Precision.HIGHEST).reshape(-1)
+    return x
+
+
 @functools.lru_cache(maxsize=None)
 def _expectation_pair_fn(pauli: str, n: int):
     """Jitted partial sum sum_x conj(b[x^f]) s(x) a[x] for a Pauli string
@@ -340,26 +382,39 @@ def _expectation_pair_fn(pauli: str, n: int):
     flip = [q for q, c in enumerate(pauli) if c in "XY"]
     signq = [q for q, c in enumerate(pauli) if c in "YZ"]
 
+    # TPU rejects rank-n tensors, so every per-qubit axis op runs on a
+    # rank-3 (A, 2, B) view of the flat state, and the +/- sign table
+    # factorizes into one row vector x one lane vector (rank-2)
+    C = min(1 << n, 1 << _COL)
+    R = (1 << n) // C
+    log_c = C.bit_length() - 1
+    srow = np.ones(R, dtype=np.float32)
+    scol = np.ones(C, dtype=np.float32)
+    for q in signq:
+        pos = n - 1 - q
+        if pos >= log_c:
+            srow *= 1.0 - 2.0 * ((np.arange(R) >> (pos - log_c)) & 1)
+        else:
+            scol *= 1.0 - 2.0 * ((np.arange(C) >> pos) & 1)
+    srow_d = jnp.asarray(srow)
+    scol_d = jnp.asarray(scol)
+
+    fc = 0
+    for q in flip:
+        pos = n - 1 - q
+        if pos < log_c:
+            fc |= 1 << pos
+    lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
+
     def fn(a_planes, b_planes):
-        shape = (2,) * n
-        ar = a_planes[0].reshape(shape)
-        ai = a_planes[1].reshape(shape)
-        br = b_planes[0].reshape(shape)
-        bi = b_planes[1].reshape(shape)
-        # b[x^f]: reverse each flipped axis
-        if flip:
-            br = jnp.flip(br, axis=flip)
-            bi = jnp.flip(bi, axis=flip)
-        # s[x] = (-1)^{x . signmask}, broadcast per-axis factors (XLA fuses
-        # the outer product into the reduction — no 2^n temp)
-        prod_r = br * ar + bi * ai          # Re(conj(b) a)
-        prod_i = br * ai - bi * ar          # Im(conj(b) a)
-        for q in signq:
-            s = jnp.array([1.0, -1.0], dtype=jnp.float32).reshape(
-                (1,) * q + (2,) + (1,) * (n - q - 1))
-            prod_r = prod_r * s
-            prod_i = prod_i * s
-        return jnp.sum(prod_r), jnp.sum(prod_i)
+        ar = a_planes[0].reshape(-1)
+        ai = a_planes[1].reshape(-1)
+        br = _flip_bits(b_planes[0].reshape(-1), n, flip, lane_p)
+        bi = _flip_bits(b_planes[1].reshape(-1), n, flip, lane_p)
+        prod_r = (br * ar + bi * ai).reshape(R, C)   # Re(conj(b) a)
+        prod_i = (br * ai - bi * ar).reshape(R, C)   # Im(conj(b) a)
+        s = srow_d[:, None] * scol_d[None, :]
+        return jnp.sum(prod_r * s), jnp.sum(prod_i * s)
 
     return jax.jit(fn)
 

@@ -489,27 +489,45 @@ class ShardedSim:
             lflip = [q - d for q in range(d, self.n) if phys_pauli[q] in "XY"]
             lsign = [q - d for q in range(d, self.n) if phys_pauli[q] in "YZ"]
 
+            # rank-3 flips for high bits, a lane permutation matmul for low
+            # bits, and a factored rank-2 sign table (TPU rejects rank-m
+            # tensors and pads sub-128 trailing dims ~32x; see
+            # ops/measure._expectation_pair_fn)
+            from ..ops.measure import _flip_bits, _lane_flip_matrix
+
+            C = min(1 << m, 1 << _apply._COL)
+            R = (1 << m) // C
+            log_c = C.bit_length() - 1
+            srow = np.ones(R, dtype=np.float32)
+            scol = np.ones(C, dtype=np.float32)
+            for q in lsign:
+                pos = m - 1 - q
+                if pos >= log_c:
+                    srow *= 1.0 - 2.0 * ((np.arange(R) >> (pos - log_c)) & 1)
+                else:
+                    scol *= 1.0 - 2.0 * ((np.arange(C) >> pos) & 1)
+            srow_d = jnp.asarray(srow)
+            scol_d = jnp.asarray(scol)
+            fc = 0
+            for q in lflip:
+                pos = m - 1 - q
+                if pos < log_c:
+                    fc |= 1 << pos
+            lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
+
             def body(planes):
-                re, im = planes
-                shape = (2,) * m
-                ar = re.reshape(shape)
-                ai = im.reshape(shape)
-                br, bi = ar, ai
-                if lflip:
-                    br = jnp.flip(br, axis=lflip)
-                    bi = jnp.flip(bi, axis=lflip)
+                ar = planes[0].reshape(-1)
+                ai = planes[1].reshape(-1)
+                br = _flip_bits(ar, m, lflip, lane_p)
+                bi = _flip_bits(ai, m, lflip, lane_p)
                 if fg:
                     perm = [(i, i ^ fg) for i in range(1 << d)]
                     br = jax.lax.ppermute(br, AXIS, perm)
                     bi = jax.lax.ppermute(bi, AXIS, perm)
-                pr = br * ar + bi * ai   # Re(conj(b) a)
-                pi = br * ai - bi * ar   # Im(conj(b) a)
-                for q in lsign:
-                    s = jnp.array([1.0, -1.0], dtype=jnp.float32).reshape(
-                        (1,) * q + (2,) + (1,) * (m - q - 1))
-                    pr = pr * s
-                    pi = pi * s
-                tr, ti = jnp.sum(pr), jnp.sum(pi)
+                pr = (br * ar + bi * ai).reshape(R, C)   # Re(conj(b) a)
+                pi = (br * ai - bi * ar).reshape(R, C)   # Im(conj(b) a)
+                s = srow_d[:, None] * scol_d[None, :]
+                tr, ti = jnp.sum(pr * s), jnp.sum(pi * s)
                 if sg:
                     idx = jax.lax.axis_index(AXIS)
                     bits = jnp.int32(0)
