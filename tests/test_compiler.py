@@ -283,3 +283,49 @@ def test_adjacent_measures_coalesce_into_one_event():
     _, cregs, _ = prog.run(seed=0)
     assert cregs["c"][0] == 1 and cregs["c"][1] == 0
     assert cregs["d"][0] == 1
+
+
+def test_fuzz_compiled_matches_interpreter():
+    """Randomized differential test: random qelib1 programs with interleaved
+    gates / measurements / conditionals must give identical creg outcomes
+    and final amplitudes under the interpreter and the compiled path (same
+    seed => same key stream)."""
+    import numpy as np
+
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.run.compiler import CompiledProgram
+    from qubism_tpu.run.interpreter import run_program
+
+    rng = np.random.default_rng(1234)
+    qelib = os.path.join(EXAMPLES, "qelib1.inc")
+    for trial in range(6):
+        n = int(rng.integers(3, 7))
+        lines = [f'include "{qelib}";', f"qreg q[{n}];", f"creg c[{n}];"]
+        for _ in range(int(rng.integers(8, 25))):
+            r = rng.random()
+            if r < 0.45:
+                g = rng.choice(["h", "x", "z", "s", "t"])
+                lines.append(f"{g} q[{int(rng.integers(n))}];")
+            elif r < 0.65:
+                a, b = rng.choice(n, size=2, replace=False)
+                g = rng.choice(["cx", "cz"])
+                lines.append(f"{g} q[{a}],q[{b}];")
+            elif r < 0.75:
+                th, ph, lm = rng.uniform(0, 6.28, 3)
+                lines.append(f"u3({th:.6f},{ph:.6f},{lm:.6f}) "
+                             f"q[{int(rng.integers(n))}];")
+            elif r < 0.85:
+                q = int(rng.integers(n))
+                lines.append(f"measure q[{q}] -> c[{q}];")
+            else:
+                v = int(rng.integers(1 << n))
+                lines.append(f"if (c == {v}) x q[{int(rng.integers(n))}];")
+        lines.append("measure q -> c;")
+        src = "\n".join(lines) + "\n"
+        path = os.path.join(EXAMPLES, "_fuzz_tmp.qasm")
+        ast = parse_openqasm(path, src)
+        for seed in (0, 7):
+            ps = run_program(ast, seed=seed)
+            prog = CompiledProgram(ast)
+            _, cregs, _ = prog.run(seed=seed)
+            assert str(cregs["c"]) == str(ps.cregs["c"]), (trial, seed, src)
