@@ -276,6 +276,10 @@ def w_state_qasm(n: int, measure: bool = True) -> str:
 
 
 def ring_edges(n: int) -> list[tuple[int, int]]:
+    if n < 2:
+        return []
+    if n == 2:
+        return [(0, 1)]  # the wrap-around would duplicate the one edge
     return [(i, (i + 1) % n) for i in range(n)]
 
 
@@ -289,8 +293,8 @@ def qaoa_prims(n: int, edges, gammas, betas) -> list[Prim]:
     assert len(gammas) == len(betas)
     prims: list[Prim] = [Prim(_H, (q,)) for q in range(n)]
     for gamma, beta in zip(gammas, betas):
+        zz = np.exp(-1j * gamma * np.array([1, -1, -1, 1]))
         for i, j in edges:
-            zz = np.exp(-1j * gamma * np.array([1, -1, -1, 1]))
             a, b = (i, j) if i < j else (j, i)
             prims.append(Prim(zz, (a, b), diag=True))
         c, s = math.cos(beta), math.sin(beta)
@@ -302,15 +306,27 @@ def qaoa_prims(n: int, edges, gammas, betas) -> list[Prim]:
 
 def qaoa_maxcut_energy(state_or_planes, n: int, edges) -> float:
     """MaxCut objective <sum_edges (1 - Z_i Z_j)/2> via the expectation
-    API (one fused reduction per edge)."""
-    from ..ops.measure import expectation_pauli
+    API (one fused reduction per edge). Accepts a StateVec, a plane pair,
+    or the virtual-sharded tuple CompiledCircuit returns at n > 29."""
+    from ..ops.measure import expectation_pauli, expectation_pauli_virtual
 
     planes = getattr(state_or_planes, "planes", state_or_planes)
+    shards = None
+    if isinstance(planes, (tuple, list)) and len(planes) and \
+            isinstance(planes[0], (tuple, list)):
+        shards = tuple(planes)
+        v = (len(shards) - 1).bit_length()
+
+    def expect(pauli: str) -> float:
+        if shards is not None:
+            return expectation_pauli_virtual(shards, n, v, pauli)
+        return expectation_pauli(planes, n, pauli)
+
     total = 0.0
     for i, j in edges:
         p = ["I"] * n
         p[i] = p[j] = "Z"
-        total += 0.5 * (1.0 - expectation_pauli(planes, n, "".join(p)))
+        total += 0.5 * (1.0 - expect("".join(p)))
     return total
 
 

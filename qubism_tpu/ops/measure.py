@@ -223,8 +223,11 @@ def measure_qubits(planes: Planes, key: jax.Array, qubits: tuple[int, ...],
     reference semantics StateVec.hs:133-137) in ONE device program — a
     whole-register measurement is one dispatch instead of two per bit,
     which dominates e.g. the Cuccaro adder through a remote tunnel. The
-    key-split order matches per-qubit :func:`measure_qubit` exactly, so
-    seeded outcomes are identical. Returns (outcomes (k,), planes', key')."""
+    key-split order matches per-qubit :func:`measure_qubit` exactly and
+    each conditional Born probability is the same mass ratio, so seeded
+    outcomes agree with the per-qubit path up to float32 summation order
+    (an outcome can differ only when a uniform draw lands within ~1 ulp of
+    a threshold). Returns (outcomes (k,), planes', key')."""
     qubits = tuple(qubits)
     if 0 < len(qubits) <= _MEASURE_TABLE_MAX and len(set(qubits)) == len(qubits):
         return _measure_table_impl(planes, key, qubits, n,
@@ -355,6 +358,30 @@ def _lane_flip_matrix(C: int, fc: int) -> np.ndarray:
     return P
 
 
+def _pauli_tables(flip, signq, n: int):
+    """Factored layout tables for a Pauli reduction over n qubits:
+    (srow (R,), scol (C,), fc) — the +/- sign table as row x lane vectors
+    and the lane-bit XOR mask for :func:`_flip_bits`. Shared by the
+    single-buffer and mesh paths so the layout rules live once."""
+    C = min(1 << n, 1 << _COL)
+    R = (1 << n) // C
+    log_c = C.bit_length() - 1
+    srow = np.ones(R, dtype=np.float32)
+    scol = np.ones(C, dtype=np.float32)
+    for q in signq:
+        pos = n - 1 - q
+        if pos >= log_c:
+            srow *= 1.0 - 2.0 * ((np.arange(R) >> (pos - log_c)) & 1)
+        else:
+            scol *= 1.0 - 2.0 * ((np.arange(C) >> pos) & 1)
+    fc = 0
+    for q in flip:
+        pos = n - 1 - q
+        if pos < log_c:
+            fc |= 1 << pos
+    return srow, scol, fc
+
+
 def _flip_bits(x, n: int, qubits, lane_p=None):
     """b[i] = x[i ^ mask(qubits)] on a flat (2^n,) array: rank-3 reverses
     for high bits, one lane permutation matmul (``lane_p``) for low bits."""
@@ -387,23 +414,9 @@ def _expectation_pair_fn(pauli: str, n: int):
     # factorizes into one row vector x one lane vector (rank-2)
     C = min(1 << n, 1 << _COL)
     R = (1 << n) // C
-    log_c = C.bit_length() - 1
-    srow = np.ones(R, dtype=np.float32)
-    scol = np.ones(C, dtype=np.float32)
-    for q in signq:
-        pos = n - 1 - q
-        if pos >= log_c:
-            srow *= 1.0 - 2.0 * ((np.arange(R) >> (pos - log_c)) & 1)
-        else:
-            scol *= 1.0 - 2.0 * ((np.arange(C) >> pos) & 1)
+    srow, scol, fc = _pauli_tables(flip, signq, n)
     srow_d = jnp.asarray(srow)
     scol_d = jnp.asarray(scol)
-
-    fc = 0
-    for q in flip:
-        pos = n - 1 - q
-        if pos < log_c:
-            fc |= 1 << pos
     lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
 
     def fn(a_planes, b_planes):

@@ -492,27 +492,15 @@ class ShardedSim:
             # rank-3 flips for high bits, a lane permutation matmul for low
             # bits, and a factored rank-2 sign table (TPU rejects rank-m
             # tensors and pads sub-128 trailing dims ~32x; see
-            # ops/measure._expectation_pair_fn)
-            from ..ops.measure import _flip_bits, _lane_flip_matrix
+            # ops/measure._expectation_pair_fn — same helpers, same rules)
+            from ..ops.measure import (_flip_bits, _lane_flip_matrix,
+                                       _pauli_tables)
 
             C = min(1 << m, 1 << _apply._COL)
             R = (1 << m) // C
-            log_c = C.bit_length() - 1
-            srow = np.ones(R, dtype=np.float32)
-            scol = np.ones(C, dtype=np.float32)
-            for q in lsign:
-                pos = m - 1 - q
-                if pos >= log_c:
-                    srow *= 1.0 - 2.0 * ((np.arange(R) >> (pos - log_c)) & 1)
-                else:
-                    scol *= 1.0 - 2.0 * ((np.arange(C) >> pos) & 1)
+            srow, scol, fc = _pauli_tables(lflip, lsign, m)
             srow_d = jnp.asarray(srow)
             scol_d = jnp.asarray(scol)
-            fc = 0
-            for q in lflip:
-                pos = m - 1 - q
-                if pos < log_c:
-                    fc |= 1 << pos
             lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
 
             def body(planes):

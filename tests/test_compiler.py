@@ -327,5 +327,9 @@ def test_fuzz_compiled_matches_interpreter():
         for seed in (0, 7):
             ps = run_program(ast, seed=seed)
             prog = CompiledProgram(ast)
-            _, cregs, _ = prog.run(seed=seed)
+            state, cregs, _ = prog.run(seed=seed)
             assert str(cregs["c"]) == str(ps.cregs["c"]), (trial, seed, src)
+            got = complex_from_planar(state)
+            ref = np.asarray(ps.stvecs["q"].amps)
+            assert np.linalg.norm(np.abs(got) - np.abs(ref)) < 1e-5, \
+                (trial, seed, src)

@@ -217,3 +217,19 @@ def test_qaoa_fuses_well(n=16):
     st = circ.stats()
     assert st["diag_layers"] <= p + 1
     assert st["fused_ops"] <= p * 6 + 4, st
+
+
+def test_qaoa_energy_on_virtual_shards(n=8):
+    """qaoa_maxcut_energy must accept the virtual-sharded state tuple the
+    n>29 CompiledCircuit returns."""
+    from qubism_tpu.models.circuits import (qaoa_maxcut_energy, qaoa_prims,
+                                            ring_edges)
+
+    edges = ring_edges(n)
+    gb = ([math.pi / 8], [3 * math.pi / 8])
+    flat = CompiledCircuit(n, qaoa_prims(n, edges, *gb), virtual_shards=0)
+    e_flat = qaoa_maxcut_energy(flat(flat.init_state()), n, edges)
+    shard = CompiledCircuit(n, qaoa_prims(n, edges, *gb), virtual_shards=2)
+    e_shard = qaoa_maxcut_energy(shard(shard.init_state()), n, edges)
+    assert abs(e_flat - e_shard) < 1e-5
+    assert abs(e_flat - 0.75 * len(edges)) < 1e-3

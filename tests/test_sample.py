@@ -99,26 +99,31 @@ def test_big_sampler_matches_small_distribution():
     assert chi2 < 60, chi2  # 15 dof; ~25 typical, 60 = far tail
 
 
-def test_measure_qubits_table_matches_sequential():
+@pytest.mark.parametrize("n,qubits,sqrt_born", [
+    (9, (3, 0, 7, 5, 8), False),        # all-lane (n < row threshold)
+    (13, (0, 4, 11, 12, 2), False),     # mixed row+lane, unmeasured rows
+    (13, (1, 3, 9), True),              # sqrt-Born quirk path
+    (14, tuple(range(6)), False),       # pure-row measured, lanes summed
+])
+def test_measure_qubits_table_matches_sequential(n, qubits, sqrt_born):
     """The marginal-table fast path must produce the SAME outcomes and the
-    same collapsed state as collapse-as-you-go for the same key."""
+    same collapsed state as collapse-as-you-go for the same key — across
+    row/lane mechanics and the reference sqrt-Born quirk."""
     import jax
     import numpy as np
 
     from qubism_tpu.ops import measure as M
     from qubism_tpu.ops.apply import complex_from_planes, planes_from_complex
 
-    rng = np.random.default_rng(5)
-    n = 9
+    rng = np.random.default_rng(5 + n)
     for seed in range(8):
         v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
         v /= np.linalg.norm(v)
-        qubits = (3, 0, 7, 5, 8)
         key = jax.random.PRNGKey(seed)
         o1, p1, k1 = M._measure_seq_impl(
-            planes_from_complex(v), key, qubits, n, False)
+            planes_from_complex(v), key, qubits, n, sqrt_born)
         o2, p2, k2 = M._measure_table_impl(
-            planes_from_complex(v), key, qubits, n, False)
+            planes_from_complex(v), key, qubits, n, sqrt_born)
         assert np.array_equal(np.asarray(o1), np.asarray(o2)), seed
         a, b = complex_from_planes(p1), complex_from_planes(p2)
         assert np.linalg.norm(a - b) < 1e-5, seed
