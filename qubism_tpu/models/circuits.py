@@ -346,3 +346,49 @@ def qaoa_qasm(n: int, edges, gammas, betas, measure: bool = True) -> str:
     if measure:
         lines.append("measure q -> c;")
     return "\n".join(lines) + "\n"
+
+
+# -- quantum phase estimation --------------------------------------------------------
+
+
+def qpe_prims(t: int, phi: float) -> list[Prim]:
+    """Textbook QPE estimating the eigenphase ``phi`` (in turns) of the 1q
+    phase unitary U = diag(1, e^{2 pi i phi}) with t counting qubits + one
+    eigenstate qubit (qubit t, prepared in |1>). The controlled-U^(2^j)
+    powers are 2q diagonals and the inverse QFT is stage-shaped, so the
+    whole circuit fuses to a handful of passes. Measuring qubits 0..t-1
+    big-endian yields round(phi * 2^t) with high probability."""
+    n = t + 1
+    prims: list[Prim] = [Prim(_X, (t,))]
+    for q in range(t):
+        prims.append(Prim(_H, (q,)))
+    # the circuit QFT (like the reference's fourier.qasm) has no final swap
+    # network, so its output is bit-reversed: counting qubit q carries
+    # sigma-weight 2^q, and the kickback phases mirror that
+    for q in range(t):
+        lam = 2.0 * math.pi * phi * (1 << q)
+        prims.append(Prim(_cu1_diag(lam), (q, t), diag=True))
+    # inverse QFT on the counting register (reversed conjugated QFT)
+    for q in range(t - 1, -1, -1):
+        for j in range(t - 1, q, -1):
+            lam = -math.pi / (1 << (j - q))
+            prims.append(Prim(_cu1_diag(lam), (j, q), diag=True))
+        prims.append(Prim(_H, (q,)))
+    return prims
+
+
+def qpe_qasm(t: int, phi: float, measure: bool = True) -> str:
+    lines = ["OPENQASM 2.0;", 'include "qelib1.inc";', f"qreg q[{t}];",
+             "qreg e[1];", f"creg c[{t}];", "x e[0];"]
+    for q in range(t):
+        lines.append(f"h q[{q}];")
+    for q in range(t):
+        lam = 2.0 * math.pi * phi * (1 << q)
+        lines.append(f"cu1({lam:.12f}) q[{q}],e[0];")
+    for q in range(t - 1, -1, -1):
+        for j in range(t - 1, q, -1):
+            lines.append(f"cu1(-pi/{1 << (j - q)}) q[{j}],q[{q}];")
+        lines.append(f"h q[{q}];")
+    if measure:
+        lines.append("measure q -> c;")
+    return "\n".join(lines) + "\n"

@@ -233,3 +233,48 @@ def test_qaoa_energy_on_virtual_shards(n=8):
     e_shard = qaoa_maxcut_energy(shard(shard.init_state()), n, edges)
     assert abs(e_flat - e_shard) < 1e-5
     assert abs(e_flat - 0.75 * len(edges)) < 1e-3
+
+
+# -- quantum phase estimation --------------------------------------------------
+
+
+@pytest.mark.parametrize("t,phi", [(6, 0.171875), (8, 0.359375), (5, 0.5)])
+def test_qpe_recovers_exact_phase(t, phi):
+    """phi representable in t bits => the counting register reads
+    round(phi * 2^t) with probability ~1."""
+    from qubism_tpu.models.circuits import qpe_prims
+
+    n = t + 1
+    amps = final_amplitudes(qpe_prims(t, phi), n)
+    probs = (np.abs(amps) ** 2).reshape(1 << t, 2)[:, 1]  # eigenqubit = |1>
+    k = int(round(phi * (1 << t)))
+    assert probs[k] > 0.99, (t, phi, probs[k])
+
+
+def test_qpe_inexact_phase_concentrates(t=7):
+    from qubism_tpu.models.circuits import qpe_prims
+
+    phi = 0.3  # not representable in 7 bits
+    amps = final_amplitudes(qpe_prims(t, phi), t + 1)
+    probs = (np.abs(amps) ** 2).reshape(1 << t, 2)[:, 1]
+    best = int(np.argmax(probs))
+    assert abs(best / (1 << t) - phi) < 1 / (1 << t)
+    assert probs[best] > 0.4  # 4/pi^2 lower bound
+
+
+def test_qpe_qasm_matches_prims(t=5):
+    import os
+
+    from qubism_tpu.models.circuits import qpe_prims, qpe_qasm
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.run.interpreter import run_program
+
+    phi = 0.40625
+    src = qpe_qasm(t, phi, measure=False)
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "_qpe_tmp.qasm")
+    ast = parse_openqasm(path, src)
+    ps = run_program(ast, seed=0)
+    amps = np.asarray(ps.stvecs[ps.qregs["q"].target].amps)
+    expected = final_amplitudes(qpe_prims(t, phi), t + 1)
+    assert np.linalg.norm(np.abs(amps) - np.abs(expected)) < 1e-5
