@@ -16,5 +16,5 @@ native:
 	python -c "from qubism_tpu.native import ensure_built; print(ensure_built())"
 
 clean:
-	rm -rf .jax_cache qubism_tpu/native/_qasm_lexer.so
+	rm -rf .jax_cache qubism_tpu/native/_qasm_lexer*.so
 	find . -name __pycache__ -type d -exec rm -rf {} +

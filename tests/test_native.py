@@ -32,7 +32,8 @@ def assert_same(text, file="<t>"):
 @needs_native
 @pytest.mark.parametrize("name", [
     "qelib1.inc", "teleportation.qasm", "fourier.qasm", "inverseQFT.qasm",
-    "errorCorrection.qasm", "rippleCarryAdder.qasm",
+    "errorCorrection.qasm", "rippleCarryAdder.qasm", "grover.qasm",
+    "wstate.qasm",
 ])
 def test_native_matches_python_on_examples(name):
     with open(os.path.join(EXAMPLES, name)) as f:

@@ -254,6 +254,7 @@ def test_qelib_parses():
 @pytest.mark.parametrize("name", [
     "teleportation.qasm", "fourier.qasm", "inverseQFT.qasm",
     "errorCorrection.qasm", "rippleCarryAdder.qasm",
+    "grover.qasm", "wstate.qasm",
 ])
 def test_examples_parse(name):
     path = os.path.join(EXAMPLES, name)
