@@ -53,6 +53,13 @@ class Config:
     reference_sqrt_born: bool = False
     reference_truncated_pi: bool = False
 
+    #: Force register measurement through the sequential per-qubit stream
+    #: instead of the (distribution-identical, ~2-sweep) marginal-table path.
+    #: Seeded outcomes of the two algorithms can differ when a uniform draw
+    #: lands within ~1 ulp of a float32 threshold; users needing bit-for-bit
+    #: cross-version reproducibility of seeded runs set this True.
+    force_sequential_measure: bool = False
+
     @property
     def pi(self) -> float:
         return REFERENCE_PI if self.reference_truncated_pi else math.pi

@@ -45,12 +45,19 @@ def ensure_built():
             return _lib
         try:
             so = _so_path()
+            built = False
             if not os.path.exists(so):
                 subprocess.run(
                     ["g++", "-O2", "-shared", "-fPIC", "-o", so, _SRC],
                     check=True, capture_output=True, timeout=120,
                 )
-                # drop binaries for superseded source hashes
+                built = True
+            lib = ctypes.CDLL(so)
+            if built:
+                # drop binaries for superseded source hashes — only AFTER a
+                # successful dlopen of the new one, so a concurrent process
+                # between its exists-check and CDLL never has its (older)
+                # .so unlinked before it could load it and fall back
                 import glob
 
                 for old in glob.glob(os.path.join(_DIR, "_qasm_lexer-*.so")):
@@ -59,7 +66,6 @@ def ensure_built():
                             os.unlink(old)
                         except OSError:
                             pass
-            lib = ctypes.CDLL(so)
             lib.qasm_lex.restype = ctypes.c_long
             lib.qasm_lex.argtypes = [
                 ctypes.c_char_p, ctypes.c_long,

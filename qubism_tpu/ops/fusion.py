@@ -270,7 +270,8 @@ _MAX_AXIS_SLOTS = 3
 _LAYER1Q_MAX = 6
 
 
-def _layer1q_prepass(items, n: int, keep_separate_below: int = 0):
+def _layer1q_prepass(items, n: int, keep_separate_below: int = 0,
+                     max_axis_slots: int | None = None):
     """Group runs of consecutive dense 1q prims on DISTINCT row qubits into
     Layer1QOp passes. Disjoint 1q gates commute, so each maximal run is
     repartitioned freely: up to _MAX_AXIS_SLOTS axis-mechanism targets per
@@ -281,6 +282,8 @@ def _layer1q_prepass(items, n: int, keep_separate_below: int = 0):
     StageOps from the stage prepass — they break runs and pass through."""
     from .kernels import _mech
 
+    if max_axis_slots is None:
+        max_axis_slots = _MAX_AXIS_SLOTS
     b_lane = max(n - _apply._COL, 0)
     out: list = []
     run: list = []  # [(u, q)]
@@ -293,8 +296,8 @@ def _layer1q_prepass(items, n: int, keep_separate_below: int = 0):
         ax = [(u, q) for u, q in run if _mech(q, n)[0] == "axis"]
         rl = [(u, q) for u, q in run if _mech(q, n)[0] != "axis"]
         while ax or rl:
-            chunk = ax[:_MAX_AXIS_SLOTS]
-            ax = ax[_MAX_AXIS_SLOTS:]
+            chunk = ax[:max_axis_slots]
+            ax = ax[max_axis_slots:]
             take = _LAYER1Q_MAX - len(chunk)
             chunk += rl[:take]
             rl = rl[take:]
@@ -331,7 +334,7 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
     if max_axis_slots is None:
         max_axis_slots = _MAX_AXIS_SLOTS
     prims = _stage_prepass(prims, n, keep_separate_below)
-    prims = _layer1q_prepass(prims, n, keep_separate_below)
+    prims = _layer1q_prepass(prims, n, keep_separate_below, max_axis_slots)
     blocks: list = []
     cur_u: np.ndarray | None = None
     cur_t: tuple[int, ...] = ()
@@ -368,7 +371,10 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
             a = _expand(cur_u, cur_t, union)
             b = _expand(u, t, union)
             fused = b @ a  # p applies after the block
-            if _merge_pays(cur_u, fused, u, union, n):
+            # the per-pass cost model is measured on the Pallas row kernel
+            # (mixed_lane backend); the XLA/traced path keeps the old
+            # unconditional merge — wider einsum blocks still pay there
+            if not mixed_lane or _merge_pays(cur_u, fused, u, union, n):
                 cur_u, cur_t = fused, union
                 continue
         flush()

@@ -229,7 +229,9 @@ def measure_qubits(planes: Planes, key: jax.Array, qubits: tuple[int, ...],
     (an outcome can differ only when a uniform draw lands within ~1 ulp of
     a threshold). Returns (outcomes (k,), planes', key')."""
     qubits = tuple(qubits)
-    if 0 < len(qubits) <= _MEASURE_TABLE_MAX and len(set(qubits)) == len(qubits):
+    if (not config.force_sequential_measure
+            and 0 < len(qubits) <= _MEASURE_TABLE_MAX
+            and len(set(qubits)) == len(qubits)):
         return _measure_table_impl(planes, key, qubits, n,
                                    config.reference_sqrt_born)
     return _measure_seq_impl(planes, key, qubits, n,

@@ -128,3 +128,27 @@ def test_measure_qubits_table_matches_sequential(n, qubits, sqrt_born):
         a, b = complex_from_planes(p1), complex_from_planes(p2)
         assert np.linalg.norm(a - b) < 1e-5, seed
         assert np.array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_force_sequential_measure_escape_hatch():
+    """config.force_sequential_measure pins measure_qubits to the per-qubit
+    stream (cross-version bit-for-bit seeded reproducibility; ADVICE r2)."""
+    import jax
+    import numpy as np
+
+    from qubism_tpu.config import config
+    from qubism_tpu.ops import measure as M
+    from qubism_tpu.ops.apply import planes_from_complex
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=1 << 8) + 1j * rng.normal(size=1 << 8)
+    v /= np.linalg.norm(v)
+    key = jax.random.PRNGKey(7)
+    qubits = (2, 0, 5)
+    ref, _, _ = M._measure_seq_impl(planes_from_complex(v), key, qubits, 8, False)
+    config.force_sequential_measure = True
+    try:
+        got, _, _ = M.measure_qubits(planes_from_complex(v), key, qubits, 8)
+    finally:
+        config.force_sequential_measure = False
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
