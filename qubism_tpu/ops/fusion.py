@@ -434,6 +434,177 @@ def fuse(prims, n: int, max_block: int = DEFAULT_MAX_BLOCK,
     return grouped
 
 
+def _op_content_key(op, n: int):
+    """Content hash of a fused op: plan caches MUST NOT key on ``id(op)`` —
+    callers like the mesh path lower temporary op objects, and a recycled
+    id would serve a stale plan with the wrong gate tables. Content keys
+    also dedup identical ops across segments."""
+    if isinstance(op, StageBlockOp):
+        return ("stageblk", n, tuple(
+            (u.tobytes(), q, tuple((d.tobytes(), t) for d, t in factors))
+            for u, q, factors in op.stages))
+    if isinstance(op, Layer1QOp):
+        return ("layer1q", n, tuple((u.tobytes(), q) for u, q in op.gates))
+    if isinstance(op, DiagLayer):
+        return ("diaglayer", n,
+                tuple((np.asarray(d).tobytes(), t) for d, t in op.factors))
+    return ("dense", n, op.u.tobytes(), op.targets)
+
+
+class OpPlanner:
+    """Per-op dispatch plans with device-resident operands, built once per
+    (op content, n) (re-uploading gate tables per call costs more than the
+    kernels through a remote-device tunnel). Used by the compiled executor
+    and the mesh path — both run the SAME Pallas kernel plans."""
+
+    def __init__(self):
+        self._cache: dict = {}
+
+    def __call__(self, op, n: int):
+        from . import kernels
+
+        key = _op_content_key(op, n)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        if isinstance(op, StageBlockOp):
+            plan = ("stageblk", kernels.stage_block_prepare(op.stages, n))
+        elif isinstance(op, Layer1QOp):
+            # fn(state, coefs): same dispatch shape as a row gate
+            plan = ("row", kernels.layer1q_prepare(op.gates, n))
+        elif isinstance(op, DiagLayer):
+            plan = ("diag", kernels.diag_layer_prepare(op.factors, n))
+        else:
+            b = max(n - _apply._COL, 0)
+            if op.targets and all(t >= b for t in op.targets):
+                # pure-lane blocks: one expanded 128-wide MXU matmul
+                u = _apply.expand_for_view(op.u, n, op.targets)
+                plan = ("lane", kernels.lane_gate_prepare(u, n))
+            elif 1 <= len(op.targets) <= 4:
+                # row and row/lane-straddling gates: axis/roll kernel
+                plan = ("row", kernels.row_gate_prepare(op.u, op.targets, n))
+            else:
+                plan = ("xla", None)
+        self._cache[key] = plan
+        return plan
+
+
+def plan_chunk(ops, n: int, prepared):
+    """Lower a run of fused ops into (plans, operands): per-op dispatch
+    plans (with the lru-cached kernel fns) plus the flat list of
+    device-resident gate operands, split out as jit ARGUMENTS so
+    same-shaped chunks share one compile. ``prepared`` is a per-op plan
+    cache callable ``(op, n) -> (kind, prep)`` (see
+    :meth:`CompiledCircuit._prepared`). Execute with :func:`run_plans`."""
+    plans: list = []
+    operands: list = []
+    for op in ops:
+        kind, prep = prepared(op, n)
+        if kind == "stageblk":
+            plans.append(("stageblk", prep[0], len(prep) - 1))
+            operands.extend(prep[1:])
+        elif kind == "diag":
+            plans.append(("diag", tuple(p[0] for p in prep), None))
+            for _, rt, ct in prep:
+                operands.extend([rt, ct])
+        elif kind == "lane":
+            fn, mr, mi = prep
+            plans.append(("lane", fn, None))
+            operands.extend([mr, mi])
+        elif kind == "row":
+            fn, coef = prep
+            plans.append(("row", fn, None))
+            operands.append(coef)
+        else:
+            plans.append(("xla", op, None))
+    return tuple(plans), tuple(operands)
+
+
+def plan_sig(plans) -> tuple:
+    """Structural signature of a plan list for jit-cache keying: the kernel
+    fns are lru-cached by (targets, n, ...), so identical structure gives
+    identical fn identities. XLA-fallback ops trace their matrix as a
+    CONSTANT, so their signature must carry the matrix content."""
+    sig: list = []
+    for kind, payload, extra in plans:
+        if kind == "diag":
+            sig.append((kind, tuple(id(f) for f in payload), extra))
+        elif kind == "xla":
+            sig.append((kind, (payload.targets, payload.u.tobytes()), extra))
+        else:
+            sig.append((kind, id(payload), extra))
+    return tuple(sig)
+
+
+def run_plans(state, plans, ops_args, n: int):
+    """Traced executor for :func:`plan_chunk` output: applies every op to
+    canonical planes, consuming operands from ``ops_args`` in order."""
+    from . import kernels
+
+    it = iter(ops_args)
+    for kind, payload, extra in plans:
+        if kind == "stageblk":
+            args = [next(it) for _ in range(extra)]
+            state = payload(state, *args)
+        elif kind == "diag":
+            for fn in payload:
+                state = fn(state, next(it), next(it))
+        elif kind == "lane":
+            state = payload(state, next(it), next(it))
+        elif kind == "row":
+            state = payload(state, next(it))
+        else:
+            state = kernels.like_shape(
+                _apply.apply_gate_traced(state, payload.u, payload.targets, n),
+                state)
+    return state
+
+
+def split_op_virtual(op, v: int):
+    """Specialize one fused op (targets in (v + m)-space, virtual/bank bits
+    at positions 0..v-1) for the 2^v shards. Returns
+    ("per_shard", [op_for_shard_s]) — every shard's op in m-space — or
+    ("cross", DenseOp) for dense ops touching virtual bits (the caller
+    runs those as cross-shard butterflies / block decompositions). Shared
+    by the single-chip virtual-shard executor and the mesh path's
+    per-device sub-shard banks."""
+    if isinstance(op, StageBlockOp):
+        # the stage prepass never creates stages touching virtual bits
+        shifted = StageBlockOp(tuple(
+            (u, q - v,
+             tuple((d, (t[0] - v, t[1] - v)) for d, t in factors))
+            for u, q, factors in op.stages))
+        return ("per_shard", [shifted] * (1 << v))
+    if isinstance(op, Layer1QOp):
+        # the 1q-layer prepass never groups virtual-bit targets
+        shifted = Layer1QOp(tuple((u, q - v) for u, q in op.gates))
+        return ("per_shard", [shifted] * (1 << v))
+    if isinstance(op, DiagLayer):
+        per = []
+        for s in range(1 << v):
+            facs = []
+            for d, targets in op.factors:
+                virt = [t for t in targets if t < v]
+                real = tuple(t - v for t in targets if t >= v)
+                if virt:
+                    # fix the virtual bits to this shard's values
+                    dk = d.reshape((2,) * len(targets))
+                    idx = tuple(
+                        ((s >> (v - 1 - t)) & 1) if t < v else slice(None)
+                        for t in targets
+                    )
+                    dsub = np.asarray(dk[idx]).reshape(-1)
+                else:
+                    dsub = d
+                facs.append((dsub, real))
+            per.append(DiagLayer(tuple(facs)))
+        return ("per_shard", per)
+    if all(t >= v for t in op.targets):
+        shifted = DenseOp(op.u, tuple(t - v for t in op.targets))
+        return ("per_shard", [shifted] * (1 << v))
+    return ("cross", op)
+
+
 def _apply_dense_traced(planes, u: np.ndarray, targets: tuple[int, ...], n: int):
     """Inside-jit dense block application (matrix becomes an XLA constant):
     row-qubit butterfly or lane-block matmul, zero entries skipped."""
@@ -495,7 +666,7 @@ class CompiledCircuit:
             else:
                 chunk_passes = len(self.ops) if n <= 22 else 8
         self.chunk_passes = max(1, chunk_passes)
-        self._op_cache: dict = {}
+        self._planner = OpPlanner()
         # keep the async dispatch queue bounded on large states (temporaries
         # and un-aliased outputs of queued ops stay live until the device
         # catches up); at n=30 the state alone is half of HBM. Measured:
@@ -554,35 +725,7 @@ class CompiledCircuit:
         return self._run_op_at(op, state, self.n)
 
     def _prepared(self, op, n):
-        """Per-op dispatch plan with device-resident operands, built once
-        (re-uploading gate tables per call costs more than the kernels
-        through a remote-device tunnel)."""
-        from . import kernels
-
-        key = (id(op), n)
-        hit = self._op_cache.get(key)
-        if hit is not None:
-            return hit
-        if isinstance(op, StageBlockOp):
-            plan = ("stageblk", kernels.stage_block_prepare(op.stages, n))
-        elif isinstance(op, Layer1QOp):
-            # fn(state, coefs): same dispatch shape as a row gate
-            plan = ("row", kernels.layer1q_prepare(op.gates, n))
-        elif isinstance(op, DiagLayer):
-            plan = ("diag", kernels.diag_layer_prepare(op.factors, n))
-        else:
-            b = max(n - _apply._COL, 0)
-            if op.targets and all(t >= b for t in op.targets):
-                # pure-lane blocks: one expanded 128-wide MXU matmul
-                u = _apply.expand_for_view(op.u, n, op.targets)
-                plan = ("lane", kernels.lane_gate_prepare(u, n))
-            elif 1 <= len(op.targets) <= 4:
-                # row and row/lane-straddling gates: axis/roll kernel
-                plan = ("row", kernels.row_gate_prepare(op.u, op.targets, n))
-            else:
-                plan = ("xla", None)
-        self._op_cache[key] = plan
-        return plan
+        return self._planner(op, n)
 
     def _run_op_at(self, op, state, n):
         from . import kernels
@@ -637,49 +780,9 @@ class CompiledCircuit:
         """Host-side numpy complex amplitudes for any representation."""
         return state_to_complex_virtual(state, self.v)
 
-    def _split_op_sharded(self, op):
-        """Specialize one fused op for the 2^v shards. Returns
-        ("per_shard", [op_for_shard_s]) or ("cross", DenseOp)."""
-        v, m = self.v, self.n - self.v
-        if isinstance(op, StageBlockOp):
-            # the stage prepass never creates stages touching virtual bits
-            shifted = StageBlockOp(tuple(
-                (u, q - v,
-                 tuple((d, (t[0] - v, t[1] - v)) for d, t in factors))
-                for u, q, factors in op.stages))
-            return ("per_shard", [shifted] * (1 << v))
-        if isinstance(op, Layer1QOp):
-            # the 1q-layer prepass never groups virtual-bit targets
-            shifted = Layer1QOp(tuple((u, q - v) for u, q in op.gates))
-            return ("per_shard", [shifted] * (1 << v))
-        if isinstance(op, DiagLayer):
-            per = []
-            for s in range(1 << v):
-                facs = []
-                for d, targets in op.factors:
-                    virt = [t for t in targets if t < v]
-                    real = tuple(t - v for t in targets if t >= v)
-                    if virt:
-                        # fix the virtual bits to this shard's values
-                        dk = d.reshape((2,) * len(targets))
-                        idx = tuple(
-                            ((s >> (v - 1 - t)) & 1) if t < v else slice(None)
-                            for t in targets
-                        )
-                        dsub = np.asarray(dk[idx]).reshape(-1)
-                    else:
-                        dsub = d
-                    facs.append((dsub, real))
-                per.append(DiagLayer(tuple(facs)))
-            return ("per_shard", per)
-        if all(t >= v for t in op.targets):
-            shifted = DenseOp(op.u, tuple(t - v for t in op.targets))
-            return ("per_shard", [shifted] * (1 << v))
-        return ("cross", op)
-
     def _build_sharded(self):
         v, m = self.v, self.n - self.v
-        self._events = [self._split_op_sharded(op) for op in self.ops]
+        self._events = [split_op_virtual(op, v) for op in self.ops]
         self._cross_fns: dict = {}
 
     def _cross_fn(self, op: DenseOp):
@@ -865,52 +968,14 @@ class CompiledCircuit:
                 return
             per_shard = []
             for s in range(S):
-                plans = []
-                operands: list = []
-                for payload in run:
-                    op = payload[s]
-                    kind, prep = self._prepared(op, m)
-                    if kind == "stageblk":
-                        fn = prep[0]
-                        plans.append(("stageblk", fn, len(prep) - 1))
-                        operands.extend(prep[1:])
-                    elif kind == "diag":
-                        plans.append(("diag", [p[0] for p in prep], None))
-                        for _, rt, ct in prep:
-                            operands.extend([rt, ct])
-                    elif kind == "lane":
-                        fn, mr, mi = prep
-                        plans.append(("lane", fn, None))
-                        operands.extend([mr, mi])
-                    elif kind == "row":
-                        fn, coef = prep
-                        plans.append(("row", fn, None))
-                        operands.append(coef)
-                    else:
-                        plans.append(("xla", op, None))
+                plans, operands = plan_chunk([payload[s] for payload in run],
+                                             m, self._prepared)
 
-                def chunk_fn(state, ops_args, plans=tuple(plans)):
-                    it = iter(ops_args)
-                    for kind, payload, extra in plans:
-                        if kind == "stageblk":
-                            args = [next(it) for _ in range(extra)]
-                            state = payload(state, *args)
-                        elif kind == "diag":
-                            for fn in payload:
-                                state = fn(state, next(it), next(it))
-                        elif kind == "lane":
-                            state = payload(state, next(it), next(it))
-                        elif kind == "row":
-                            state = payload(state, next(it))
-                        else:
-                            from . import kernels
-
-                            state = kernels.like_shape(_apply.apply_gate(
-                                state, payload.u, payload.targets, m), state)
-                    return state
+                def chunk_fn(state, ops_args, plans=plans):
+                    return run_plans(state, plans, ops_args, m)
 
                 per_shard.append((jax.jit(chunk_fn, donate_argnums=0),
-                                  tuple(operands)))
+                                  operands))
             plan.append(("chunk", per_shard))
             run.clear()
 
@@ -951,52 +1016,13 @@ class CompiledCircuit:
         self._pallas_chunks = []
         for i in range(0, len(self.ops), self.chunk_passes):
             chunk = self.ops[i : i + self.chunk_passes]
-            plans = []
-            operands: list = []
-            for op in chunk:
-                kind, prep = self._prepared(op, n)
-                if kind == "stageblk":
-                    fn = prep[0]
-                    plans.append(("stageblk", fn, len(prep) - 1))
-                    operands.extend(prep[1:])
-                elif kind == "diag":
-                    fns = [p[0] for p in prep]
-                    plans.append(("diag", fns, len(prep)))
-                    for _, rt, ct in prep:
-                        operands.extend([rt, ct])
-                elif kind == "lane":
-                    fn, mr, mi = prep
-                    plans.append(("lane", fn, None))
-                    operands.extend([mr, mi])
-                elif kind == "row":
-                    fn, coef = prep
-                    plans.append(("row", fn, None))
-                    operands.append(coef)
-                else:
-                    plans.append(("xla", op, None))
+            plans, operands = plan_chunk(chunk, n, self._prepared)
 
-            def chunk_fn(state, ops_args, plans=tuple(plans)):
-                it = iter(ops_args)
-                for kind, payload, extra in plans:
-                    if kind == "stageblk":
-                        args = [next(it) for _ in range(extra)]
-                        state = payload(state, *args)
-                    elif kind == "diag":
-                        for fn in payload:
-                            state = fn(state, next(it), next(it))
-                    elif kind == "lane":
-                        state = payload(state, next(it), next(it))
-                    elif kind == "row":
-                        state = payload(state, next(it))
-                    else:
-                        from . import kernels
-
-                        state = kernels.like_shape(_apply.apply_gate(
-                            state, payload.u, payload.targets, n), state)
-                return state
+            def chunk_fn(state, ops_args, plans=plans):
+                return run_plans(state, plans, ops_args, n)
 
             self._pallas_chunks.append(
-                (jax.jit(chunk_fn, donate_argnums=0), tuple(operands))
+                (jax.jit(chunk_fn, donate_argnums=0), operands)
             )
 
     def __call__(self, state):

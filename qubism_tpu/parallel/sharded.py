@@ -1,27 +1,49 @@
-"""Amplitude-sharded simulation over a TPU mesh.
+"""Amplitude-sharded simulation over a TPU mesh — the Pallas path.
 
-The one parallelism axis of a state-vector simulator is the amplitude index:
-the (re, im) plane pair is sharded along the amplitude axis over a 1-D mesh
-of D = 2^d devices, so the **top d index bits (big-endian qubits 0..d-1)
-select the device** and the remaining n-d bits are shard-local.
+Physical bit layout (big-endian, qubit 0 = most significant index bit):
+
+* positions ``[0, d)``     — **device** bits: select the mesh device;
+* positions ``[d, d+w)``   — **bank** bits: select one of 2^w per-device
+  sub-shard banks;
+* positions ``[d+w, n)``   — **local** bits: index within a device's
+  canonical ``(R, C)`` block (``ops/kernels.py`` layout).
+
+The state is a tuple of 2^w *bank* plane pairs; each bank is ONE sharded
+``jax.Array`` of shape ``(D * R_m, C)`` float32 whose leading rows split
+across the mesh, so every device holds a canonical m-qubit block per bank
+(m = n - d - w). Banks exist because this TPU stack rejects buffers past
+2^29 f32 elements (ops/fusion.py:default_virtual_shards): at n = 33-34 over
+a v5e-8 the per-device state exceeds that, so ``w`` defaults to
+``max(0, n - d - 29)`` and per-device buffers stay compilable.
 
 Operation taxonomy (SURVEY.md §2.3):
 
-* gates whose physical targets are all local: embarrassingly parallel
-  (``shard_map`` with no collectives);
-* **diagonal** gates on any targets (incl. global): zero-communication —
-  each device selects its sub-table from its global bits;
-* dense gates on global qubits: made local by a **qubit-relabeling swap**
-  (the ICI path): exchange half-blocks with the partner device via
-  ``ppermute`` to swap a global physical position with a local one, and
-  track the logical→physical permutation host-side so the cost amortizes;
-* measurement/collapse: local reductions + ``psum``;
-* shot sampling: a device-level CDF choice + per-shard inverse-CDF search,
-  merged with ``psum``.
+* dense gates on LOCAL targets run the SAME fused Pallas kernel plans as
+  the single-chip engine (stage blocks / 1q layers / diag layers /
+  row+lane gates — ops/kernels.py) on each device's block INSIDE
+  ``shard_map`` — zero communication, single-chip throughput per chip;
+* dense gates on BANK targets: an in-place cross-bank butterfly
+  (``kernels.shard_butterfly_prepare``), or a block decomposition with
+  identity/zero elision for mixed bank+local targets — still per-device,
+  zero communication;
+* dense gates on DEVICE targets are made local first by a
+  **qubit-relabeling swap** (the ICI path): ``ppermute`` half-block
+  exchanges with the partner device, tracked host-side in the
+  logical→physical permutation so the cost amortizes over the stream;
+* **diagonal** gates are zero-communication for ANY targets: device bits
+  select a per-device sub-table via ``axis_index``, bank bits specialize
+  the table per bank host-side, local bits fold into the fused diag
+  kernels;
+* measurement/collapse: local reductions + ``psum``; shot sampling: a
+  device → bank → local hierarchical inverse-CDF with an ``all_gather``
+  of the tiny per-device masses.
 
-This module is validated on a virtual CPU mesh
-(``--xla_force_host_platform_device_count``) and drives real ICI collectives
-unchanged on a TPU slice.
+Whole runs of communication-free prims compile into ONE buffer-donating
+``shard_map`` program (relabel swaps only at segment boundaries — SURVEY
+§7.6: plan relabelings over the stream, not per gate), so peak HBM stays
+~one state vector and per-chip throughput matches the single-chip plateau.
+Validated on a virtual CPU mesh (kernels in interpret mode); identical
+code drives real ICI collectives on a TPU slice.
 """
 
 from __future__ import annotations
@@ -36,19 +58,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import config
 from ..core.gates import Prim
 from ..ops import apply as _apply
-from ..ops.measure import collapse_traced, prob_one_traced
+from ..ops import kernels
+from ..ops.fusion import (OpPlanner, fuse, plan_chunk, plan_sig, run_plans,
+                          split_op_virtual)
+from ..ops.measure import (_flip_bits, _lane_flip_matrix, _pauli_tables,
+                           _sel_views, prob_one_traced)
 from .mesh import make_mesh
 
 AXIS = "amp"
 
-#: shard_map spec for an (re, im) plane pair
-_STATE_SPEC = (P(AXIS), P(AXIS))
+#: per-device plane buffers above 2^LOCAL_MAX f32 elements fail to compile
+#: on this TPU stack (same limit as ops/fusion.default_virtual_shards)
+LOCAL_MAX = 29
+
+
+def default_banks(n: int, d: int) -> int:
+    """log2 bank count keeping per-device plane buffers <= 2^LOCAL_MAX."""
+    return max(0, n - d - LOCAL_MAX)
 
 
 class ShardedSim:
     """An n-qubit state-vector simulator sharded over a device mesh."""
 
-    def __init__(self, n: int, mesh: Mesh | None = None):
+    def __init__(self, n: int, mesh: Mesh | None = None,
+                 banks: int | None = None, allocate: bool = True):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.D = self.mesh.devices.size
         self.d = int(math.log2(self.D))
@@ -56,40 +89,77 @@ class ShardedSim:
             raise ValueError(f"mesh size {self.D} is not a power of two")
         if n < self.d:
             raise ValueError(f"need at least {self.d} qubits for {self.D} shards")
-        if n - self.d < 2 and n >= 2:
+        self.w = default_banks(n, self.d) if banks is None else banks
+        self.m = n - self.d - self.w
+        if self.m < 2 and n >= 2:
             raise ValueError(
-                f"{self.D} shards leave {n - self.d} local qubit(s); dense "
-                f"2-qubit gates need 2 — use at most {1 << (n - 2)} devices")
+                f"{self.D} shards x 2^{self.w} banks leave {self.m} local "
+                f"qubit(s); dense 2-qubit gates need 2")
         self.n = n
+        self.C = kernels.canon_cols(self.m)
+        self.Rm = (1 << self.m) // self.C
         # logical qubit -> physical bit position (and inverse)
         self.perm = list(range(n))
         self.inv = list(range(n))
-        sh = NamedSharding(self.mesh, P(AXIS))
-        self.planes = jax.jit(
-            lambda: _apply.zero_state(n), out_shardings=(sh, sh)
-        )()
+        self._bank_specs = tuple((P(AXIS), P(AXIS)) for _ in range(1 << self.w))
+        if allocate:
+            sh = NamedSharding(self.mesh, P(AXIS))
+            shape = (self.D * self.Rm, self.C)
+
+            def init():
+                out = []
+                for s in range(1 << self.w):
+                    re = jnp.zeros(shape, jnp.float32)
+                    if s == 0:
+                        re = re.at[0, 0].set(1.0)
+                    out.append((re, jnp.zeros(shape, jnp.float32)))
+                return tuple(out)
+
+            self.banks = jax.jit(
+                init, out_shardings=tuple((sh, sh) for _ in range(1 << self.w))
+            )()
+        else:
+            # plan-only mode: lower/compile segments abstractly (shape
+            # feasibility at n = 33-34 without allocating the state)
+            self.banks = None
+        self._planner = OpPlanner()
         self._cache: dict = {}
         #: jitted dispatches issued (observability: each costs a full tunnel
         #: round-trip on remote backends, so fusion quality = this counter)
         self.dispatch_count = 0
+        #: fused passes per jitted sub-segment: XLA compile time (and the
+        #: compiler's own memory) scales badly with monolithic program size
+        #: at multi-GiB per-device shapes (same rationale as
+        #: CompiledCircuit.chunk_passes)
+        self._chunk_passes = 8 if self.m + self.w > 22 else 10 ** 9
+        #: bound the async dispatch queue at large per-device states: queued
+        #: ops' un-aliased outputs stay live until the device catches up
+        self._sync_every = 3 if self.m + self.w >= 30 else (
+            6 if self.m + self.w >= 26 else 10 ** 9)
+        self._since_sync = 0
 
     # -- shard_map plumbing ---------------------------------------------------
 
-    def _smap(self, body, out_specs=_STATE_SPEC, in_extra=()):
-        return jax.jit(
-            jax.shard_map(
-                body,
-                mesh=self.mesh,
-                in_specs=(_STATE_SPEC,) + tuple(in_extra),
-                out_specs=out_specs,
-            )
+    def _smap(self, body, out_specs=None, in_extra=(), donate=True):
+        """jit(shard_map(body)) over (banks, *extra). ``donate`` aliases the
+        bank buffers in place — peak HBM stays ~one state (VERDICT r2 §3)."""
+        if out_specs is None:
+            out_specs = self._bank_specs
+        f = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(self._bank_specs,) + tuple(in_extra),
+            out_specs=out_specs,
+            check_vma=False,  # pallas_call out_shapes carry no vma info
         )
+        return jax.jit(f, donate_argnums=(0,) if donate else ())
 
     @property
     def n_local(self) -> int:
+        """Shard-local qubits per device (bank + local bits)."""
         return self.n - self.d
 
-    # -- permutation bookkeeping -------------------------------------------------
+    # -- permutation bookkeeping ----------------------------------------------
 
     def phys(self, logical: int) -> int:
         return self.perm[logical]
@@ -100,53 +170,67 @@ class ShardedSim:
         self.perm[lg], self.perm[ll] = pl, pg
         self.inv[pg], self.inv[pl] = ll, lg
 
-    # -- qubit-relabeling swap (global <-> local) over ICI -------------------------
+    # -- qubit-relabeling swap (device <-> local) over ICI ----------------------
 
     def _swap_fn(self, pg: int, pl: int):
         key = ("swap", pg, pl)
         if key not in self._cache:
-            d, D = self.d, self.D
+            d, Rm, C = self.d, self.Rm, self.C
             gmask = 1 << (d - 1 - pg)
-            a = 1 << (pl - d)
-            pairs = [(i, i ^ gmask) for i in range(D)]
+            q_loc = pl - d - self.w
+            log_c = C.bit_length() - 1
+            row_bit = q_loc < self.m - log_c
+            pairs = [(i, i ^ gmask) for i in range(self.D)]
 
             def swap_plane(x, bit):
-                x3 = x.reshape(a, 2, -1)
-                half0, half1 = x3[:, 0, :], x3[:, 1, :]
-                send = jnp.where(bit, half0, half1)   # the λ = 1-β half leaves
+                if row_bit:
+                    # leading-dim regroup of the canonical block: free
+                    A = 1 << q_loc
+                    x4 = x.reshape(A, 2, -1, C)
+                    h0, h1 = x4[:, 0], x4[:, 1]
+                else:
+                    # lane-bit slot: only reachable on tiny (test) blocks
+                    # where every local bit is a lane bit
+                    a = 1 << q_loc
+                    x3 = x.reshape(a, 2, -1)
+                    h0, h1 = x3[:, 0], x3[:, 1]
+                send = jnp.where(bit, h0, h1)   # the 1-β half leaves
                 recv = jax.lax.ppermute(send, AXIS, pairs)
-                keep = jnp.where(bit, half1, half0)   # the λ = β half stays
-                new0 = jnp.where(bit, recv, keep)
-                new1 = jnp.where(bit, keep, recv)
-                return jnp.stack([new0, new1], axis=1).reshape(-1)
+                keep = jnp.where(bit, h1, h0)   # the β half stays
+                n0 = jnp.where(bit, recv, keep)
+                n1 = jnp.where(bit, keep, recv)
+                return jnp.stack([n0, n1], axis=1).reshape(Rm, C)
 
-            def body(planes):
+            def body(banks):
                 idx = jax.lax.axis_index(AXIS)
                 bit = (idx & gmask) > 0
-                return (swap_plane(planes[0], bit), swap_plane(planes[1], bit))
+                return tuple(
+                    (swap_plane(b[0], bit), swap_plane(b[1], bit))
+                    for b in banks)
 
             self._cache[key] = self._smap(body)
         return self._cache[key]
 
     def swap_global_local(self, pg: int, pl: int):
-        """Exchange global physical position pg (< d) with local pl (>= d)."""
-        assert pg < self.d <= pl
-        self.planes = self._swap_fn(pg, pl)(self.planes)
+        """Exchange device physical position pg (< d) with local pl (>= d+w)."""
+        assert pg < self.d and pl >= self.d + self.w
+        self.banks = self._swap_fn(pg, pl)(self.banks)
         self.dispatch_count += 1
         self._swap_positions(pg, pl)
 
     def _pick_local_slot(self, avoid: set[int]) -> int:
-        # prefer OUTERMOST local positions: the swap kernel's view then keeps
-        # a large trailing dim (TPU tiling), and the new local qubit lands in
-        # the cheap "row" region of subsequent gate applications
-        for pos in range(self.d, self.n):
+        # prefer OUTERMOST local positions: the new local qubit is then a
+        # ROW bit of the canonical block (free leading-dim regroup in the
+        # swap, cheap axis mechanics in subsequent kernels)
+        for pos in range(self.d + self.w, self.n):
             if pos not in avoid:
                 return pos
         raise RuntimeError("no free local position for qubit swap")
 
     def localize(self, logical_targets: tuple[int, ...]) -> tuple[int, ...]:
-        """Ensure all targets are physically local, swapping if needed.
-        Returns their physical positions."""
+        """Ensure no target sits on a DEVICE bit, swapping if needed (bank
+        bits stay: cross-bank ops are communication-free). Returns the
+        physical positions."""
         avoid = {self.perm[q] for q in logical_targets}
         for q in logical_targets:
             p = self.perm[q]
@@ -157,198 +241,316 @@ class ShardedSim:
                 avoid.add(slot)
         return tuple(self.perm[q] for q in logical_targets)
 
-    # -- gate application ------------------------------------------------------------
-
-    def _local_dense_fn(self, local_targets: tuple[int, ...]):
-        key = ("dense", local_targets)
-        if key not in self._cache:
-            n_local = self.n_local
-
-            def body(planes, op):
-                dims, tpos, lane = _apply.plan_view(n_local, local_targets)
-                if lane:
-                    return _apply.apply_gate_lane_traced(planes, op, dims, tpos)
-                table = _apply._row_table_dyn(op[0], op[1], dims, tpos)
-                return _apply.apply_gate_row_traced(planes, table, dims, tpos)
-
-            self._cache[key] = self._smap(body, in_extra=((P(), P()),))
-        return self._cache[key]
-
-    def _global_diag_fn(self, gpos: tuple[int, ...], lpos: tuple[int, ...]):
-        key = ("diag", gpos, lpos)
-        if key not in self._cache:
-            d, n_local = self.d, self.n_local
-            kg, kl = len(gpos), len(lpos)
-            local_targets = tuple(p - d for p in lpos)
-
-            def body(planes, table):
-                # table = (d_r, d_i), axes: global bits (MSB-first) then local
-                idx = jax.lax.axis_index(AXIS)
-                gidx = jnp.int32(0)
-                for g in gpos:
-                    bit = ((idx >> (d - 1 - g)) & 1).astype(jnp.int32)
-                    gidx = (gidx << 1) | bit
-                rows = tuple(
-                    jax.lax.dynamic_index_in_dim(
-                        t.reshape(1 << kg, 1 << kl), gidx, axis=0, keepdims=False
-                    )
-                    for t in table
-                )  # ((2^kl,), (2^kl,))
-                if kl == 0:
-                    rr, ri = rows[0][0], rows[1][0]
-                    return (planes[0] * rr - planes[1] * ri,
-                            planes[0] * ri + planes[1] * rr)
-                tr, ti, rrow, has_lane = _apply.expand_diag_traced(
-                    rows[0], rows[1], n_local, local_targets)
-                return _apply.diag_factor_traced(
-                    planes[0], planes[1], tr, ti, rrow, has_lane, n_local)
-
-            self._cache[key] = self._smap(body, in_extra=((P(), P()),))
-        return self._cache[key]
-
-    # -- fused segment execution -------------------------------------------------
+    # -- fused segment execution ------------------------------------------------
 
     def _lower_segment(self, prims):
-        """Lower a run of prims (dense targets already physically local under
-        the current perm) into (sig, steps, operands): a structural signature
-        for jit reuse, per-step metadata, and the device operand list."""
-        from ..ops.fusion import (DenseOp, DiagLayer, Layer1QOp, StageBlockOp,
-                                  fuse)
-
-        d, m = self.d, self.n_local
+        """Lower a run of prims (dense targets already off the device bits
+        under the current perm) into a list of (sig, steps, operands)
+        sub-segment chunks (<= _chunk_passes fused passes each): a
+        structural signature for jit reuse, per-step metadata, and the flat
+        device operand list the chunk body consumes in order."""
+        d, w, m = self.d, self.w, self.m
+        M = w + m
+        chunks: list = []
         steps: list = []
         operands: list = []
         sig: list = []
-
-        def flush_dense(run):
-            if not run:
-                return
-            for op in fuse(run, m):
-                if isinstance(op, StageBlockOp):
-                    # decompose: the XLA traced path has no fused-stage kernel
-                    ops = []
-                    for u, q, factors in op.stages:
-                        ops.append(DenseOp(np.asarray(u), (q,)))
-                        if factors:
-                            ops.append(DiagLayer(factors))
-                elif isinstance(op, Layer1QOp):
-                    ops = [DenseOp(np.asarray(u), (q,)) for u, q in op.gates]
-                else:
-                    ops = [op]
-                for o in ops:
-                    if isinstance(o, DiagLayer):
-                        steps.append(("ldiag", tuple(t for _, t in o.factors)))
-                        sig.append(("ldiag", tuple(t for _, t in o.factors)))
-                        for dtab, _ in o.factors:
-                            dtab = np.asarray(dtab, dtype=np.complex128)
-                            operands.append((
-                                jnp.asarray(dtab.real.astype(np.float32)),
-                                jnp.asarray(dtab.imag.astype(np.float32))))
-                    else:
-                        ur, ui = _apply.prepare_gate(
-                            np.asarray(o.u, dtype=np.complex128), o.targets, m)
-                        steps.append(("dense", o.targets))
-                        sig.append(("dense", o.targets, ur.shape))
-                        operands.append((jnp.asarray(ur), jnp.asarray(ui)))
-            run.clear()
-
         dense_run: list = []
-        for p in prims:
-            if p.diag:
-                flush_dense(dense_run)
-                phys = [self.perm[q] for q in p.targets]
-                order = sorted(range(len(phys)),
-                               key=lambda j: (phys[j] >= d, phys[j]))
-                dn = np.asarray(p.u, dtype=np.complex128).reshape((2,) * len(phys))
-                dn = dn.transpose(order).reshape(-1)
-                sphys = [phys[j] for j in order]
-                kg = sum(1 for x in sphys if x < d)
-                gpos, lpos = tuple(sphys[:kg]), tuple(sphys[kg:])
-                steps.append(("gdiag", gpos, lpos))
-                sig.append(("gdiag", gpos, lpos))
-                operands.append((jnp.asarray(dn.real.astype(np.float32)),
-                                 jnp.asarray(dn.imag.astype(np.float32))))
+        passes = 0
+
+        def flush_chunk():
+            nonlocal steps, operands, sig, passes
+            if steps:
+                chunks.append((tuple(sig), steps, operands))
+                steps, operands, sig, passes = [], [], [], 0
+
+        def cut(weight: int):
+            nonlocal passes
+            if steps and passes + weight > self._chunk_passes:
+                flush_chunk()
+            passes += weight
+
+        def emit_bankrun(bank_ops):
+            while bank_ops:
+                if passes >= self._chunk_passes:
+                    flush_chunk()
+                take = min(max(1, self._chunk_passes - passes), len(bank_ops))
+                part, bank_ops = bank_ops[:take], bank_ops[take:]
+                cut(len(part))
+                per_bank = []
+                for s in range(1 << w):
+                    plans, opnds = plan_chunk([ev[s] for ev in part], m,
+                                              self._planner)
+                    per_bank.append(plans)
+                    operands.extend(opnds)
+                steps.append(("banks", tuple(per_bank)))
+                sig.append(("banks", tuple(plan_sig(p) for p in per_bank)))
+
+        def emit_cross(op):
+            cut(1)
+            if all(t < w for t in op.targets):
+                steps.append(("bfly", self._bfly_plan(op)))
+                sig.append(("bfly", op.targets, op.u.tobytes()))
             else:
+                steps.append(("crossmix", self._crossmix_plan(op)))
+                sig.append(("crossmix", op.targets, op.u.tobytes()))
+
+        def flush_dense():
+            if not dense_run:
+                return
+            ops = fuse(dense_run, M, max_block=4, keep_separate_below=w,
+                       mixed_lane=True)
+            bank_ops: list = []
+            for op in ops:
+                kind, payload = split_op_virtual(op, w)
+                if kind == "per_shard":
+                    bank_ops.append(payload)
+                else:
+                    if bank_ops:
+                        emit_bankrun(bank_ops)
+                        bank_ops = []
+                    emit_cross(payload)
+            if bank_ops:
+                emit_bankrun(bank_ops)
+            dense_run.clear()
+
+        for p in prims:
+            phys = [self.perm[q] for q in p.targets]
+            if p.diag and any(t < d for t in phys):
+                # device-bit diagonal: zero-communication axis_index select
+                flush_dense()
+                cut(1)
+                step, table_ops = self._gdiag_plan(p, phys)
+                steps.append(step)
+                sig.append(step[:1] + step[2:])  # structure w/o per-bank data
+                operands.extend(table_ops)
+                continue
+            if p.diag:
+                order = sorted(range(len(phys)), key=lambda j: phys[j])
+                dn = np.asarray(p.u, dtype=np.complex128)
+                if len(phys) > 1:
+                    dn = dn.reshape((2,) * len(phys)).transpose(order).reshape(-1)
+                dense_run.append(Prim(dn, tuple(phys[j] - d for j in order),
+                                      diag=True))
+            else:
+                assert all(t >= d for t in phys), (p.targets, phys)
                 u = np.asarray(p.dense(), dtype=np.complex128)
-                u, sorted_phys = _apply._sort_targets(
-                    u, tuple(self.perm[q] for q in p.targets))
-                dense_run.append(Prim(u, tuple(x - d for x in sorted_phys)))
-        flush_dense(dense_run)
-        return tuple(sig), steps, operands
+                u, sorted_phys = _apply._sort_targets(u, tuple(phys))
+                dense_run.append(Prim(u, tuple(t - d for t in sorted_phys)))
+        flush_dense()
+        flush_chunk()
+        return chunks
+
+    # -- cross-bank dense plans (zero communication) ------------------------------
+
+    def _bfly_plan(self, op):
+        """All targets on bank bits: whole-block butterflies across banks,
+        grouped by the non-target bank bits (kernels._shard_butterfly_fn,
+        every block aliased in place)."""
+        w, m = self.w, self.m
+        fn, coef = kernels.shard_butterfly_prepare(op.u, m)
+        targets = op.targets
+        nontarget = [t for t in range(w) if t not in targets]
+        groups = []
+        for bits in range(1 << len(nontarget)):
+            base = 0
+            for j, t in enumerate(nontarget):
+                base |= ((bits >> (len(nontarget) - 1 - j)) & 1) << (w - 1 - t)
+            members = []
+            for val in range(1 << len(targets)):
+                s = base
+                for j, t in enumerate(targets):
+                    s |= ((val >> (len(targets) - 1 - j)) & 1) << (w - 1 - t)
+                members.append(s)
+            groups.append(members)
+        return (fn, tuple(map(tuple, groups)), coef)
+
+    def _crossmix_plan(self, op):
+        """Mixed bank+local dense targets: block-decompose over the bank
+        bits — out_bank = sum_in blk[out, in] applied on the local targets
+        of bank ``in``; identity blocks pass through, zero blocks are
+        skipped (so bank-controlled gates reduce to per-bank ops). The tiny
+        block matrices become trace constants."""
+        w, m = self.w, self.m
+        rest = tuple(t - w for t in op.targets if t >= w)
+        h = 1 << len(rest)
+        S = 1 << w
+        vbits = [t for t in op.targets if t < w]
+
+        def bank_block_index(s):
+            out = 0
+            for t in vbits:
+                out = (out << 1) | ((s >> (w - 1 - t)) & 1)
+            return out
+
+        mask = 0
+        for t in range(w):
+            if t not in vbits:
+                mask |= 1 << (w - 1 - t)
+
+        eye = np.eye(h)
+
+        def term_kind(blk):
+            if not blk.any():
+                return "zero"
+            if np.allclose(blk, eye, atol=1e-14):
+                return "ident"
+            return "mat"
+
+        def local_thunk(blk):
+            """planes -> planes applying blk on ``rest`` within a canonical
+            m-qubit block (the same kernel taxonomy as OpPlanner)."""
+            if not rest:
+                c = complex(blk[0, 0])
+                cr, ci = np.float32(c.real), np.float32(c.imag)
+                return lambda pl: (cr * pl[0] - ci * pl[1],
+                                   cr * pl[1] + ci * pl[0])
+            b = max(m - _apply._COL, 0)
+            if all(t >= b for t in rest):
+                u = _apply.expand_for_view(blk, m, rest)
+                fn, mr, mi = kernels.lane_gate_prepare(u, m)
+                return lambda pl: fn(pl, mr, mi)
+            if len(rest) <= 4:
+                fn, coef = kernels.row_gate_prepare(blk, rest, m)
+                return lambda pl: fn(pl, coef)
+            return lambda pl: kernels.like_shape(
+                _apply.apply_gate_traced(pl, blk, rest, m), pl)
+
+        out_plans = []
+        for s_out in range(S):
+            terms = []
+            for s_in in range(S):
+                if (s_out & mask) != (s_in & mask):
+                    continue
+                bi, bj = bank_block_index(s_out), bank_block_index(s_in)
+                blk = op.u[bi * h:(bi + 1) * h, bj * h:(bj + 1) * h]
+                kind = term_kind(blk)
+                if kind == "ident":
+                    terms.append((s_in, None))
+                elif kind == "mat":
+                    terms.append((s_in, local_thunk(blk)))
+            if len(terms) == 1 and terms[0][1] is None:
+                out_plans.append(("pass", terms[0][0]))
+            else:
+                out_plans.append(("sum", tuple(terms)))
+        return tuple(out_plans)
+
+    # -- device-bit diagonals (zero communication) --------------------------------
+
+    def _gdiag_plan(self, p: Prim, phys):
+        """Diagonal with device-bit targets: sort targets device/bank/local,
+        fix bank bits per bank host-side, select the device row at runtime
+        with axis_index. Returns (step, per-bank table operands)."""
+        d, w, m = self.d, self.w, self.m
+        order = sorted(range(len(phys)),
+                       key=lambda j: (phys[j] >= d, phys[j] >= d + w, phys[j]))
+        dn = np.asarray(p.u, dtype=np.complex128)
+        if len(phys) > 1:
+            dn = dn.reshape((2,) * len(phys)).transpose(order).reshape(-1)
+        sphys = [phys[j] for j in order]
+        gpos = tuple(t for t in sphys if t < d)
+        bpos = tuple(t for t in sphys if d <= t < d + w)
+        lpos = tuple(t for t in sphys if t >= d + w)
+        kg, kb, kl = len(gpos), len(bpos), len(lpos)
+        dk = dn.reshape((2,) * (kg + kb + kl))
+        table_ops = []
+        for s in range(1 << w):
+            idx = tuple([slice(None)] * kg
+                        + [((s >> (w - 1 - (t - d))) & 1) for t in bpos])
+            dsub = np.asarray(dk[idx]).reshape(1 << kg, 1 << kl)
+            table_ops.append(jnp.asarray(dsub.real.astype(np.float32)))
+            table_ops.append(jnp.asarray(dsub.imag.astype(np.float32)))
+        local_targets = tuple(t - d - w for t in lpos)
+        return ("gdiag", None, gpos, local_targets, kg, kl), table_ops
 
     def _segment_fn(self, sig, steps):
-        """One jitted shard_map applying a whole fused segment (the operand
+        """One jitted shard_map applying a whole fused segment (operand
         tables are arguments, so same-shaped segments share a compile)."""
         key = ("segment", sig)
         if key not in self._cache:
-            d, m = self.d, self.n_local
+            d, w, m = self.d, self.w, self.m
+            Rm, C = self.Rm, self.C
 
-            def body(planes, operands):
+            def body(banks, operands):
                 it = iter(operands)
+                states = list(banks)
                 for step in steps:
-                    if step[0] == "dense":
-                        _, targets = step
-                        op = next(it)
-                        dims, tpos, lane = _apply.plan_view(m, targets)
-                        if lane:
-                            planes = _apply.apply_gate_lane_traced(
-                                planes, op, dims, tpos)
-                        else:
-                            table = _apply._row_table_dyn(op[0], op[1], dims, tpos)
-                            planes = _apply.apply_gate_row_traced(
-                                planes, table, dims, tpos)
-                    elif step[0] == "ldiag":
-                        _, factor_targets = step
-                        for targets in factor_targets:
-                            dr, di = next(it)
-                            tr, ti, rrow, has_lane = _apply.expand_diag_traced(
-                                dr, di, m, targets)
-                            planes = _apply.diag_factor_traced(
-                                planes[0], planes[1], tr, ti, rrow, has_lane, m)
+                    kind = step[0]
+                    if kind == "banks":
+                        per_bank = step[1]
+                        states = [run_plans(states[s], per_bank[s], it, m)
+                                  for s in range(len(states))]
+                    elif kind == "bfly":
+                        fn, groups, coef = step[1]
+                        for members in groups:
+                            outs = fn(tuple(states[s] for s in members), coef)
+                            for s, pair in zip(members, outs):
+                                states[s] = pair
+                    elif kind == "crossmix":
+                        new = []
+                        for entry in step[1]:
+                            if entry[0] == "pass":
+                                new.append(states[entry[1]])
+                            else:
+                                acc = None
+                                for s_in, thunk in entry[1]:
+                                    t = (states[s_in] if thunk is None
+                                         else thunk(states[s_in]))
+                                    t = kernels.to_canon(t, m)
+                                    acc = t if acc is None else (
+                                        acc[0] + t[0], acc[1] + t[1])
+                                new.append(acc)
+                        states = new
                     else:  # gdiag
-                        _, gpos, lpos = step
-                        table = next(it)
-                        kg, kl = len(gpos), len(lpos)
-                        local_targets = tuple(p - d for p in lpos)
+                        _, _, gpos, local_targets, kg, kl = step
                         idx = jax.lax.axis_index(AXIS)
                         gidx = jnp.int32(0)
                         for g in gpos:
                             bit = ((idx >> (d - 1 - g)) & 1).astype(jnp.int32)
                             gidx = (gidx << 1) | bit
-                        rows = tuple(
-                            jax.lax.dynamic_index_in_dim(
-                                t.reshape(1 << kg, 1 << kl), gidx, axis=0,
-                                keepdims=False)
-                            for t in table)
-                        if kl == 0:
-                            rr, ri = rows[0][0], rows[1][0]
-                            planes = (planes[0] * rr - planes[1] * ri,
-                                      planes[0] * ri + planes[1] * rr)
-                        else:
-                            tr, ti, rrow, has_lane = _apply.expand_diag_traced(
-                                rows[0], rows[1], m, local_targets)
-                            planes = _apply.diag_factor_traced(
-                                planes[0], planes[1], tr, ti, rrow, has_lane, m)
-                return planes
+                        for s in range(len(states)):
+                            dr, di = next(it), next(it)
+                            rr = jax.lax.dynamic_index_in_dim(
+                                dr, gidx, axis=0, keepdims=False)
+                            ri = jax.lax.dynamic_index_in_dim(
+                                di, gidx, axis=0, keepdims=False)
+                            xr, xi = states[s]
+                            if kl == 0:
+                                states[s] = (xr * rr[0] - xi * ri[0],
+                                             xr * ri[0] + xi * rr[0])
+                            else:
+                                tr, ti, row, has_lane = \
+                                    _apply.expand_diag_traced(
+                                        rr, ri, m, local_targets)
+                                orr, oii = _apply.diag_factor_traced(
+                                    xr, xi, tr, ti, row, has_lane, m)
+                                states[s] = (orr.reshape(Rm, C),
+                                             oii.reshape(Rm, C))
+                return tuple(states)
 
             self._cache[key] = self._smap(body, in_extra=(P(),))
         return self._cache[key]
 
     def apply_fused(self, prims):
         """Apply a primitive stream with whole-segment fusion: one jitted
-        shard_map per run of communication-free prims, relabel swaps only at
-        segment boundaries (SURVEY §7.6: plan relabelings over the stream,
-        not per gate). Diagonals never break a segment (zero-communication
-        for any targets)."""
+        shard_map per run of communication-free prims, relabel swaps only
+        at segment boundaries (SURVEY §7.6). Diagonals never break a
+        segment (zero-communication for any targets)."""
         seg: list = []
 
         def flush():
             if not seg:
                 return
-            sig, steps, operands = self._lower_segment(seg)
-            fn = self._segment_fn(sig, steps)
-            self.planes = fn(self.planes, tuple(operands))
-            self.dispatch_count += 1
+            for sig, steps, operands in self._lower_segment(seg):
+                fn = self._segment_fn(sig, steps)
+                self.banks = fn(self.banks, tuple(operands))
+                self.dispatch_count += 1
+                self._since_sync += 1
+                if self._since_sync >= self._sync_every:
+                    # scalar readback: drain the async dispatch queue so
+                    # queued ops' un-aliased outputs don't pile up in HBM
+                    float(self.banks[0][0][0, 0])
+                    self._since_sync = 0
             seg.clear()
 
         for p in prims:
@@ -362,31 +564,8 @@ class ShardedSim:
         return self
 
     def apply_prim(self, p: Prim):
-        """Apply one primitive at LOGICAL targets."""
-        if p.diag:
-            # diagonals never need communication: split targets by locality
-            phys = [self.perm[q] for q in p.targets]
-            order = sorted(range(len(phys)), key=lambda j: (phys[j] >= self.d, phys[j]))
-            # global positions first (ascending), then local (ascending)
-            dn = np.asarray(p.u, dtype=np.complex128).reshape((2,) * len(phys))
-            dn = dn.transpose(order).reshape(-1)
-            sphys = [phys[j] for j in order]
-            kg = sum(1 for x in sphys if x < self.d)
-            gpos, lpos = tuple(sphys[:kg]), tuple(sphys[kg:])
-            fn = self._global_diag_fn(gpos, lpos)
-            table = (jnp.asarray(dn.real.astype(np.float32)),
-                     jnp.asarray(dn.imag.astype(np.float32)))
-            self.planes = fn(self.planes, table)
-            self.dispatch_count += 1
-        else:
-            phys = self.localize(tuple(p.targets))
-            u = np.asarray(p.dense(), dtype=np.complex128)
-            u, sorted_phys = _apply._sort_targets(u, phys)
-            local_targets = tuple(x - self.d for x in sorted_phys)
-            ur, ui = _apply.prepare_gate(u, local_targets, self.n_local)
-            fn = self._local_dense_fn(local_targets)
-            self.planes = fn(self.planes, (jnp.asarray(ur), jnp.asarray(ui)))
-            self.dispatch_count += 1
+        """Apply one primitive at LOGICAL targets (one dispatch)."""
+        return self.apply_fused([p])
 
     def apply(self, prims, fused: bool = True):
         """Apply a primitive stream. ``fused`` (default) batches
@@ -399,61 +578,110 @@ class ShardedSim:
             self.apply_prim(p)
         return self
 
-    # -- measurement -------------------------------------------------------------------
+    # -- measurement ------------------------------------------------------------
+
+    def _bank_sel(self, phys: int):
+        """Banks whose bit at bank position (phys - d) is 1."""
+        b = phys - self.d
+        return [s for s in range(1 << self.w)
+                if (s >> (self.w - 1 - b)) & 1]
 
     def _prob_one_fn(self, phys: int):
         key = ("prob", phys)
         if key not in self._cache:
-            d, n_local = self.d, self.n_local
+            d, w, m = self.d, self.w, self.m
 
-            if phys >= self.d:
-                lq = phys - d
+            def norm2(b):
+                return jnp.sum(b[0] * b[0]) + jnp.sum(b[1] * b[1])
 
-                def body(planes):
-                    return jax.lax.psum(prob_one_traced(planes, lq, n_local), AXIS)
-            else:
+            if phys < d:
                 gmask = 1 << (d - 1 - phys)
 
-                def body(planes):
+                def body(banks):
                     idx = jax.lax.axis_index(AXIS)
-                    mass = jnp.sum(planes[0] ** 2) + jnp.sum(planes[1] ** 2)
-                    return jax.lax.psum(jnp.where((idx & gmask) > 0, mass, 0.0), AXIS)
+                    mass = sum(norm2(b) for b in banks)
+                    return jax.lax.psum(
+                        jnp.where((idx & gmask) > 0, mass, 0.0), AXIS)
+            elif phys < d + w:
+                sel = self._bank_sel(phys)
 
-            self._cache[key] = self._smap(body, out_specs=P())
+                def body(banks):
+                    mass = sum(norm2(banks[s]) for s in sel)
+                    return jax.lax.psum(mass, AXIS)
+            else:
+                lq = phys - d - w
+
+                def body(banks):
+                    return jax.lax.psum(
+                        sum(prob_one_traced(b, lq, m) for b in banks), AXIS)
+
+            self._cache[key] = self._smap(body, out_specs=P(), donate=False)
         return self._cache[key]
 
     def _collapse_fn(self, phys: int):
         key = ("collapse", phys)
         if key not in self._cache:
-            d, n_local = self.d, self.n_local
+            d, w, m = self.d, self.w, self.m
+            Rm, C = self.Rm, self.C
 
-            if phys >= self.d:
-                lq = phys - d
-
-                def body(planes, outcome):
-                    return collapse_traced(planes, outcome, lq, n_local,
-                                           norm_reduce=lambda x: jax.lax.psum(x, AXIS))
-            else:
+            if phys < d:
                 gmask = 1 << (d - 1 - phys)
 
-                def body(planes, outcome):
+                def body(banks, outcome):
                     idx = jax.lax.axis_index(AXIS)
                     bit = ((idx & gmask) > 0).astype(jnp.int32)
-                    mr = jnp.where(bit == outcome, planes[0], jnp.zeros_like(planes[0]))
-                    mi = jnp.where(bit == outcome, planes[1], jnp.zeros_like(planes[1]))
-                    nrm = jnp.sqrt(jax.lax.psum(jnp.sum(mr * mr) + jnp.sum(mi * mi), AXIS))
+                    keep = (bit == outcome)
+                    masked = [(jnp.where(keep, b[0], 0.0),
+                               jnp.where(keep, b[1], 0.0)) for b in banks]
+                    nrm2 = jax.lax.psum(
+                        sum(jnp.sum(r * r) + jnp.sum(i * i)
+                            for r, i in masked), AXIS)
+                    nrm = jnp.sqrt(nrm2)
                     scale = 1.0 / jnp.where(nrm == 0, 1, nrm)
-                    return (mr * scale, mi * scale)
+                    return tuple((r * scale, i * scale) for r, i in masked)
+            elif phys < d + w:
+                bbit = phys - d
+
+                def body(banks, outcome):
+                    masked = []
+                    for s, b in enumerate(banks):
+                        sbit = (s >> (w - 1 - bbit)) & 1
+                        keep = (outcome == sbit).astype(jnp.float32)
+                        masked.append((b[0] * keep, b[1] * keep))
+                    nrm2 = jax.lax.psum(
+                        sum(jnp.sum(r * r) + jnp.sum(i * i)
+                            for r, i in masked), AXIS)
+                    nrm = jnp.sqrt(nrm2)
+                    scale = 1.0 / jnp.where(nrm == 0, 1, nrm)
+                    return tuple((r * scale, i * scale) for r, i in masked)
+            else:
+                lq = phys - d - w
+
+                def body(banks, outcome):
+                    masked = []
+                    for b in banks:
+                        bits, r, i = _sel_views(b, lq, m)
+                        sel = bits == outcome
+                        masked.append((jnp.where(sel, r, 0.0),
+                                       jnp.where(sel, i, 0.0)))
+                    nrm2 = jax.lax.psum(
+                        sum(jnp.sum(r * r) + jnp.sum(i * i)
+                            for r, i in masked), AXIS)
+                    nrm = jnp.sqrt(nrm2)
+                    scale = 1.0 / jnp.where(nrm == 0, 1, nrm)
+                    return tuple(((r * scale).reshape(Rm, C),
+                                  (i * scale).reshape(Rm, C))
+                                 for r, i in masked)
 
             self._cache[key] = self._smap(body, in_extra=(P(),))
         return self._cache[key]
 
     def prob_one(self, logical_q: int) -> float:
-        return float(self._prob_one_fn(self.perm[logical_q])(self.planes))
+        return float(self._prob_one_fn(self.perm[logical_q])(self.banks))
 
     def collapse(self, logical_q: int, outcome: int):
         fn = self._collapse_fn(self.perm[logical_q])
-        self.planes = fn(self.planes, jnp.int32(outcome))
+        self.banks = fn(self.banks, jnp.int32(outcome))
         return self
 
     def measure_qubit(self, logical_q: int, key: jax.Array):
@@ -466,56 +694,64 @@ class ShardedSim:
         self.collapse(logical_q, outcome)
         return outcome, key
 
-    # -- observables -------------------------------------------------------------------
+    # -- observables -------------------------------------------------------------
 
     def _expectation_fn(self, phys_pauli: str):
         """<psi|P|psi> over the mesh: P|x> = c(x)|x ^ f>. The local part of
-        f is an in-shard flipped view; a nonzero GLOBAL part means the
-        partner amplitudes live on device i ^ f_g — ONE ppermute pairs the
-        devices up. Signs factor into a per-device scalar (global Y/Z bits
-        of the axis index) times broadcast per-axis tables; one psum ends
-        it. ``phys_pauli`` is in PHYSICAL bit order."""
+        f is an in-shard flipped view; bank-bit flips pair bank s with bank
+        s ^ f_b (free); a nonzero DEVICE part means the partner amplitudes
+        live on device i ^ f_g — ONE ppermute per bank pairs the devices
+        up. Signs factor into per-bank scalars (bank Y/Z bits), a
+        per-device scalar (device Y/Z bits of the axis index) and
+        broadcast per-axis tables; one psum ends it. ``phys_pauli`` is in
+        PHYSICAL bit order."""
         key = ("expect", phys_pauli)
         if key not in self._cache:
-            d, m = self.d, self.n_local
-            fg = 0
+            d, w, m = self.d, self.w, self.m
+            fg = sg = 0
             for q in range(d):
                 if phys_pauli[q] in "XY":
                     fg |= 1 << (d - 1 - q)
-            sg = 0
-            for q in range(d):
                 if phys_pauli[q] in "YZ":
                     sg |= 1 << (d - 1 - q)
-            lflip = [q - d for q in range(d, self.n) if phys_pauli[q] in "XY"]
-            lsign = [q - d for q in range(d, self.n) if phys_pauli[q] in "YZ"]
+            fb = sb = 0
+            for q in range(d, d + w):
+                if phys_pauli[q] in "XY":
+                    fb |= 1 << (w - 1 - (q - d))
+                if phys_pauli[q] in "YZ":
+                    sb |= 1 << (w - 1 - (q - d))
+            lflip = [q - d - w for q in range(d + w, self.n)
+                     if phys_pauli[q] in "XY"]
+            lsign = [q - d - w for q in range(d + w, self.n)
+                     if phys_pauli[q] in "YZ"]
 
-            # rank-3 flips for high bits, a lane permutation matmul for low
-            # bits, and a factored rank-2 sign table (TPU rejects rank-m
-            # tensors and pads sub-128 trailing dims ~32x; see
-            # ops/measure._expectation_pair_fn — same helpers, same rules)
-            from ..ops.measure import (_flip_bits, _lane_flip_matrix,
-                                       _pauli_tables)
-
-            C = min(1 << m, 1 << _apply._COL)
-            R = (1 << m) // C
+            C = self.C
+            R = self.Rm
             srow, scol, fc = _pauli_tables(lflip, lsign, m)
             srow_d = jnp.asarray(srow)
             scol_d = jnp.asarray(scol)
             lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
+            bank_sign = [(-1.0 if bin(s & sb).count("1") % 2 else 1.0)
+                         for s in range(1 << w)]
 
-            def body(planes):
-                ar = planes[0].reshape(-1)
-                ai = planes[1].reshape(-1)
-                br = _flip_bits(ar, m, lflip, lane_p)
-                bi = _flip_bits(ai, m, lflip, lane_p)
-                if fg:
-                    perm = [(i, i ^ fg) for i in range(1 << d)]
-                    br = jax.lax.ppermute(br, AXIS, perm)
-                    bi = jax.lax.ppermute(bi, AXIS, perm)
-                pr = (br * ar + bi * ai).reshape(R, C)   # Re(conj(b) a)
-                pi = (br * ai - bi * ar).reshape(R, C)   # Im(conj(b) a)
-                s = srow_d[:, None] * scol_d[None, :]
-                tr, ti = jnp.sum(pr * s), jnp.sum(pi * s)
+            def body(banks):
+                tr_tot = jnp.float32(0.0)
+                ti_tot = jnp.float32(0.0)
+                s_tab = srow_d[:, None] * scol_d[None, :]
+                for s in range(1 << w):
+                    ar = banks[s][0].reshape(-1)
+                    ai = banks[s][1].reshape(-1)
+                    part = banks[s ^ fb]
+                    br = _flip_bits(part[0].reshape(-1), m, lflip, lane_p)
+                    bi = _flip_bits(part[1].reshape(-1), m, lflip, lane_p)
+                    if fg:
+                        perm = [(i, i ^ fg) for i in range(1 << d)]
+                        br = jax.lax.ppermute(br, AXIS, perm)
+                        bi = jax.lax.ppermute(bi, AXIS, perm)
+                    pr = (br * ar + bi * ai).reshape(R, C)  # Re(conj(b) a)
+                    pi = (br * ai - bi * ar).reshape(R, C)  # Im(conj(b) a)
+                    tr_tot += bank_sign[s] * jnp.sum(pr * s_tab)
+                    ti_tot += bank_sign[s] * jnp.sum(pi * s_tab)
                 if sg:
                     idx = jax.lax.axis_index(AXIS)
                     bits = jnp.int32(0)
@@ -524,10 +760,12 @@ class ShardedSim:
                         bits = bits + (x & 1)
                         x = x >> 1
                     sign = jnp.where(bits % 2 == 1, -1.0, 1.0)
-                    tr, ti = tr * sign, ti * sign
-                return jax.lax.psum(tr, AXIS), jax.lax.psum(ti, AXIS)
+                    tr_tot, ti_tot = tr_tot * sign, ti_tot * sign
+                return (jax.lax.psum(tr_tot, AXIS),
+                        jax.lax.psum(ti_tot, AXIS))
 
-            self._cache[key] = self._smap(body, out_specs=(P(), P()))
+            self._cache[key] = self._smap(body, out_specs=(P(), P()),
+                                          donate=False)
         return self._cache[key]
 
     def expectation(self, pauli: str) -> float:
@@ -539,52 +777,69 @@ class ShardedSim:
         phys = ["I"] * self.n
         for q, c in enumerate(pauli):
             phys[self.perm[q]] = c
-        tr, ti = self._expectation_fn("".join(phys))(self.planes)
+        tr, ti = self._expectation_fn("".join(phys))(self.banks)
         n_y = sum(1 for c in pauli if c == "Y")
         val = complex(float(tr), float(ti)) * (1j ** n_y)
         return float(val.real)
 
-    # -- sampling --------------------------------------------------------------------
+    # -- sampling ----------------------------------------------------------------
 
     def _sample_fn(self, shots: int):
         key = ("sample", shots)
         if key not in self._cache:
-            n_local, D = self.n_local, self.D
+            w, m, D = self.w, self.m, self.D
+            W = 1 << w
 
-            def body(planes, u):  # u: (shots,) replicated uniforms in [0,1)
+            def body(banks, u):  # u: (shots,) replicated uniforms in [0,1)
                 i = jax.lax.axis_index(AXIS)
-                re, im = planes
-                p = re * re + im * im
-                local_cdf = jnp.cumsum(p)
-                mass = local_cdf[-1]
+                local_cdfs = []
+                for b in banks:
+                    p = (b[0] * b[0] + b[1] * b[1]).reshape(-1)
+                    local_cdfs.append(jnp.cumsum(p))
+                bank_masses = jnp.stack([c[-1] for c in local_cdfs])  # (W,)
+                bank_cdf = jnp.cumsum(bank_masses)
+                mass = bank_cdf[-1]
                 masses = jax.lax.all_gather(mass, AXIS)  # (D,) — tiny
                 dev_cdf = jnp.cumsum(masses)
                 total = dev_cdf[-1]
                 uu = u * total
-                dev = jnp.clip(jnp.searchsorted(dev_cdf, uu, side="right"), 0, D - 1)
-                resid = uu - jnp.where(dev > 0, dev_cdf[jnp.maximum(dev - 1, 0)], 0.0)
-                local_idx = jnp.clip(
-                    jnp.searchsorted(local_cdf, resid, side="right"), 0, (1 << n_local) - 1
-                )
+                dev = jnp.clip(jnp.searchsorted(dev_cdf, uu, side="right"),
+                               0, D - 1)
+                resid = uu - jnp.where(
+                    dev > 0, dev_cdf[jnp.maximum(dev - 1, 0)], 0.0)
+                bank = jnp.clip(jnp.searchsorted(bank_cdf, resid,
+                                                 side="right"), 0, W - 1)
+                resid2 = resid - jnp.where(
+                    bank > 0, bank_cdf[jnp.maximum(bank - 1, 0)], 0.0)
+                local_idx = jnp.zeros(u.shape, jnp.int32)
+                for s in range(W):
+                    ls = jnp.clip(
+                        jnp.searchsorted(local_cdfs[s], resid2, side="right"),
+                        0, (1 << m) - 1).astype(jnp.int32)
+                    local_idx = jnp.where(bank == s, ls, local_idx)
                 mine = dev == i
-                # device index and local index psum'd SEPARATELY: a flat
-                # (i << n_local) + local_idx int32 overflows at n >= 31
-                # (BASELINE asks for up to 34 qubits); combined on the host
-                # in int64
+                # device/bank/local parts psum'd SEPARATELY: a flat combined
+                # int32 index overflows at n >= 31 (BASELINE asks for up to
+                # 34 qubits); combined on the host in int64
                 dev_part = jnp.where(mine, i, 0).astype(jnp.int32)
+                bank_part = jnp.where(mine, bank, 0).astype(jnp.int32)
                 loc_part = jnp.where(mine, local_idx, 0).astype(jnp.int32)
-                return (jax.lax.psum(dev_part, AXIS), jax.lax.psum(loc_part, AXIS))
+                return (jax.lax.psum(dev_part, AXIS),
+                        jax.lax.psum(bank_part, AXIS),
+                        jax.lax.psum(loc_part, AXIS))
 
-            self._cache[key] = self._smap(body, out_specs=(P(), P()), in_extra=(P(),))
+            self._cache[key] = self._smap(body, out_specs=(P(), P(), P()),
+                                          in_extra=(P(),), donate=False)
         return self._cache[key]
 
     def sample(self, shots: int, key: jax.Array) -> np.ndarray:
         """Sample basis-state indices (converted to logical qubit order).
         Returns (shots,) int64 numpy."""
         u = jax.random.uniform(key, (shots,), dtype=jnp.float32)
-        dev, loc = jax.device_get(self._sample_fn(shots)(self.planes, u))
-        phys_idx = (np.asarray(dev).astype(np.int64) << self.n_local) | \
-            np.asarray(loc).astype(np.int64)
+        dev, bank, loc = jax.device_get(self._sample_fn(shots)(self.banks, u))
+        phys_idx = ((np.asarray(dev).astype(np.int64) << (self.w + self.m))
+                    | (np.asarray(bank).astype(np.int64) << self.m)
+                    | np.asarray(loc).astype(np.int64))
         return self._to_logical_indices(phys_idx)
 
     def _to_logical_indices(self, phys_idx: np.ndarray) -> np.ndarray:
@@ -597,11 +852,15 @@ class ShardedSim:
             out |= bit.astype(np.int64) << (self.n - 1 - logical)
         return out
 
-    # -- host access (tests / small n) ---------------------------------------------------
+    # -- host access (tests / small n) --------------------------------------------
 
     def amplitudes(self) -> np.ndarray:
         """Gather to host in LOGICAL qubit order (small n only)."""
-        z = _apply.complex_from_planes(self.planes)
+        zb = [
+            _apply.complex_from_planes(b).reshape(self.D, 1 << self.m)
+            for b in self.banks
+        ]  # bank s: [device][local]
+        z = np.stack(zb, axis=1).reshape(-1)  # [device][bank][local]
         if self.perm == list(range(self.n)):
             return z
         t = z.reshape((2,) * self.n)

@@ -225,3 +225,141 @@ def test_sharded_expectation_after_relabel_swap(mesh):
     for pauli in ("ZIIIII", "XZIIII", "IIYIIX"):
         expected = float(np.real(v.conj() @ dense_pauli(pauli) @ v))
         assert abs(sim.expectation(pauli) - expected) < 1e-5, pauli
+
+
+# -- per-device sub-shard banks (the 33-34q representation) --------------------
+
+
+@pytest.mark.parametrize("banks", [1, 2])
+@pytest.mark.parametrize("seed", range(2))
+def test_banked_random_circuit_matches(mesh, banks, seed):
+    """With w bank bits per device, random circuits (dense gates landing on
+    bank bits -> cross-bank butterflies / block decompositions) must match
+    the dense reference."""
+    from tests.test_fusion import random_prims
+
+    n = 8
+    prims = random_prims(n, 30, seed)
+    sim = ShardedSim(n, mesh, banks=banks)
+    assert sim.m == n - 3 - banks
+    sim.apply(prims)
+    expected = dense_reference(prims, n)
+    assert np.linalg.norm(sim.amplitudes() - expected) < 2e-5
+
+
+def test_banked_qft_and_ghz(mesh):
+    n = 9
+    sim = ShardedSim(n, mesh, banks=2)
+    sim.apply(qft_prims(n))
+    expected = complex_from_planar(CompiledCircuit(n, qft_prims(n))(zero_state(n)))
+    assert np.linalg.norm(sim.amplitudes() - expected) < 1e-5
+
+    sim = ShardedSim(n, mesh, banks=2)
+    sim.apply(ghz_prims(n))
+    assert abs(sim.prob_one(0) - 0.5) < 1e-5
+    outcome, _ = sim.measure_qubit(0, jax.random.PRNGKey(0))
+    for q in range(1, n):
+        assert abs(sim.prob_one(q) - outcome) < 1e-5
+
+
+def test_banked_bank_bit_measurement_and_collapse(mesh):
+    """Measure/collapse a qubit whose physical position is a BANK bit."""
+    n = 7
+    sim = ShardedSim(n, mesh, banks=2)
+    # qubit at physical position 3 (first bank bit): put it in superposition
+    # via a relabel-free path: H on logical 3 (physically local? no: 3 is a
+    # bank bit -> crossmix/bfly path), then check Born stats
+    sim.apply([Prim(H, (3,))])
+    assert abs(sim.prob_one(3) - 0.5) < 1e-5
+    sim.collapse(3, 1)
+    amps = sim.amplitudes()
+    expected = np.zeros(1 << n, dtype=complex)
+    expected[1 << (n - 1 - 3)] = 1
+    assert np.linalg.norm(amps - expected) < 1e-5
+
+
+def test_banked_sampling(mesh):
+    n = 9
+    prims = brickwork_prims(n, 3, seed=2)
+    sim = ShardedSim(n, mesh, banks=2)
+    sim.apply(prims)
+    probs = np.abs(sim.amplitudes()) ** 2
+    idx = sim.sample(4096, jax.random.PRNGKey(3))
+    hist = np.bincount(idx, minlength=1 << n) / 4096
+    tv = 0.5 * np.abs(hist - probs).sum()
+    assert tv < 0.2
+
+
+@pytest.mark.parametrize("pauli", ["ZIIIIIII", "XIIZIIII", "IIIYXIII",
+                                   "ZXYIIIIZ"])
+def test_banked_expectation(mesh, pauli):
+    """Pauli strings crossing device/bank/local bit regions."""
+    from tests.test_models import dense_pauli
+
+    n = 8
+    prims = brickwork_prims(n, depth=2, seed=7)
+    sim = ShardedSim(n, mesh, banks=2)
+    sim.apply(prims)
+    v = sim.amplitudes()
+    expected = float(np.real(v.conj() @ dense_pauli(pauli) @ v))
+    assert abs(sim.expectation(pauli) - expected) < 1e-5, pauli
+
+
+def test_banked_fused_vs_unfused(mesh):
+    n = 9
+    prims = brickwork_prims(n, depth=2, seed=11)
+    a = ShardedSim(n, mesh, banks=2).apply(prims, fused=True).amplitudes()
+    b = ShardedSim(n, mesh, banks=2).apply(prims, fused=False).amplitudes()
+    assert np.linalg.norm(a - b) < 1e-5
+
+
+def test_default_banks_keep_per_device_buffers_compilable():
+    """BASELINE configs[4]: 33-34 qubits over 8 devices must be
+    REPRESENTABLE — per-device plane buffers stay <= 2^29 elements."""
+    from qubism_tpu.parallel.sharded import LOCAL_MAX, default_banks
+
+    for n in (30, 33, 34):
+        w = default_banks(n, 3)
+        m = n - 3 - w
+        assert m <= LOCAL_MAX
+        assert (1 << m) <= (1 << 29)
+    assert default_banks(34, 3) == 2
+    assert default_banks(29, 3) == 0
+
+
+def test_n34_shape_feasibility_dryrun(mesh):
+    """Abstractly lower a 34-qubit sharded segment (GHZ head + brickwork
+    layer) over the 8-device mesh WITHOUT allocating the 128 GiB state:
+    jax.eval_shape through the full shard_map + Pallas plan stream, per-
+    device buffers <= 2^29 elements (VERDICT r2 item 1's bar)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qubism_tpu.models.circuits import ghz_prims
+    from qubism_tpu.parallel import sharded as S
+
+    n = 34
+    sim = ShardedSim(n, mesh, allocate=False)  # plan-only: no 128 GiB state
+    assert sim.w == S.default_banks(n, 3) == 2
+    assert sim.Rm * sim.C <= 1 << 29
+
+    # a communication-free segment: local H cascade + CX chain on local
+    # qubits + a diagonal touching a device bit (gdiag)
+    CZd = np.array([1, 1, 1, -1], dtype=complex)
+    prims = [Prim(H, (q,)) for q in range(sim.d + sim.w, n)]
+    prims += [Prim(CNOT, (q, q + 1)) for q in range(sim.d + sim.w, n - 1)]
+    prims += [Prim(CZd, (0, n - 1), diag=True)]
+    chunks = sim._lower_segment(prims)
+    assert len(chunks) >= 2  # chunked for compile-time sanity at this size
+
+    sh = NamedSharding(mesh, P("amp"))
+    plane = jax.ShapeDtypeStruct((sim.D * sim.Rm, sim.C), jnp.float32,
+                                 sharding=sh)
+    banks = tuple((plane, plane) for _ in range(1 << sim.w))
+    for sig, steps, operands in chunks:
+        fn = sim._segment_fn(sig, steps)
+        out = jax.eval_shape(fn, banks, tuple(operands))
+        assert len(out) == 1 << sim.w
+        for re, im in out:
+            assert re.shape == (sim.D * sim.Rm, sim.C)
+            assert re.dtype == jnp.float32
