@@ -1,12 +1,21 @@
 # qubism-tpu developer entry points
 
-.PHONY: test test-fast bench native clean
+.PHONY: test test-fast tpu-test tpu-test-full bench native clean
 
 test:
 	python -m pytest tests/ -q
 
 test-fast:
 	python -m pytest tests/ -q -x -m "not slow"
+
+# device-gated: compiled-kernel equivalence + Born checks on the live TPU
+# (skips cleanly off-TPU; never run alongside another TPU process)
+tpu-test:
+	python -m pytest tests_tpu/ -q -m "not slow"
+
+# + the n=30 HBM/donation proof (several extra minutes of remote compiles)
+tpu-test-full:
+	python -m pytest tests_tpu/ -q
 
 bench:
 	python bench.py

@@ -7,8 +7,11 @@ and match its throughput. Run on the axon TPU:
 Prints correctness vs the compiled path at n=16 and wall-clock for a
 QFT-n steady-state run through ShardedSim(mesh=1).
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

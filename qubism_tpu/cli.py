@@ -58,12 +58,40 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--reference-compat", action="store_true",
                    help="replicate the reference's numerical quirks "
                         "(buggy u3, sqrt-Born sampling, truncated pi)")
+    p.add_argument("-I", "--include-path", action="append", default=[],
+                   metavar="DIR",
+                   help="extra directory to search for include files "
+                        "(after the includer-relative path; repeatable)")
     p.add_argument("--verbose", action="store_true",
                    help="per-event timing + fusion statistics to stderr")
     return p
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: on remote-compile backends (axon
+    tunnel) a cold jit shape costs 30-90 s — cached reruns make the
+    interpreter/REPL usable there."""
+    import os
+
+    import jax
+
+    try:
+        d = os.environ.get("QUBISM_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "qubism_tpu", "jax_cache")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization; never fail the CLI on it
+        pass
+
+
 def _apply_flags(args):
+    _enable_compile_cache()
+    if getattr(args, "include_path", None):
+        from .qasm import parser as _parser
+
+        _parser.INCLUDE_PATH.extend(args.include_path)
     if getattr(args, "verbose", False):
         from .utils import profiling
 
@@ -103,6 +131,11 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
             if mesh:
                 sim, cregs, key = prog.run_sharded(mesh=mesh, seed=seed,
                                                    dump_writer=out.write)
+                from .utils.profiling import vlog
+
+                vlog(f"mesh run: {sim.D} device(s) x 2^{sim.w} bank(s), "
+                     f"{sim.m} local qubits/bank, "
+                     f"{sim.dispatch_count} jitted dispatches")
                 if dump_state and prog.n:
                     from .core.statevec import StateVec
 

@@ -103,7 +103,13 @@ class Gate:
     # -- materialization & comparison -----------------------------------------
 
     def matrix(self, dtype=np.complex128) -> np.ndarray:
-        """Dense 2^n x 2^n matrix, host-side numpy (tests / small n only)."""
+        """Dense 2^n x 2^n matrix, host-side numpy (tests / small n only):
+        O(4^n) memory with one device dispatch per column."""
+        if self.n > 12:
+            raise ValueError(
+                f"Gate.matrix() materializes a dense 2^{self.n} x 2^{self.n} "
+                f"matrix with one device dispatch per column — refusing past "
+                f"n=12. Apply the gate to states instead (gate(state)).")
         dim = 1 << self.n
         cols = []
         for j in range(dim):

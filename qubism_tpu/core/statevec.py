@@ -34,11 +34,14 @@ class StateVec:
     __slots__ = ("n", "planes")
 
     def __init__(self, n: int, data):
-        """``data`` is an (re, im) pair of (2^n,) real arrays, a stacked
+        """``data`` is an (re, im) pair of real arrays totalling 2^n
+        elements each (flat, or the engine's canonical 2-D device layout —
+        preserved as-is: a flattening reshape here would cost a device copy
+        per statement on the interpreter's TPU fast path), a stacked
         (2, 2^n) real array, or a 1-D complex amplitude vector (host)."""
         if isinstance(data, (tuple, list)) and len(data) == 2:
-            planes = (jnp.asarray(data[0], dtype=jnp.float32).reshape(-1),
-                      jnp.asarray(data[1], dtype=jnp.float32).reshape(-1))
+            planes = (jnp.asarray(data[0], dtype=jnp.float32),
+                      jnp.asarray(data[1], dtype=jnp.float32))
         else:
             arr = np.asarray(data)
             if arr.ndim == 1:
@@ -49,7 +52,7 @@ class StateVec:
                           jnp.asarray(arr[1], dtype=jnp.float32))
             else:
                 raise ValueError(f"bad amplitude data shape {arr.shape}")
-        if planes[0].shape != (1 << n,):
+        if planes[0].size != (1 << n) or planes[0].shape != planes[1].shape:
             raise ValueError(
                 f"amplitude data of shape {planes[0].shape} is not (2^{n},)")
         object.__setattr__(self, "n", n)
@@ -157,8 +160,8 @@ class StateVec:
         """Approximate equality: L2 distance < 1e-6 (StateVec.hs:47-49)."""
         if not isinstance(other, StateVec) or other.n != self.n:
             return NotImplemented if not isinstance(other, StateVec) else False
-        dr = self.planes[0] - other.planes[0]
-        di = self.planes[1] - other.planes[1]
+        dr = self.planes[0].reshape(-1) - other.planes[0].reshape(-1)
+        di = self.planes[1].reshape(-1) - other.planes[1].reshape(-1)
         return float(jnp.sqrt(jnp.sum(dr * dr) + jnp.sum(di * di))) < TOLERANCE
 
     def __hash__(self):  # pragma: no cover - states are not hashable

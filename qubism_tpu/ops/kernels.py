@@ -251,7 +251,7 @@ class _RowPlan:
 
 @functools.lru_cache(maxsize=None)
 def _gate_fn(targets: tuple[int, ...], n: int, stage: int,
-             pattern: tuple | None = None):
+             pattern: tuple | None = None, donate: bool = True):
     """Dense gate on <=4 row qubits over canonical planes, optionally fused
     with per-branch diagonal ladder phases ("stages"). Returns a jitted
     ``fn(planes, coef, *(bt_i, ct_i)*stage)`` with every state buffer
@@ -429,7 +429,7 @@ def _gate_fn(targets: tuple[int, ...], n: int, stage: int,
         )(re.reshape(dims), im.reshape(dims), coef, *tabs)
         return (ro.reshape(R, C), io.reshape(R, C))
 
-    return jax.jit(run, donate_argnums=0)
+    return jax.jit(run, donate_argnums=0) if donate else jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -451,11 +451,17 @@ def _zero_pattern(cu: np.ndarray) -> tuple | None:
     return tuple(tuple(bool(x) for x in row) for row in nz)
 
 
-def row_gate_prepare(u: np.ndarray, targets: tuple[int, ...], n: int):
-    """Host->device once: returns (fn, device operands) for repeated use."""
+def row_gate_prepare(u: np.ndarray, targets: tuple[int, ...], n: int,
+                     donate: bool = True):
+    """Host->device once: returns (fn, device operands) for repeated use.
+    ``donate=False`` builds a functional variant that leaves the input
+    planes valid (XLA inserts the defensive copy) — required by callers
+    holding shared references, e.g. the interpreter's checkpointable
+    ProgState."""
     cu = np.asarray(u, dtype=np.complex128)
     coef = np.stack([cu.real.astype(np.float32), cu.imag.astype(np.float32)])
-    return (_gate_fn(tuple(targets), n, 0, _zero_pattern(cu)), jnp.asarray(coef))
+    return (_gate_fn(tuple(targets), n, 0, _zero_pattern(cu), donate),
+            jnp.asarray(coef))
 
 
 def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) -> Planes:
@@ -471,7 +477,7 @@ def row_gate(planes: Planes, u: np.ndarray, targets: tuple[int, ...], n: int) ->
 
 
 @functools.lru_cache(maxsize=None)
-def _layer1q_fn(targets: tuple[int, ...], n: int):
+def _layer1q_fn(targets: tuple[int, ...], n: int, donate: bool = True):
     """Many disjoint single-qubit gates applied SEQUENTIALLY to each block
     while it sits in VMEM — one streaming pass for a whole 1q layer (the
     generic RCS shape). Cost per element is 2 complex muls per sub-gate,
@@ -558,7 +564,7 @@ def _layer1q_fn(targets: tuple[int, ...], n: int):
         )(re.reshape(dims), im.reshape(dims), coefs)
         return (ro.reshape(R, C), io.reshape(R, C))
 
-    return jax.jit(run, donate_argnums=0)
+    return jax.jit(run, donate_argnums=0) if donate else jax.jit(run)
 
 
 def layer1q_prepare(gates, n: int):
@@ -709,7 +715,7 @@ def _diag_groups(factors, n: int):
     return [g for g in groups if g]
 
 
-def diag_layer_prepare(factors, n: int):
+def diag_layer_prepare(factors, n: int, donate: bool = True):
     """Host->device once: [(fn, row_tables_dev, col_tables_dev)] per pass.
 
     Moving the phase tables to device once matters: rebuilding + re-uploading
@@ -720,7 +726,8 @@ def diag_layer_prepare(factors, n: int):
         C = min(_C0, 1 << n)
         row_t, col_t, factor_terms = _diag_tables(g, n, C)
         row_t, col_t = _pad8(row_t), _pad8(col_t)
-        fn = _diag_pass_fn(factor_terms, n, row_t.shape[0], col_t.shape[0])
+        fn = _diag_pass_fn(factor_terms, n, row_t.shape[0], col_t.shape[0],
+                           donate)
         prepared.append((fn, jnp.asarray(row_t), jnp.asarray(col_t)))
     return prepared
 
@@ -737,7 +744,8 @@ def diag_layer(planes: Planes, factors, n: int) -> Planes:
 
 
 @functools.lru_cache(maxsize=None)
-def _diag_pass_fn(factor_terms, n: int, FR: int, FC: int):
+def _diag_pass_fn(factor_terms, n: int, FR: int, FC: int,
+                  donate: bool = True):
     # BR must be lane-aligned (128) because the row tables' blocks use it as
     # their last dim; C stays a multiple of 128 for the state blocks
     C = min(_C0, 1 << n)
@@ -787,7 +795,7 @@ def _diag_pass_fn(factor_terms, n: int, FR: int, FC: int):
         )(re, im, row_t, col_t)
         return (ro, io)
 
-    return jax.jit(run, donate_argnums=0)
+    return jax.jit(run, donate_argnums=0) if donate else jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -795,11 +803,11 @@ def _diag_pass_fn(factor_terms, n: int, FR: int, FC: int):
 # ---------------------------------------------------------------------------
 
 
-def lane_gate_prepare(u: np.ndarray, n: int):
+def lane_gate_prepare(u: np.ndarray, n: int, donate: bool = True):
     """Host->device once: (fn, Mr_dev, Mi_dev) for repeated use."""
     mr = np.ascontiguousarray(u.real.astype(np.float32).T)  # (in, out)
     mi = np.ascontiguousarray(u.imag.astype(np.float32).T)
-    return (_lane_gate_fn(n), jnp.asarray(mr), jnp.asarray(mi))
+    return (_lane_gate_fn(n, donate), jnp.asarray(mr), jnp.asarray(mi))
 
 
 def lane_gate(planes: Planes, u: np.ndarray, n: int) -> Planes:
@@ -811,7 +819,7 @@ def lane_gate(planes: Planes, u: np.ndarray, n: int) -> Planes:
 
 
 @functools.lru_cache(maxsize=None)
-def _lane_gate_fn(n: int):
+def _lane_gate_fn(n: int, donate: bool = True):
     C = canon_cols(n)
     lanes = 1 << min(n, _COL)
     groups = C // lanes
@@ -852,7 +860,7 @@ def _lane_gate_fn(n: int):
         )(re, im, mr, mi)
         return (ro, io)
 
-    return jax.jit(run, donate_argnums=0)
+    return jax.jit(run, donate_argnums=0) if donate else jax.jit(run)
 
 
 # ---------------------------------------------------------------------------

@@ -65,12 +65,22 @@ _BIG_SAMPLE_BITS = 27
 _LEAF_BITS = 9
 
 
-@functools.partial(jax.jit, static_argnames=("n", "shots"), donate_argnums=())
-def _sample_parts_big(planes, n: int, shots: int, key: jax.Array):
-    """3-level inverse CDF with O(2^n / 2^_LEAF_BITS) memory: chunk sums via
-    a FUSED square+reduce (|psi|^2 is never materialized), then per-shot
-    gathers of one mid row and one leaf chunk. Returns (chunk, leaf) int32
-    pairs with 2^_LEAF_BITS-element leaves."""
+def _chunk_masses(planes, n: int):
+    """(2^(n-_LEAF_BITS),) per-leaf-chunk probability masses via a FUSED
+    square+reduce — |psi|^2 is never materialized (traced)."""
+    re, im = planes
+    re = re.reshape(-1, 1 << _LEAF_BITS)
+    im = im.reshape(-1, 1 << _LEAF_BITS)
+    return jnp.sum(re * re + im * im, axis=1)
+
+
+def _leaf_chunk_search(planes, chunk, resid, n: int):
+    """Per-shot (chunk, leaf) inverse-CDF search within an n-qubit plane
+    pair, given residual masses ``resid`` in [0, total) and precomputed
+    ``chunk`` = :func:`_chunk_masses` (traced). 3-level: a tiny top CDF,
+    one gathered mid row and one gathered leaf per shot — no state-sized
+    prefix sums (both the memory and the sequential-float32-cumsum
+    accuracy of a flat 2^n scan are avoided)."""
     L = _LEAF_BITS
     TM = n - L
     M = min(10, TM)
@@ -78,13 +88,10 @@ def _sample_parts_big(planes, n: int, shots: int, key: jax.Array):
     re, im = planes
     re = re.reshape(1 << TM, 1 << L)
     im = im.reshape(1 << TM, 1 << L)
-    chunk = jnp.sum(re * re + im * im, axis=1)          # (2^TM,) — one pass
     top_cdf = jnp.cumsum(jnp.sum(chunk.reshape(1 << T, 1 << M), axis=1))
-    total = top_cdf[-1]
 
-    u = jax.random.uniform(key, (shots,), dtype=jnp.float32) * total
-    t = jnp.clip(jnp.searchsorted(top_cdf, u, side="right"), 0, (1 << T) - 1)
-    resid = u - jnp.where(t > 0, top_cdf[jnp.maximum(t - 1, 0)], 0.0)
+    t = jnp.clip(jnp.searchsorted(top_cdf, resid, side="right"), 0, (1 << T) - 1)
+    resid = resid - jnp.where(t > 0, top_cdf[jnp.maximum(t - 1, 0)], 0.0)
 
     rows = chunk.reshape(1 << T, 1 << M)[t]             # (shots, 2^M)
     row_cdf = jnp.cumsum(rows, axis=1)
@@ -100,6 +107,16 @@ def _sample_parts_big(planes, n: int, shots: int, key: jax.Array):
     leaf = jnp.clip(jnp.sum(leaf_cdf <= resid2[:, None], axis=1),
                     0, (1 << L) - 1)
     return cidx.astype(jnp.int32), leaf.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "shots"), donate_argnums=())
+def _sample_parts_big(planes, n: int, shots: int, key: jax.Array):
+    """3-level inverse CDF with O(2^n / 2^_LEAF_BITS) memory. Returns
+    (chunk, leaf) int32 pairs with 2^_LEAF_BITS-element leaves."""
+    chunk = _chunk_masses(planes, n)
+    total = jnp.sum(chunk)
+    u = jax.random.uniform(key, (shots,), dtype=jnp.float32) * total
+    return _leaf_chunk_search(planes, chunk, u, n)
 
 
 def _leaf_bits(n: int) -> int:

@@ -102,26 +102,10 @@ class ShardedSim:
         self.perm = list(range(n))
         self.inv = list(range(n))
         self._bank_specs = tuple((P(AXIS), P(AXIS)) for _ in range(1 << self.w))
-        if allocate:
-            sh = NamedSharding(self.mesh, P(AXIS))
-            shape = (self.D * self.Rm, self.C)
-
-            def init():
-                out = []
-                for s in range(1 << self.w):
-                    re = jnp.zeros(shape, jnp.float32)
-                    if s == 0:
-                        re = re.at[0, 0].set(1.0)
-                    out.append((re, jnp.zeros(shape, jnp.float32)))
-                return tuple(out)
-
-            self.banks = jax.jit(
-                init, out_shardings=tuple((sh, sh) for _ in range(1 << self.w))
-            )()
-        else:
-            # plan-only mode: lower/compile segments abstractly (shape
-            # feasibility at n = 33-34 without allocating the state)
-            self.banks = None
+        #: None until allocated (allocate=False = plan-only mode: segments
+        #: lower/compile abstractly — shape feasibility at n = 33-34
+        #: without the state)
+        self.banks = None
         self._planner = OpPlanner()
         self._cache: dict = {}
         #: jitted dispatches issued (observability: each costs a full tunnel
@@ -137,6 +121,32 @@ class ShardedSim:
         self._sync_every = 3 if self.m + self.w >= 30 else (
             6 if self.m + self.w >= 26 else 10 ** 9)
         self._since_sync = 0
+        if allocate:
+            self.reset_state()
+
+    def reset_state(self):
+        """Back to |0...0> with identity qubit labeling, KEEPING the traced
+        segment/measure caches — repeated runs (benchmarks, shot loops)
+        then skip jit re-tracing entirely."""
+        sh = NamedSharding(self.mesh, P(AXIS))
+        shape = (self.D * self.Rm, self.C)
+
+        def init():
+            out = []
+            for s in range(1 << self.w):
+                re = jnp.zeros(shape, jnp.float32)
+                if s == 0:
+                    re = re.at[0, 0].set(1.0)
+                out.append((re, jnp.zeros(shape, jnp.float32)))
+            return tuple(out)
+
+        self.banks = jax.jit(
+            init, out_shardings=tuple((sh, sh) for _ in range(1 << self.w))
+        )()
+        self.perm = list(range(self.n))
+        self.inv = list(range(self.n))
+        self._since_sync = 0
+        return self
 
     # -- shard_map plumbing ---------------------------------------------------
 
@@ -787,16 +797,26 @@ class ShardedSim:
     def _sample_fn(self, shots: int):
         key = ("sample", shots)
         if key not in self._cache:
+            from ..ops import sample as _sample
+
             w, m, D = self.w, self.m, self.D
             W = 1 << w
+            # large per-device blocks use the 3-level leaf-chunk search:
+            # a flat 2^m float32 cumsum would cost +2 state-sized buffers
+            # (n=33: past HBM) AND sequential-scan precision
+            big = m >= _sample._BIG_SAMPLE_BITS
 
             def body(banks, u):  # u: (shots,) replicated uniforms in [0,1)
                 i = jax.lax.axis_index(AXIS)
-                local_cdfs = []
-                for b in banks:
-                    p = (b[0] * b[0] + b[1] * b[1]).reshape(-1)
-                    local_cdfs.append(jnp.cumsum(p))
-                bank_masses = jnp.stack([c[-1] for c in local_cdfs])  # (W,)
+                if big:
+                    chunks = [_sample._chunk_masses(b, m) for b in banks]
+                    bank_masses = jnp.stack([jnp.sum(c) for c in chunks])
+                else:
+                    local_cdfs = []
+                    for b in banks:
+                        p = (b[0] * b[0] + b[1] * b[1]).reshape(-1)
+                        local_cdfs.append(jnp.cumsum(p))
+                    bank_masses = jnp.stack([c[-1] for c in local_cdfs])
                 bank_cdf = jnp.cumsum(bank_masses)
                 mass = bank_cdf[-1]
                 masses = jax.lax.all_gather(mass, AXIS)  # (D,) — tiny
@@ -813,9 +833,15 @@ class ShardedSim:
                     bank > 0, bank_cdf[jnp.maximum(bank - 1, 0)], 0.0)
                 local_idx = jnp.zeros(u.shape, jnp.int32)
                 for s in range(W):
-                    ls = jnp.clip(
-                        jnp.searchsorted(local_cdfs[s], resid2, side="right"),
-                        0, (1 << m) - 1).astype(jnp.int32)
+                    if big:
+                        c_, l_ = _sample._leaf_chunk_search(
+                            banks[s], chunks[s], resid2, m)
+                        ls = (c_ << _sample._LEAF_BITS) | l_
+                    else:
+                        ls = jnp.clip(
+                            jnp.searchsorted(local_cdfs[s], resid2,
+                                             side="right"),
+                            0, (1 << m) - 1).astype(jnp.int32)
                     local_idx = jnp.where(bank == s, ls, local_idx)
                 mine = dev == i
                 # device/bank/local parts psum'd SEPARATELY: a flat combined

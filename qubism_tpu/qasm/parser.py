@@ -39,6 +39,22 @@ from .lexer import LexError, Tok, tokenize
 
 _MAX_INCLUDE_DEPTH = 64
 
+#: extra include search directories (the CLI's ``-I`` flag). Consulted
+#: AFTER the includer-relative path — which is the reference's only
+#: resolution rule (Parser.hs:244-247) and stays the primary one.
+INCLUDE_PATH: list[str] = []
+
+
+def _resolve_include(fname: str, file_path: str | None) -> str | None:
+    """First existing candidate: includer-relative, then each -I dir."""
+    candidates = [os.path.join(os.path.dirname(file_path), fname)
+                  if file_path else fname]
+    candidates += [os.path.join(d, fname) for d in INCLUDE_PATH]
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return None
+
 
 class QasmParseError(Exception):
     """A parse error with megaparsec-style pretty rendering."""
@@ -293,13 +309,10 @@ class _Parser:
         if t.kind != "str":
             self.error(f"unexpected {self._describe(t)}; expecting quoted file path")
         self.next()
-        fname = t.value
-        # resolve relative to the including file's directory (Parser.hs:244-247)
-        if self.file_path:
-            fname = os.path.join(os.path.dirname(self.file_path), fname)
         if self.depth >= _MAX_INCLUDE_DEPTH:
             self.error(f"include depth exceeds {_MAX_INCLUDE_DEPTH} (include cycle?)", t)
-        if not os.path.isfile(fname):
+        fname = _resolve_include(t.value, self.file_path)
+        if fname is None:
             self.error(f"Cannot include: {t.value} does not exist", t)
         with open(fname) as f:
             source = f.read()

@@ -155,3 +155,33 @@ def test_verbose_flag_emits_timings(tmp_path, capsys):
         profiling.VERBOSE = False
     err = capsys.readouterr().err
     assert "EvGates" in err and "EvMeasure" in err and "segment:" in err
+
+
+def test_include_search_path_flag(tmp_path):
+    """-I DIR: includes resolve includer-relative FIRST (the reference's
+    rule), then through each -I directory."""
+    import subprocess
+    import sys
+
+    lib = tmp_path / "libs"
+    lib.mkdir()
+    (lib / "mylib.inc").write_text("gate myh a { U(pi/2, 0, pi) a; }\n")
+    prog = tmp_path / "prog.qasm"
+    prog.write_text('include "mylib.inc";\nqreg q[1];\nmyh q[0];\n')
+    # without -I: include fails (not next to the program)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; from qubism_tpu.cli import main;"
+         f"sys.exit(main(['{prog}']))"],
+        capture_output=True, text=True, timeout=300)
+    assert "Cannot include" in r.stdout + r.stderr
+    # with -I: resolves through the search dir
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; from qubism_tpu.cli import main;"
+         f"sys.exit(main(['{prog}', '-I', '{lib}']))"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Done." in r.stdout

@@ -189,3 +189,15 @@ def test_measurement_key_determinism():
     assert len(outs) == 1
     b0, b1 = outs.pop()
     assert b0 == b1  # Bell correlations
+
+
+def test_matrix_guard_refuses_large_n():
+    """Gate.matrix() is O(4^n) + one dispatch per column; refuse past n=12
+    with a clear error instead of silently hanging (VERDICT r2 weak #6)."""
+    import pytest
+
+    from qubism_tpu.core.gates import hadamard, on_just
+
+    g = on_just(0, hadamard(), 13)
+    with pytest.raises(ValueError, match="refusing past"):
+        g.matrix()

@@ -1,0 +1,227 @@
+"""Compiled-kernel equivalence and distribution checks on the live TPU.
+
+Every mechanic of the canonical-layout kernels (ops/kernels.py) is compared
+against the XLA traced reference COMPILED on device at n = 14-16: axis,
+rowroll and laneroll targets, mixed-mechanism multi-target gates, stage
+blocks, 1q layers, diagonal layers, lane matmuls and the cross-shard
+butterfly. Plus Born statistics of on-device sampling, the mesh=1 path,
+and an n=30 end-to-end run whose fit in HBM PROVES buffer donation (an
+undonated pipeline would hold 2x the 8 GiB state and OOM the 16 GiB chip).
+"""
+
+import numpy as np
+import pytest
+
+RNG = np.random.default_rng(42)
+
+
+def rand_u(k: int) -> np.ndarray:
+    m = RNG.normal(size=(1 << k, 1 << k)) + 1j * RNG.normal(size=(1 << k, 1 << k))
+    q, _ = np.linalg.qr(m)
+    return q
+
+
+def rand_state(n: int):
+    import jax.numpy as jnp
+
+    v = RNG.normal(size=1 << n) + 1j * RNG.normal(size=1 << n)
+    v /= np.linalg.norm(v)
+    return (jnp.asarray(v.real.astype(np.float32)),
+            jnp.asarray(v.imag.astype(np.float32)))
+
+
+def xla_reference(planes, u, targets, n):
+    import jax
+
+    from qubism_tpu.ops import apply as A
+
+    fn = jax.jit(lambda p: A.apply_gate_traced(p, u, targets, n))
+    out = fn(planes)
+    return np.asarray(out[0]) + 1j * np.asarray(out[1])
+
+
+def kernel_result(pair, n):
+    z = np.asarray(pair[0]).reshape(-1) + 1j * np.asarray(pair[1]).reshape(-1)
+    return z
+
+
+# n=16: axis targets are q <= 2 (stride >= 128*2048 impossible at n=16 with
+# C=2048 -> row bits = 5, so _mech: axis needs s >= 128*C -> none; rowroll
+# q in 0..4, laneroll 5..8, lane block 9..15). n=16 exercises rolls+lane;
+# a larger-n case (n=20) gets true axis targets.
+@pytest.mark.parametrize("n,targets", [
+    (16, (0,)),            # rowroll
+    (16, (4,)),            # rowroll, amount 1
+    (16, (6,)),            # laneroll
+    (16, (0, 6)),          # rowroll + laneroll
+    (16, (1, 3)),          # two rowrolls
+    (16, (0, 2, 5)),       # three mixed rolls
+    (20, (0,)),            # axis
+    (20, (0, 1)),          # two axis
+    (20, (0, 5, 8)),       # axis + rowroll + laneroll
+    (20, (2, 3, 6, 8)),    # four targets, mixed
+])
+def test_row_gate_mechanics_compiled(n, targets):
+    from qubism_tpu.ops import kernels
+
+    u = rand_u(len(targets))
+    planes = rand_state(n)
+    ref = xla_reference(planes, u, targets, n)
+    got = kernel_result(kernels.row_gate(
+        kernels.to_canon(planes, n), u, targets, n), n)
+    assert np.linalg.norm(got - ref) < 1e-5, (n, targets)
+
+
+def test_lane_gate_compiled():
+    from qubism_tpu.ops import apply as A
+    from qubism_tpu.ops import kernels
+
+    n = 16
+    targets = (11, 14)
+    u = rand_u(2)
+    planes = rand_state(n)
+    ref = xla_reference(planes, u, targets, n)
+    expanded = A.expand_for_view(u, n, targets)
+    got = kernel_result(kernels.lane_gate(
+        kernels.to_canon(planes, n), expanded, n), n)
+    assert np.linalg.norm(got - ref) < 1e-5
+
+
+def test_diag_layer_compiled():
+    import jax
+
+    from qubism_tpu.ops import apply as A
+    from qubism_tpu.ops import kernels
+
+    n = 16
+    factors = []
+    for targets in [(0, 3), (2, 12), (14,), (5, 9, 15)]:
+        d = np.exp(1j * RNG.uniform(0, 2 * np.pi, size=1 << len(targets)))
+        factors.append((d, targets))
+    planes = rand_state(n)
+
+    def ref_fn(p):
+        from qubism_tpu.ops.fusion import DiagLayer, _apply_diag_layer_traced
+
+        return _apply_diag_layer_traced(p, DiagLayer(tuple(factors)), n)
+
+    ref = kernel_result(jax.jit(ref_fn)(planes), n)
+    got = kernel_result(kernels.diag_layer(
+        kernels.to_canon(planes, n), tuple(factors), n), n)
+    assert np.linalg.norm(got - ref) < 1e-5
+
+
+def test_stage_block_compiled():
+    """The fused QFT stage pair vs per-op application."""
+    from qubism_tpu.models.circuits import qft_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+
+    n = 16
+    prims = qft_prims(n)
+    pall = CompiledCircuit(n, prims, use_pallas=True)
+    ref = CompiledCircuit(n, prims, use_pallas=False)
+    a = pall.state_to_complex(pall(pall.init_state()))
+    b = ref.state_to_complex(ref(ref.init_state()))
+    assert np.linalg.norm(a - b) < 1e-5
+
+
+def test_layer1q_compiled():
+    from qubism_tpu.ops import kernels
+
+    n = 16
+    gates = tuple((rand_u(1), q) for q in (0, 2, 3, 5))
+    planes = rand_state(n)
+    ref = np.asarray(planes[0]) + 1j * np.asarray(planes[1])
+    for u, q in gates:
+        ref = apply_dense_host(ref, u, (q,), n)
+    fn, coefs = kernels.layer1q_prepare(gates, n)
+    got = kernel_result(fn(kernels.to_canon(planes, n), coefs), n)
+    assert np.linalg.norm(got - ref) < 1e-5
+
+
+def apply_dense_host(z, u, targets, n):
+    t = z.reshape((2,) * n)
+    k = len(targets)
+    src = list(targets)
+    rest = [q for q in range(n) if q not in src]
+    perm = src + rest
+    t = t.transpose(perm).reshape(1 << k, -1)
+    t = u @ t
+    t = t.reshape([2] * n)
+    inv = np.argsort(perm)
+    return t.transpose(inv).reshape(-1)
+
+
+def test_shard_butterfly_compiled():
+    from qubism_tpu.ops import kernels
+
+    m = 14
+    u = rand_u(1)
+    a, b = rand_state(m), rand_state(m)
+    pa = kernels.to_canon(a, m)
+    pb = kernels.to_canon(b, m)
+    fn, coef = kernels.shard_butterfly_prepare(u, m)
+    (oa, ob) = fn((pa, pb), coef)
+    za = np.asarray(a[0]) + 1j * np.asarray(a[1])
+    zb = np.asarray(b[0]) + 1j * np.asarray(b[1])
+    ra = u[0, 0] * za + u[0, 1] * zb
+    rb = u[1, 0] * za + u[1, 1] * zb
+    assert np.linalg.norm(kernel_result(oa, m) - ra) < 1e-5
+    assert np.linalg.norm(kernel_result(ob, m) - rb) < 1e-5
+
+
+def test_ghz_born_chi2_on_device():
+    """On-device GHZ sampling: counts must be ~Bin(shots, 1/2) on the two
+    legal outcomes (the end-to-end Born check, compiled)."""
+    import jax
+
+    from qubism_tpu.models.circuits import ghz_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+    from qubism_tpu.ops.sample import sample_indices_np
+
+    n, shots = 16, 4096
+    circ = CompiledCircuit(n, ghz_prims(n))
+    state = circ(circ.init_state())
+    idx = sample_indices_np(state, n, shots, jax.random.PRNGKey(5))
+    zeros = int((idx == 0).sum())
+    ones = int((idx == (1 << n) - 1).sum())
+    assert zeros + ones == shots
+    assert abs(zeros - shots / 2) < 4 * (shots ** 0.5)
+
+
+def test_mesh1_matches_compiled_on_device():
+    """mesh=1 runs the same kernel plans inside shard_map (VERDICT item 2)."""
+    from qubism_tpu.models.circuits import qft_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+    from qubism_tpu.parallel.mesh import make_mesh
+    from qubism_tpu.parallel.sharded import ShardedSim
+
+    n = 16
+    sim = ShardedSim(n, make_mesh(1))
+    sim.apply(qft_prims(n))
+    circ = CompiledCircuit(n, qft_prims(n))
+    ref = circ.state_to_complex(circ(circ.init_state()))
+    assert np.linalg.norm(sim.amplitudes() - ref) < 1e-5
+
+
+@pytest.mark.slow
+def test_n30_fits_in_hbm_proves_donation():
+    """GHZ-30 through mesh=1: per-device state is 2 banks x 2 planes x
+    2 GiB = 8 GiB of 16 GiB HBM. Without buffer donation the pipeline
+    holds ~2x that and OOMs — completing AND matching Born stats proves
+    the donation path (VERDICT r2 item 3)."""
+    import jax
+
+    from qubism_tpu.models.circuits import ghz_prims
+    from qubism_tpu.parallel.mesh import make_mesh
+    from qubism_tpu.parallel.sharded import ShardedSim
+
+    n = 30
+    sim = ShardedSim(n, make_mesh(1))
+    assert sim.w == 1  # banks engaged past the 2^29 per-buffer limit
+    sim.apply(ghz_prims(n))
+    idx = sim.sample(2048, jax.random.PRNGKey(9))
+    zeros = int((idx == 0).sum())
+    ones = int((idx == (1 << n) - 1).sum())
+    assert zeros + ones == 2048
+    assert abs(zeros - 1024) < 4 * (2048 ** 0.5)
