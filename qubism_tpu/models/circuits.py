@@ -306,9 +306,18 @@ def qaoa_prims(n: int, edges, gammas, betas) -> list[Prim]:
 
 def qaoa_maxcut_energy(state_or_planes, n: int, edges) -> float:
     """MaxCut objective <sum_edges (1 - Z_i Z_j)/2> via the expectation
-    API (one fused reduction per edge). Accepts a StateVec, a plane pair,
-    or the virtual-sharded tuple CompiledCircuit returns at n > 29."""
+    API (one fused reduction per edge). Accepts a StateVec, a ShardedSim
+    (mesh execution), a plane pair, or the virtual-sharded tuple
+    CompiledCircuit returns at n > 29."""
     from ..ops.measure import expectation_pauli, expectation_pauli_virtual
+
+    if hasattr(state_or_planes, "expectation"):
+        total = 0.0
+        for i, j in edges:
+            p = ["I"] * n
+            p[i] = p[j] = "Z"
+            total += 0.5 * (1.0 - state_or_planes.expectation("".join(p)))
+        return total
 
     planes = getattr(state_or_planes, "planes", state_or_planes)
     shards = None

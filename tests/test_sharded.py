@@ -390,3 +390,21 @@ def test_mesh_hierarchical_sampler_matches(mesh, monkeypatch):
     # identical seeds + thresholds within machine accuracy: the two
     # algorithms may differ only at CDF ulp boundaries
     assert float(np.mean(idx_small == idx_big)) > 0.99
+
+
+def test_qaoa_energy_on_mesh(mesh):
+    """qaoa_maxcut_energy accepts a ShardedSim and matches the plane-pair
+    expectation path."""
+    from qubism_tpu.models.circuits import (qaoa_maxcut_energy, qaoa_prims,
+                                            ring_edges)
+
+    n = 8
+    edges = ring_edges(n)
+    prims = qaoa_prims(n, edges, gammas=[0.4], betas=[1.1])
+    sim = ShardedSim(n, mesh, banks=1)
+    sim.apply(prims)
+    circ = CompiledCircuit(n, prims)
+    state = circ(circ.init_state())
+    ref = qaoa_maxcut_energy(state, n, edges)
+    got = qaoa_maxcut_energy(sim, n, edges)
+    assert abs(got - ref) < 1e-4
