@@ -149,15 +149,22 @@ def run_sampled(kind: str, n: int, shots: int, depth: int = 4) -> dict:
         # large-n distribution accuracy (VERDICT r2 weak #5): chi^2 of the
         # sampled coarse 16-bin histogram vs the device-computed bin masses
         # — an end-to-end check on float32 accumulation in |psi|^2 / CDFs
+        import jax
         import jax.numpy as jnp
         import numpy as np
 
         shards = state if circ.v else (state,)
-        masses = []
-        for sh in shards:
-            p = sh[0].reshape(-1) ** 2 + sh[1].reshape(-1) ** 2
-            bins = max(1, 16 >> circ.v)
-            masses.append(np.asarray(jnp.sum(p.reshape(bins, -1), axis=1)))
+        bins = max(1, 16 >> circ.v)
+
+        # fused square+reduce INSIDE jit: an eager |psi|^2 would materialize
+        # state-sized temporaries (at n=30 the state is half of HBM — OOM)
+        @jax.jit
+        def bin_masses(sh):
+            r = sh[0].reshape(bins, -1)
+            i = sh[1].reshape(bins, -1)
+            return jnp.sum(r * r + i * i, axis=1)
+
+        masses = [np.asarray(bin_masses(sh)) for sh in shards]
         expected = np.concatenate(masses).astype(np.float64) * shots
         counts = np.bincount(np.asarray(idx) >> (n - 4), minlength=16)
         chi2 = float(((counts - expected) ** 2
@@ -207,8 +214,6 @@ def measure_raw_copy_plateau(n: int = 28, k: int = 16, dtype="float32") -> float
     own diag kernel): on this environment both sit at ~510-520 GB/s, far
     below the 819 GB/s v5e spec sheet, so that plateau is a property of
     the chip/runtime, not of the engine (VERDICT r2 weak #1)."""
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -216,18 +221,17 @@ def measure_raw_copy_plateau(n: int = 28, k: int = 16, dtype="float32") -> float
     shape = ((1 << n) // 2048, 2048)
     eps = jnp.asarray(1e-30 if dtype == "float32" else 1e-3, dt_)
 
-    def one(p):
-        # +eps defeats constant-folding; donation keeps it a pure sweep
-        return (p[0] + eps, p[1] + eps)
-
-    chain = jax.jit(
-        lambda p: functools.reduce(lambda q, _: one(q), range(k), p),
-        donate_argnums=0)
+    # ONE elementwise pass per jit CALL: chaining k adds inside one jit
+    # would let XLA fuse them into a single sweep (measured: an in-jit
+    # chain reported an impossible 2.2 TB/s), so each pass is a separate
+    # donated dispatch; dispatch overhead is ~0.1 ms against ~8 ms/pass
+    one = jax.jit(lambda p: (p[0] + eps, p[1] + eps), donate_argnums=0)
     planes = (jnp.zeros(shape, dt_), jnp.zeros(shape, dt_))
-    planes = chain(planes)
+    planes = one(planes)
     float(planes[0][0, 0])
     t0 = time.time()
-    planes = chain(planes)
+    for _ in range(k):
+        planes = one(planes)
     float(planes[0][0, 0])
     dt = time.time() - t0
     del planes
@@ -252,6 +256,7 @@ def run_mesh1(n: int = 28) -> dict:
     sim.apply(prims)
     float(sim.banks[0][0][0, 0])
     first_s = time.time() - t0
+    dispatches = sim.dispatch_count  # per-run count (accumulates over reps)
     times = []
     for _ in range(3):
         sim.reset_state()
@@ -261,7 +266,7 @@ def run_mesh1(n: int = 28) -> dict:
         float(sim.banks[0][0][0, 0])
         times.append(time.time() - t0)
     out = {"n": n, "seconds": min(times), "first_s": first_s,
-           "dispatches": sim.dispatch_count}
+           "dispatches": dispatches}
     del sim
     gc.collect()
     return out
