@@ -118,41 +118,29 @@ def _measure_seq_impl(planes, key, qubits: tuple[int, ...], n: int,
     return jnp.stack(outcomes), planes, key
 
 
-@functools.partial(jax.jit, static_argnames=("qubits", "n", "sqrt_born"))
-def _measure_table_impl(planes, key, qubits: tuple[int, ...], n: int,
-                        sqrt_born: bool):
-    """Sequential measurement via the marginal probability table: ~ONE state
-    sweep reduces |a|^2 over the unmeasured qubits to a 2^k table (a chain
-    of rank-3 pair reductions — the first halving reads the full state, the
-    rest are geometric; TPU rejects rank-n tensors), the k Born draws run
-    on the (tiny) table with the SAME key-split order and the same
-    conditional probabilities as collapse-as-you-go (ancestral sampling:
-    p(b_i=1 | b_<i) = mass(prefix,1)/mass(prefix); masked sums with
-    host-precomputed bit tables), and ONE fused pass projects +
-    renormalizes the state via a row x lane factored indicator. ~2 sweeps
-    total instead of 2k (reference semantics StateVec.hs:133-137 are
-    distribution- AND stream-identical)."""
-    k = len(qubits)
+def _marginal_table_traced(planes, n: int, measured: tuple[int, ...]):
+    """~ONE state sweep reducing |a|^2 over the unmeasured qubits to a
+    (2^k,) table, bit order = sorted(measured), MSB = smallest qubit
+    (traced). Unmeasured ROW qubits are summed out one at a time on rank-3
+    views (the trailing dim stays >= the lane block, so TPU tiling never
+    pads — the first halving reads the full state, the rest are
+    geometric); the lane block is then folded and reordered in ONE exact
+    0/1 matmul (a rank-3 sum of a lane bit would leave a sub-128 trailing
+    dim — a ~32x padding blowup)."""
     re, im = planes
     flat_r = re.reshape(-1)
     flat_i = im.reshape(-1)
-
-    # marginal table over sorted(qubits). Unmeasured ROW qubits are summed
-    # out one at a time on rank-3 views (the trailing dim stays >= the lane
-    # block, so TPU tiling never pads); the lane block is then folded and
-    # reordered in ONE exact 0/1 matmul (a rank-3 sum of a lane bit would
-    # leave a sub-128 trailing dim — a ~32x padding blowup).
     lanes = min(1 << n, 1 << _COL)
     log_c = lanes.bit_length() - 1
     row_cnt = n - log_c
     cur = flat_r * flat_r + flat_i * flat_i
     live = list(range(row_cnt))
-    for q in [q for q in range(row_cnt) if q not in qubits]:
+    for q in [q for q in range(row_cnt) if q not in measured]:
         pos = live.index(q)
         A = 1 << pos
         cur = cur.reshape(A, 2, -1).sum(axis=1).reshape(-1)
         live.remove(q)
-    mlane = [q for q in range(row_cnt, n) if q in qubits]
+    mlane = [q for q in range(row_cnt, n) if q in measured]
     if log_c:
         fold = np.zeros((lanes, 1 << len(mlane)), dtype=np.float32)
         for c in range(lanes):
@@ -162,18 +150,25 @@ def _measure_table_impl(planes, key, qubits: tuple[int, ...], n: int,
             fold[c, j] = 1.0
         cur = jnp.dot(cur.reshape(-1, lanes), jnp.asarray(fold),
                       precision=jax.lax.Precision.HIGHEST).reshape(-1)
-    # cur: (2^k,), bit order = sorted(qubits) (MSB = smallest qubit)
-    srt = sorted(qubits)
+    return cur
 
-    # per-qubit bit indicators over the table index (host constants)
+
+def _ancestral_draws_traced(table, qubits: tuple[int, ...], key,
+                            sqrt_born: bool):
+    """The k Born draws on a (2^k,) marginal table in the GIVEN qubit
+    order with the SAME key-split order and the same conditional
+    probabilities as collapse-as-you-go (ancestral sampling:
+    p(b_i=1 | b_<i) = mass(prefix,1)/mass(prefix); masked sums with
+    host-precomputed bit tables). Returns (outcomes list, mask, key)."""
+    k = len(qubits)
+    srt = sorted(qubits)
     tidx = np.arange(1 << k, dtype=np.int64)
     bit1 = {q: jnp.asarray(((tidx >> (k - 1 - s)) & 1).astype(np.float32))
             for s, q in enumerate(srt)}
-
     outcomes = []
-    mask = jnp.ones(1 << k, dtype=cur.dtype)
+    mask = jnp.ones(1 << k, dtype=table.dtype)
     for q in qubits:
-        masked = cur * mask
+        masked = table * mask
         tot = jnp.sum(masked)
         m1 = jnp.sum(masked * bit1[q])
         p1 = jnp.where(tot > 0, m1 / tot, 0.0)
@@ -184,19 +179,21 @@ def _measure_table_impl(planes, key, qubits: tuple[int, ...], n: int,
         outcomes.append(o)
         of = o.astype(mask.dtype)
         mask = mask * (bit1[q] * of + (1.0 - bit1[q]) * (1.0 - of))
+    return outcomes, mask, key
 
-    mass = jnp.sum(cur * mask)  # the collapsed norm^2
-    scale = jnp.where(mass > 0, 1.0 / jnp.sqrt(mass), 0.0)
 
-    # joint projection indicator factorized row x lane (rank-2 ops only)
+def _projection_rowcol_traced(outcomes, qubits: tuple[int, ...], n: int,
+                              scale, dtype):
+    """The joint projection indicator for measured ``qubits`` factorized
+    row x lane (rank-2 ops only), scaled by ``scale`` (traced)."""
     C = min(1 << n, 1 << _COL)
     R = (1 << n) // C
     log_c = C.bit_length() - 1
-    rowvec = jnp.full(R, scale, dtype=flat_r.dtype)
-    colvec = jnp.ones(C, dtype=flat_r.dtype)
+    rowvec = jnp.full(R, scale, dtype=dtype)
+    colvec = jnp.ones(C, dtype=dtype)
     for q, o in zip(qubits, outcomes):
         pos = n - 1 - q
-        of = o.astype(flat_r.dtype)
+        of = o.astype(dtype)
         if pos >= log_c:
             bits = jnp.asarray(
                 ((np.arange(R, dtype=np.int64) >> (pos - log_c)) & 1
@@ -207,6 +204,30 @@ def _measure_table_impl(planes, key, qubits: tuple[int, ...], n: int,
                 ((np.arange(C, dtype=np.int64) >> pos) & 1
                  ).astype(np.float32))
             colvec = colvec * (bits * of + (1.0 - bits) * (1.0 - of))
+    return rowvec, colvec
+
+
+@functools.partial(jax.jit, static_argnames=("qubits", "n", "sqrt_born"))
+def _measure_table_impl(planes, key, qubits: tuple[int, ...], n: int,
+                        sqrt_born: bool):
+    """Sequential measurement via the marginal probability table
+    (:func:`_marginal_table_traced` + :func:`_ancestral_draws_traced` +
+    one fused projection pass): ~2 sweeps total instead of 2k (reference
+    semantics StateVec.hs:133-137 are distribution- AND
+    stream-identical)."""
+    re, im = planes
+    flat_r = re.reshape(-1)
+    flat_i = im.reshape(-1)
+    cur = _marginal_table_traced(planes, n, qubits)
+    outcomes, mask, key = _ancestral_draws_traced(cur, qubits, key, sqrt_born)
+
+    mass = jnp.sum(cur * mask)  # the collapsed norm^2
+    scale = jnp.where(mass > 0, 1.0 / jnp.sqrt(mass), 0.0)
+
+    C = min(1 << n, 1 << _COL)
+    R = (1 << n) // C
+    rowvec, colvec = _projection_rowcol_traced(outcomes, qubits, n, scale,
+                                               flat_r.dtype)
     ind_r = rowvec[:, None] * colvec[None, :]
     sel_r = (flat_r.reshape(R, C) * ind_r).reshape(re.shape)
     sel_i = (flat_i.reshape(R, C) * ind_r).reshape(im.shape)

@@ -704,6 +704,111 @@ class ShardedSim:
         self.collapse(logical_q, outcome)
         return outcome, key
 
+    # -- batched register measurement (one dispatch) ------------------------------
+
+    def _measure_qubits_fn(self, phys: tuple[int, ...]):
+        """ONE shard_map program measuring ``phys`` (physical positions,
+        given order) sequentially: the 2^k marginal table is assembled
+        from per-bank local reductions (table bit order = sorted
+        positions, so the [device|bank|local] regions are CONTIGUOUS index
+        fields — each bank's local table lands at one dynamic offset),
+        psum'd, the k ancestral Born draws run replicated on the tiny
+        table with the standard key-split order, and one fused pass
+        projects + renormalizes every bank. Same semantics as 2k
+        prob/collapse dispatches (reference StateVec.hs:133-137)."""
+        key = ("measq", phys)
+        if key not in self._cache:
+            from ..ops.measure import (_ancestral_draws_traced,
+                                       _marginal_table_traced,
+                                       _projection_rowcol_traced)
+
+            d, w, m = self.d, self.w, self.m
+            Rm, C = self.Rm, self.C
+            k = len(phys)
+            srt = sorted(phys)
+            gq = [p for p in srt if p < d]
+            bq = [p for p in srt if d <= p < d + w]
+            lq = [p for p in srt if p >= d + w]
+            kg, kb, kl = len(gq), len(bq), len(lq)
+            local_meas = tuple(p - d - w for p in lq)
+            # outcome position of each measured qubit within the draws
+            pos_of = {p: i for i, p in enumerate(phys)}
+
+            def b_idx(s: int) -> int:
+                out = 0
+                for p in bq:
+                    out = (out << 1) | ((s >> (w - 1 - (p - d))) & 1)
+                return out
+
+            sqrt_born = config.reference_sqrt_born
+
+            def body(banks, key):
+                idx = jax.lax.axis_index(AXIS)
+                gidx = jnp.int32(0)
+                for g in gq:
+                    bit = ((idx >> (d - 1 - g)) & 1).astype(jnp.int32)
+                    gidx = (gidx << 1) | bit
+                full = jnp.zeros(1 << k, jnp.float32)
+                for s, b in enumerate(banks):
+                    tl = _marginal_table_traced(b, m, local_meas)
+                    off = gidx * (1 << (kb + kl)) + (b_idx(s) << kl)
+                    cur = jax.lax.dynamic_slice(full, (off,), (1 << kl,))
+                    full = jax.lax.dynamic_update_slice(full, cur + tl, (off,))
+                table = jax.lax.psum(full, AXIS)
+
+                outcomes, mask, key = _ancestral_draws_traced(
+                    table, phys, key, sqrt_born)
+                mass = jnp.sum(table * mask)
+                scale = jnp.where(mass > 0, 1.0 / jnp.sqrt(mass), 0.0)
+
+                # device-bit keep factor (0/1 per device)
+                keep = scale
+                for g in gq:
+                    bit = ((idx >> (d - 1 - g)) & 1).astype(jnp.int32)
+                    keep = keep * (bit == outcomes[pos_of[g]]).astype(
+                        jnp.float32)
+                local_out = [outcomes[pos_of[p]] for p in lq]
+                rowvec, colvec = _projection_rowcol_traced(
+                    local_out, local_meas, m, 1.0, jnp.float32)
+                new = []
+                for s, b in enumerate(banks):
+                    kb_s = keep
+                    for p in bq:
+                        sbit = (s >> (w - 1 - (p - d))) & 1
+                        kb_s = kb_s * (outcomes[pos_of[p]] == sbit).astype(
+                            jnp.float32)
+                    ind = (rowvec * kb_s)[:, None] * colvec[None, :]
+                    new.append(((b[0].reshape(ind.shape) * ind).reshape(Rm, C),
+                                (b[1].reshape(ind.shape) * ind).reshape(Rm, C)))
+                return jnp.stack(outcomes), key, tuple(new)
+
+            self._cache[key] = self._smap(
+                body, out_specs=(P(), P(), self._bank_specs),
+                in_extra=(P(),))
+        return self._cache[key]
+
+    def measure_qubits(self, logical_qs, key: jax.Array):
+        """Measure ``logical_qs`` sequentially in order — ONE dispatch for
+        up to 16 distinct qubits via the marginal-table path (same
+        key-split order and conditional probabilities as per-qubit
+        :meth:`measure_qubit`); falls back to the per-qubit stream beyond
+        that or under ``config.force_sequential_measure``. Returns
+        (list of outcomes, key')."""
+        logical_qs = list(logical_qs)
+        if (config.force_sequential_measure or len(logical_qs) > 16
+                or len(set(logical_qs)) != len(logical_qs)
+                or not logical_qs):
+            outs = []
+            for q in logical_qs:
+                o, key = self.measure_qubit(q, key)
+                outs.append(o)
+            return outs, key
+        phys = tuple(self.perm[q] for q in logical_qs)
+        fn = self._measure_qubits_fn(phys)
+        outcomes, key, self.banks = fn(self.banks, key)
+        self.dispatch_count += 1
+        return [int(o) for o in np.asarray(outcomes)], key
+
     # -- observables -------------------------------------------------------------
 
     def _expectation_fn(self, phys_pauli: str):

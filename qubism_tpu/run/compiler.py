@@ -287,12 +287,14 @@ class CompiledProgram:
         state, key = exec_events(self.events, state, key)
         return state, cregs, key
 
-    def run_sharded(self, mesh=None, seed: int | None = None, dump_writer=None):
+    def run_sharded(self, mesh=None, seed: int | None = None, dump_writer=None,
+                    banks: int | None = None):
         """Execute over a device mesh: unitary segments stream through
         :class:`qubism_tpu.parallel.ShardedSim` (amplitude sharding, ICI
-        qubit-relabeling swaps), measurement/collapse via psum. Returns
-        (sim, cregs, key). Validated on a virtual CPU mesh; identical code
-        drives a real TPU slice."""
+        qubit-relabeling swaps, per-device sub-shard ``banks``),
+        measurement/collapse via psum. Returns (sim, cregs, key).
+        Validated on a virtual CPU mesh; identical code drives a real TPU
+        slice."""
         import jax
 
         from ..parallel.mesh import make_mesh
@@ -309,7 +311,7 @@ class CompiledProgram:
                 mesh = make_mesh(max(limit, 1))
         dump_writer = dump_writer or (lambda s: None)
         key = jax.random.PRNGKey(0 if seed is None else seed)
-        sim = ShardedSim(self.n, mesh) if self.n else None
+        sim = ShardedSim(self.n, mesh, banks=banks) if self.n else None
         cregs = dict(self.cregs0)
 
         def exec_events(events, key):
@@ -317,10 +319,8 @@ class CompiledProgram:
                 if isinstance(ev, EvGates):
                     sim.apply(ev.prims)
                 elif isinstance(ev, EvMeasure):
-                    bits = []
-                    for q in ev.qubits:
-                        outcome, key = sim.measure_qubit(q, key)
-                        bits.append(outcome)
+                    # one dispatch for the whole event (mirrors _measure_many)
+                    bits, key = sim.measure_qubits(ev.qubits, key)
                     off = 0
                     for creg, bit_index, count in ev.writes:
                         if bit_index is None:

@@ -408,3 +408,41 @@ def test_qaoa_energy_on_mesh(mesh):
     ref = qaoa_maxcut_energy(state, n, edges)
     got = qaoa_maxcut_energy(sim, n, edges)
     assert abs(got - ref) < 1e-4
+
+
+@pytest.mark.parametrize("banks", [0, 2])
+def test_mesh_batched_measurement_matches_per_qubit(mesh, banks):
+    """measure_qubits (one dispatch: psum'd marginal table + ancestral
+    draws + joint projection) must produce the same outcomes and collapsed
+    state as the per-qubit prob/collapse stream for the same key — across
+    device/bank/local measured positions and a relabeling perm."""
+    import jax.numpy as jnp
+
+    n = 8
+    prims = brickwork_prims(n, depth=2, seed=9)
+    for qubits in [(0, 4, 7), (1, 3, 5, 6), (2,), tuple(range(n))]:
+        key = jax.random.PRNGKey(13)
+        a = ShardedSim(n, mesh, banks=banks)
+        a.apply(prims)
+        outs_a, _ = a.measure_qubits(qubits, key)
+        b = ShardedSim(n, mesh, banks=banks)
+        b.apply(prims)
+        outs_b = []
+        kk = key
+        for q in qubits:
+            o, kk = b.measure_qubit(q, kk)
+            outs_b.append(o)
+        assert outs_a == outs_b, (qubits, banks)
+        assert np.linalg.norm(a.amplitudes() - b.amplitudes()) < 1e-5
+
+
+def test_mesh_batched_measurement_ghz_correlations(mesh):
+    n = 9
+    sim = ShardedSim(n, mesh, banks=1)
+    sim.apply(ghz_prims(n))
+    outs, _ = sim.measure_qubits(tuple(range(n)), jax.random.PRNGKey(2))
+    assert len(set(outs)) == 1  # GHZ: all bits agree
+    amps = sim.amplitudes()
+    want = np.zeros(1 << n, dtype=complex)
+    want[0 if outs[0] == 0 else (1 << n) - 1] = 1
+    assert np.linalg.norm(amps - want) < 1e-5
