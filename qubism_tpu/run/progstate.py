@@ -30,6 +30,13 @@ from ..qasm.ast import SourcePos, UnitaryOp
 
 _INITIAL_POS = SourcePos("", 1, 1)
 
+#: fuse_qregs flips to small-factor-first tensoring when the big factor has
+#: at least this many qubits (padded-intermediate bytes = 2^big * 512 B)...
+_TENSOR_FLIP_MIN_BIG = 21
+#: ...and the small factor has fewer than this many (2^small < the 128-wide
+#: TPU lane tile)
+_TENSOR_FLIP_MAX_SMALL = 7
+
 
 class QasmRuntimeError(Exception):
     """Runtime error carrying QASM source position (ProgState.hs:97-103)."""
@@ -141,13 +148,27 @@ class ProgState:
         sv1 = self.find(v1.target, self.stvecs)
         sv2 = self.find(v2.target, self.stvecs)
         new_id = f"{v1.target}(x){v2.target}"
-        self.stvecs[new_id] = sv1.tensor(sv2)
-        shift = sv1.n
+        # TPU layout: big ⊗ tiny materializes a (2^big, 2^tiny) outer
+        # product whose sub-128 trailing dim the TPU memory tiling pads up
+        # to 64x — a 32 GiB hard OOM at 27 qubits. Put the SMALL factor's
+        # qubits at the TOP instead and shift views accordingly: a pure
+        # relabeling, invisible through the QReg views (small states keep
+        # the reference's sv1-major amplitude order exactly).
+        flip = (sv1.n >= _TENSOR_FLIP_MIN_BIG
+                and sv2.n < _TENSOR_FLIP_MAX_SMALL)
+        if flip:
+            self.stvecs[new_id] = sv2.tensor(sv1)
+            shift1, shift2 = sv2.n, 0
+        else:
+            self.stvecs[new_id] = sv1.tensor(sv2)
+            shift1, shift2 = 0, sv1.n
         for name, view in list(self.qregs.items()):
             if view.target == v1.target:
-                self.qregs[name] = QRegView(new_id, view.start, view.size)
+                self.qregs[name] = QRegView(new_id, view.start + shift1,
+                                            view.size)
             elif view.target == v2.target:
-                self.qregs[name] = QRegView(new_id, view.start + shift, view.size)
+                self.qregs[name] = QRegView(new_id, view.start + shift2,
+                                            view.size)
         self.delete_statevec(v1.target)
         self.delete_statevec(v2.target)
         return new_id

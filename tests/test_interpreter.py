@@ -459,3 +459,37 @@ def test_pallas_fast_path_does_not_donate_shared_buffers(monkeypatch):
     assert abs(float(np.asarray(sv.amps)[0]) - 1.0) < 1e-6
     z = StateVec(14, out2).amps
     assert abs(abs(z[0]) - 1 / np.sqrt(2)) < 1e-6
+
+
+def test_fuse_qregs_flip_layout_is_invisible(monkeypatch):
+    """Tensoring big ⊗ tiny puts the tiny factor's qubits at the TOP of the
+    backing vector (TPU padding safety) — invisible through the QReg
+    views: amplitudes read out in register order must match the unflipped
+    path exactly."""
+    import numpy as np
+
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.run import progstate as P
+    from qubism_tpu.run.interpreter import run_program
+    from tests.test_compiler import _interp_state_in_layout
+
+    src = """
+    qreg a[4]; qreg b[1]; creg c[5];
+    h a[0]; cx a[0], a[1]; t a[2]; x b[0];
+    cx a[3], b[0];
+    h b[0]; cx b[0], a[2];
+    measure a[0] -> c[0];
+    """
+    qelib = "examples/qelib1.inc"
+    full = f'include "{qelib}";\n' + src
+    ast = parse_openqasm("<t>", full)
+    ps_plain = run_program(ast, seed=3)
+    ref = _interp_state_in_layout(ps_plain, ["a", "b"])
+    assert ps_plain.qregs["a"].start == 0  # unflipped at this size
+
+    monkeypatch.setattr(P, "_TENSOR_FLIP_MIN_BIG", 2)
+    ps_flip = run_program(ast, seed=3)
+    assert ps_flip.qregs["b"].start == 0  # b's qubit now leads the backing vec
+    got = _interp_state_in_layout(ps_flip, ["a", "b"])
+    assert str(ps_plain.cregs["c"]) == str(ps_flip.cregs["c"])
+    assert np.linalg.norm(got - ref) < 1e-6
