@@ -213,6 +213,7 @@ class Repl:
         try:
             for stmt in ast:
                 interp.run_stmt(stmt)
+            interp.flush()  # materialize the line's trailing unitary run
         except QasmRuntimeError as e:
             print(e, file=self.out)
             return True  # discard: both parser and program state stay put

@@ -560,6 +560,66 @@ def run_plans(state, plans, ops_args, n: int):
     return state
 
 
+#: process-wide planner + chunk-fn cache for apply_prims_fused (content
+#: keyed, so sharing across interpreters is safe)
+_GLOBAL_PLANNER = OpPlanner()
+_chunk_fn_cache: dict = {}
+
+
+def apply_prims_fused(planes, prims, n: int):
+    """Apply a run of prims to an n-qubit plane pair as ONE jitted fused
+    chunk (non-donating: callers like the interpreter hold shared
+    references to the input planes). The interpreter's lazy gate queue
+    flushes through this — per-statement dispatch latency (~30-100 ms
+    through a remote tunnel) then amortizes over whole measurement-free
+    runs, while observable semantics are untouched (flushes happen at
+    every observation point). State returns in the engine's canonical
+    layout on the Pallas path."""
+    use_pallas = engine_uses_pallas(n)
+    ops = fuse(list(prims), n, max_block=(4 if use_pallas else
+                                          DEFAULT_MAX_BLOCK),
+               mixed_lane=use_pallas)
+    if not use_pallas:
+        # XLA/trace path (CPU tests, small n): matrices fold as constants,
+        # so the jit cache must key on op CONTENT
+        key = ("interp-xla", n, tuple(_op_content_key(op, n) for op in ops))
+        fn = _chunk_fn_cache.get(key)
+        if fn is None:
+            def run(st, ops=tuple(ops)):
+                for op in ops:
+                    if isinstance(op, DiagLayer):
+                        st = _apply_diag_layer_traced(st, op, n)
+                    elif isinstance(op, StageBlockOp):
+                        for u, q, factors in op.stages:
+                            st = _apply_dense_traced(st, u, (q,), n)
+                            if factors:
+                                st = _apply_diag_layer_traced(
+                                    st, DiagLayer(factors), n)
+                    elif isinstance(op, Layer1QOp):
+                        for u, q in op.gates:
+                            st = _apply_dense_traced(st, u, (q,), n)
+                    else:
+                        st = _apply_dense_traced(st, op.u, op.targets, n)
+                return st
+
+            fn = jax.jit(run)
+            _chunk_fn_cache[key] = fn
+        return fn(planes)
+
+    from . import kernels
+
+    plans, operands = plan_chunk(ops, n, _GLOBAL_PLANNER)
+    key = ("interp-chunk", n, plan_sig(plans))
+    fn = _chunk_fn_cache.get(key)
+    if fn is None:
+        def chunk_fn(st, args, plans=plans):
+            return run_plans(st, plans, args, n)
+
+        fn = jax.jit(chunk_fn)  # NOT donated: input planes stay valid
+        _chunk_fn_cache[key] = fn
+    return fn(kernels.to_canon(planes, n), operands)
+
+
 def split_op_virtual(op, v: int):
     """Specialize one fused op (targets in (v + m)-space, virtual/bank bits
     at positions 0..v-1) for the 2^v shards. Returns
