@@ -116,9 +116,12 @@ class ShardedSim:
         #: at multi-GiB per-device shapes (same rationale as
         #: CompiledCircuit.chunk_passes)
         self._chunk_passes = 8 if self.m + self.w > 22 else 10 ** 9
-        #: bound the async dispatch queue at large per-device states: queued
-        #: ops' un-aliased outputs stay live until the device catches up
-        self._sync_every = 3 if self.m + self.w >= 30 else (
+        #: bound the async dispatch queue at large per-device states: a
+        #: queued-but-not-executed chunk pins BOTH its input and output
+        #: buffers through the remote runtime, so when the per-device state
+        #: is ~half of HBM even two chunks in flight exhaust it (measured:
+        #: QFT-30 mesh=1 OOMs at 2 in flight, runs drained per-dispatch)
+        self._sync_every = 1 if self.m + self.w >= 30 else (
             6 if self.m + self.w >= 26 else 10 ** 9)
         self._since_sync = 0
         if allocate:
@@ -128,6 +131,9 @@ class ShardedSim:
         """Back to |0...0> with identity qubit labeling, KEEPING the traced
         segment/measure caches — repeated runs (benchmarks, shot loops)
         then skip jit re-tracing entirely."""
+        # drop the old state BEFORE allocating: at near-HBM sizes holding
+        # both briefly is an OOM (remote runtimes free with lag)
+        self.banks = None
         sh = NamedSharding(self.mesh, P(AXIS))
         shape = (self.D * self.Rm, self.C)
 
