@@ -31,9 +31,8 @@ import numpy as np
 
 from ..config import config
 from ..core.creg import CReg
-from ..core.gates import is_diagonal, u3_matrix
+from ..core.gates import Prim, is_diagonal, u3_matrix
 from ..core.statevec import StateVec
-from ..ops import apply as _apply
 from ..ops import measure as _measure
 from ..qasm import ast as A
 from .progstate import CustomGate, ProgState, blank_state
@@ -182,8 +181,6 @@ class Interpreter:
             qubits = [view.start + k for k in range(view.size)]
         # enqueue on the BACKING state vector (the reference writes under
         # the QReg's name here, orphaning the update after fusion — bug)
-        from ..core.gates import Prim
-
         for q in qubits:
             self._enqueue(view.target, Prim(table, (q,), diag))
 
@@ -196,8 +193,6 @@ class Interpreter:
     def _apply_2q(self, u: np.ndarray, qr1: str, i: int, qr2: str, j: int):
         """Fuse-then-apply for potentially entangling 2-qubit ops
         (reference ``withIndex2``, Simulation.hs:102-122)."""
-        from ..core.gates import Prim
-
         ps = self.ps
         t1 = ps.find(qr1, ps.qregs).target
         t2 = ps.find(qr2, ps.qregs).target
