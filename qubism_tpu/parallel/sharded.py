@@ -722,7 +722,10 @@ class ShardedSim:
         table with the standard key-split order, and one fused pass
         projects + renormalizes every bank. Same semantics as 2k
         prob/collapse dispatches (reference StateVec.hs:133-137)."""
-        key = ("measq", phys)
+        # the Born-rule quirk is baked into the traced draws, so it is part
+        # of the cache key (a mid-session config toggle must not serve a
+        # stale program)
+        key = ("measq", phys, config.reference_sqrt_born)
         if key not in self._cache:
             from ..ops.measure import (_ancestral_draws_traced,
                                        _marginal_table_traced,
