@@ -128,6 +128,11 @@ class StateVec:
         reference analogue."""
         return _measure.expectation_pauli(self.planes, self.n, pauli)
 
+    def expectation_sum(self, terms) -> float:
+        """<psi| sum_j c_j P_j |psi> for ``terms = [(coef, pauli), ...]``
+        — a whole Pauli-sum Hamiltonian in ONE device dispatch."""
+        return _measure.expectation_pauli_sum(self.planes, self.n, terms)
+
     # -- measurement ---------------------------------------------------------
 
     def prob_one(self, i: int) -> float:

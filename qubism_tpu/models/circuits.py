@@ -311,6 +311,17 @@ def qaoa_maxcut_energy(state_or_planes, n: int, edges) -> float:
     CompiledCircuit returns at n > 29."""
     from ..ops.measure import expectation_pauli, expectation_pauli_virtual
 
+    def zz_terms():
+        terms = []
+        for i, j in edges:
+            p = ["I"] * n
+            p[i] = p[j] = "Z"
+            terms.append((-0.5, "".join(p)))
+        return terms
+
+    if hasattr(state_or_planes, "expectation_sum"):
+        # one dispatch for the whole cost Hamiltonian (StateVec, ShardedSim)
+        return 0.5 * len(edges) + state_or_planes.expectation_sum(zz_terms())
     if hasattr(state_or_planes, "expectation"):
         total = 0.0
         for i, j in edges:
@@ -320,6 +331,11 @@ def qaoa_maxcut_energy(state_or_planes, n: int, edges) -> float:
         return total
 
     planes = getattr(state_or_planes, "planes", state_or_planes)
+    if not (isinstance(planes, (tuple, list)) and len(planes)
+            and isinstance(planes[0], (tuple, list))):
+        from ..ops.measure import expectation_pauli_sum
+
+        return 0.5 * len(edges) + expectation_pauli_sum(planes, n, zz_terms())
     shards = None
     if isinstance(planes, (tuple, list)) and len(planes) and \
             isinstance(planes[0], (tuple, list)):

@@ -478,6 +478,52 @@ def expectation_pauli(planes: Planes, n: int, pauli: str) -> float:
     return float(_apply_iy(float(tr), float(ti), n_y).real)
 
 
+@functools.lru_cache(maxsize=None)
+def _expectation_multi_fn(paulis: tuple[str, ...], n: int):
+    """ONE jitted program computing the (tr, ti) reductions for MANY Pauli
+    strings (the VQE/Hamiltonian shape: a k-term energy is one dispatch
+    instead of k). Coefficients and the i^{#Y} factors apply host-side so
+    the compiled program depends only on the strings."""
+
+    def fn(planes):
+        outs = []
+        for p in paulis:
+            flip = [q for q, c in enumerate(p) if c in "XY"]
+            signq = [q for q, c in enumerate(p) if c in "YZ"]
+            C = min(1 << n, 1 << _COL)
+            R = (1 << n) // C
+            srow, scol, fc = _pauli_tables(flip, signq, n)
+            srow_d = jnp.asarray(srow)
+            scol_d = jnp.asarray(scol)
+            lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
+            ar = planes[0].reshape(-1)
+            ai = planes[1].reshape(-1)
+            br = _flip_bits(planes[0].reshape(-1), n, flip, lane_p)
+            bi = _flip_bits(planes[1].reshape(-1), n, flip, lane_p)
+            pr = (br * ar + bi * ai).reshape(R, C)
+            pi = (br * ai - bi * ar).reshape(R, C)
+            s = srow_d[:, None] * scol_d[None, :]
+            outs.append(jnp.stack([jnp.sum(pr * s), jnp.sum(pi * s)]))
+        return jnp.stack(outs)  # (k, 2)
+
+    return jax.jit(fn)
+
+
+def expectation_pauli_sum(planes: Planes, n: int, terms) -> float:
+    """<psi| sum_j c_j P_j |psi> for a Pauli-sum Hamiltonian
+    ``terms = [(coef, pauli), ...]`` in ONE device dispatch (the per-term
+    reductions share the state reads inside one program; XLA fuses the
+    elementwise work). Hermitian for real coefs; the imaginary residue is
+    numerical noise, discarded."""
+    paulis = tuple(_check_pauli(p, n) for _, p in terms)
+    vals = np.asarray(jax.device_get(_expectation_multi_fn(paulis, n)(planes)))
+    total = 0.0
+    for (coef, _), p, (tr, ti) in zip(terms, paulis, vals):
+        n_y = sum(1 for c in p if c == "Y")
+        total += coef * _apply_iy(float(tr), float(ti), n_y).real
+    return float(total)
+
+
 def expectation_pauli_virtual(shards, n: int, v: int, pauli: str) -> float:
     """Pauli expectation over a virtual-sharded state (n > 29 on one chip):
     each shard pairs with its s ^ f_virtual partner, the virtual Y/Z bits

@@ -831,69 +831,74 @@ class ShardedSim:
         PHYSICAL bit order."""
         key = ("expect", phys_pauli)
         if key not in self._cache:
-            d, w, m = self.d, self.w, self.m
-            fg = sg = 0
-            for q in range(d):
-                if phys_pauli[q] in "XY":
-                    fg |= 1 << (d - 1 - q)
-                if phys_pauli[q] in "YZ":
-                    sg |= 1 << (d - 1 - q)
-            fb = sb = 0
-            for q in range(d, d + w):
-                if phys_pauli[q] in "XY":
-                    fb |= 1 << (w - 1 - (q - d))
-                if phys_pauli[q] in "YZ":
-                    sb |= 1 << (w - 1 - (q - d))
-            lflip = [q - d - w for q in range(d + w, self.n)
-                     if phys_pauli[q] in "XY"]
-            lsign = [q - d - w for q in range(d + w, self.n)
-                     if phys_pauli[q] in "YZ"]
-
-            C = self.C
-            R = self.Rm
-            srow, scol, fc = _pauli_tables(lflip, lsign, m)
-            srow_d = jnp.asarray(srow)
-            scol_d = jnp.asarray(scol)
-            lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
-            bank_sign = [(-1.0 if bin(s & sb).count("1") % 2 else 1.0)
-                         for s in range(1 << w)]
-
-            def body(banks):
-                tr_tot = jnp.float32(0.0)
-                ti_tot = jnp.float32(0.0)
-                s_tab = srow_d[:, None] * scol_d[None, :]
-                for s in range(1 << w):
-                    ar = banks[s][0].reshape(-1)
-                    ai = banks[s][1].reshape(-1)
-                    part = banks[s ^ fb]
-                    br = _flip_bits(part[0].reshape(-1), m, lflip, lane_p)
-                    bi = _flip_bits(part[1].reshape(-1), m, lflip, lane_p)
-                    if fg:
-                        perm = [(i, i ^ fg) for i in range(1 << d)]
-                        br = jax.lax.ppermute(br, AXIS, perm)
-                        bi = jax.lax.ppermute(bi, AXIS, perm)
-                    pr = (br * ar + bi * ai).reshape(R, C)  # Re(conj(b) a)
-                    pi = (br * ai - bi * ar).reshape(R, C)  # Im(conj(b) a)
-                    tr_tot += bank_sign[s] * jnp.sum(pr * s_tab)
-                    ti_tot += bank_sign[s] * jnp.sum(pi * s_tab)
-                if sg:
-                    idx = jax.lax.axis_index(AXIS)
-                    bits = jnp.int32(0)
-                    x = idx & sg
-                    for _ in range(d):
-                        bits = bits + (x & 1)
-                        x = x >> 1
-                    sign = jnp.where(bits % 2 == 1, -1.0, 1.0)
-                    tr_tot, ti_tot = tr_tot * sign, ti_tot * sign
-                return (jax.lax.psum(tr_tot, AXIS),
-                        jax.lax.psum(ti_tot, AXIS))
-
+            body = self._expectation_body(phys_pauli)
             self._cache[key] = self._smap(body, out_specs=(P(), P()),
                                           donate=False)
         return self._cache[key]
 
-    def expectation(self, pauli: str) -> float:
-        """Pauli-string expectation (logical qubit order, I/X/Y/Z)."""
+    def _expectation_body(self, phys_pauli: str):
+        """The traced per-device reduction for one Pauli string (shared by
+        the single-string and Pauli-sum dispatches)."""
+        d, w, m = self.d, self.w, self.m
+        fg = sg = 0
+        for q in range(d):
+            if phys_pauli[q] in "XY":
+                fg |= 1 << (d - 1 - q)
+            if phys_pauli[q] in "YZ":
+                sg |= 1 << (d - 1 - q)
+        fb = sb = 0
+        for q in range(d, d + w):
+            if phys_pauli[q] in "XY":
+                fb |= 1 << (w - 1 - (q - d))
+            if phys_pauli[q] in "YZ":
+                sb |= 1 << (w - 1 - (q - d))
+        lflip = [q - d - w for q in range(d + w, self.n)
+                 if phys_pauli[q] in "XY"]
+        lsign = [q - d - w for q in range(d + w, self.n)
+                 if phys_pauli[q] in "YZ"]
+
+        C = self.C
+        R = self.Rm
+        srow, scol, fc = _pauli_tables(lflip, lsign, m)
+        srow_d = jnp.asarray(srow)
+        scol_d = jnp.asarray(scol)
+        lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
+        bank_sign = [(-1.0 if bin(s & sb).count("1") % 2 else 1.0)
+                     for s in range(1 << w)]
+
+        def body(banks):
+            tr_tot = jnp.float32(0.0)
+            ti_tot = jnp.float32(0.0)
+            s_tab = srow_d[:, None] * scol_d[None, :]
+            for s in range(1 << w):
+                ar = banks[s][0].reshape(-1)
+                ai = banks[s][1].reshape(-1)
+                part = banks[s ^ fb]
+                br = _flip_bits(part[0].reshape(-1), m, lflip, lane_p)
+                bi = _flip_bits(part[1].reshape(-1), m, lflip, lane_p)
+                if fg:
+                    perm = [(i, i ^ fg) for i in range(1 << d)]
+                    br = jax.lax.ppermute(br, AXIS, perm)
+                    bi = jax.lax.ppermute(bi, AXIS, perm)
+                pr = (br * ar + bi * ai).reshape(R, C)  # Re(conj(b) a)
+                pi = (br * ai - bi * ar).reshape(R, C)  # Im(conj(b) a)
+                tr_tot += bank_sign[s] * jnp.sum(pr * s_tab)
+                ti_tot += bank_sign[s] * jnp.sum(pi * s_tab)
+            if sg:
+                idx = jax.lax.axis_index(AXIS)
+                bits = jnp.int32(0)
+                x = idx & sg
+                for _ in range(d):
+                    bits = bits + (x & 1)
+                    x = x >> 1
+                sign = jnp.where(bits % 2 == 1, -1.0, 1.0)
+                tr_tot, ti_tot = tr_tot * sign, ti_tot * sign
+            return (jax.lax.psum(tr_tot, AXIS),
+                    jax.lax.psum(ti_tot, AXIS))
+
+        return body
+
+    def _to_phys_pauli(self, pauli: str) -> str:
         pauli = pauli.upper()
         if len(pauli) != self.n or any(c not in "IXYZ" for c in pauli):
             raise ValueError(
@@ -901,10 +906,37 @@ class ShardedSim:
         phys = ["I"] * self.n
         for q, c in enumerate(pauli):
             phys[self.perm[q]] = c
-        tr, ti = self._expectation_fn("".join(phys))(self.banks)
+        return "".join(phys)
+
+    def expectation(self, pauli: str) -> float:
+        """Pauli-string expectation (logical qubit order, I/X/Y/Z)."""
+        phys_pauli = self._to_phys_pauli(pauli)
+        tr, ti = self._expectation_fn(phys_pauli)(self.banks)
         n_y = sum(1 for c in pauli if c == "Y")
         val = complex(float(tr), float(ti)) * (1j ** n_y)
         return float(val.real)
+
+    def expectation_sum(self, terms) -> float:
+        """<psi| sum_j c_j P_j |psi> for ``terms = [(coef, pauli), ...]``
+        in ONE shard_map dispatch (the VQE/Hamiltonian shape) — per-term
+        reductions share the state reads and psum together."""
+        phys_paulis = tuple(self._to_phys_pauli(p) for _, p in terms)
+        key = ("expectsum", phys_paulis)
+        if key not in self._cache:
+            bodies = [self._expectation_body(p) for p in phys_paulis]
+
+            def body(banks):
+                return tuple(b(banks) for b in bodies)
+
+            self._cache[key] = self._smap(
+                body, out_specs=tuple((P(), P()) for _ in bodies),
+                donate=False)
+        vals = jax.device_get(self._cache[key](self.banks))
+        total = 0.0
+        for (coef, pauli), (tr, ti) in zip(terms, vals):
+            n_y = sum(1 for c in pauli.upper() if c == "Y")
+            total += coef * (complex(float(tr), float(ti)) * (1j ** n_y)).real
+        return float(total)
 
     # -- sampling ----------------------------------------------------------------
 

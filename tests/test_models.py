@@ -278,3 +278,25 @@ def test_qpe_qasm_matches_prims(t=5):
     amps = np.asarray(ps.stvecs[ps.qregs["q"].target].amps)
     expected = final_amplitudes(qpe_prims(t, phi), t + 1)
     assert np.linalg.norm(np.abs(amps) - np.abs(expected)) < 1e-5
+
+
+def test_expectation_pauli_sum_matches_per_string():
+    """A Pauli-sum Hamiltonian in one dispatch must equal the per-string
+    expectation loop (and the dense oracle)."""
+    import numpy as np
+
+    from qubism_tpu.core.statevec import StateVec
+    from qubism_tpu.models.circuits import brickwork_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+    from qubism_tpu.ops.measure import expectation_pauli, expectation_pauli_sum
+
+    n = 6
+    circ = CompiledCircuit(n, brickwork_prims(n, depth=2, seed=3))
+    planes = circ(circ.init_state())
+    terms = [(0.5, "ZZIIII"), (-1.25, "IXYIII"), (2.0, "IIIIXZ"),
+             (0.75, "YIIIIY")]
+    ref = sum(c * expectation_pauli(planes, n, p) for c, p in terms)
+    got = expectation_pauli_sum(planes, n, terms)
+    assert abs(got - ref) < 1e-5
+    sv = StateVec(n, planes)
+    assert abs(sv.expectation_sum(terms) - ref) < 1e-5

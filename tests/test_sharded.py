@@ -446,3 +446,17 @@ def test_mesh_batched_measurement_ghz_correlations(mesh):
     want = np.zeros(1 << n, dtype=complex)
     want[0 if outs[0] == 0 else (1 << n) - 1] = 1
     assert np.linalg.norm(amps - want) < 1e-5
+
+
+def test_mesh_expectation_sum(mesh):
+    """Pauli-sum energies over the mesh: one dispatch, matches per-string."""
+    n = 8
+    prims = brickwork_prims(n, depth=2, seed=6)
+    sim = ShardedSim(n, mesh, banks=1)
+    sim.apply(prims)
+    terms = [(0.5, "ZZIIIIII"), (-1.25, "IXYIIIII"), (2.0, "IIIIXZII"),
+             (0.75, "YIIIIIIY")]
+    ref = sum(c * sim.expectation(p) for c, p in terms)
+    d0 = sim.dispatch_count
+    got = sim.expectation_sum(terms)
+    assert abs(got - ref) < 1e-5
