@@ -305,54 +305,29 @@ def qaoa_prims(n: int, edges, gammas, betas) -> list[Prim]:
 
 
 def qaoa_maxcut_energy(state_or_planes, n: int, edges) -> float:
-    """MaxCut objective <sum_edges (1 - Z_i Z_j)/2> via the expectation
-    API (one fused reduction per edge). Accepts a StateVec, a ShardedSim
-    (mesh execution), a plane pair, or the virtual-sharded tuple
-    CompiledCircuit returns at n > 29."""
-    from ..ops.measure import expectation_pauli, expectation_pauli_virtual
+    """MaxCut objective <sum_edges (1 - Z_i Z_j)/2> as ONE batched
+    Pauli-sum dispatch (per-shard-group for virtual shards). Accepts a
+    StateVec, a ShardedSim (mesh execution), a plane pair, or the
+    virtual-sharded tuple CompiledCircuit returns at n > 29."""
+    from ..ops.measure import expectation_pauli_sum, expectation_pauli_sum_virtual
 
-    def zz_terms():
-        terms = []
-        for i, j in edges:
-            p = ["I"] * n
-            p[i] = p[j] = "Z"
-            terms.append((-0.5, "".join(p)))
-        return terms
-
-    if hasattr(state_or_planes, "expectation_sum"):
-        # one dispatch for the whole cost Hamiltonian (StateVec, ShardedSim)
-        return 0.5 * len(edges) + state_or_planes.expectation_sum(zz_terms())
-    if hasattr(state_or_planes, "expectation"):
-        total = 0.0
-        for i, j in edges:
-            p = ["I"] * n
-            p[i] = p[j] = "Z"
-            total += 0.5 * (1.0 - state_or_planes.expectation("".join(p)))
-        return total
-
-    planes = getattr(state_or_planes, "planes", state_or_planes)
-    if not (isinstance(planes, (tuple, list)) and len(planes)
-            and isinstance(planes[0], (tuple, list))):
-        from ..ops.measure import expectation_pauli_sum
-
-        return 0.5 * len(edges) + expectation_pauli_sum(planes, n, zz_terms())
-    shards = None
-    if isinstance(planes, (tuple, list)) and len(planes) and \
-            isinstance(planes[0], (tuple, list)):
-        shards = tuple(planes)
-        v = (len(shards) - 1).bit_length()
-
-    def expect(pauli: str) -> float:
-        if shards is not None:
-            return expectation_pauli_virtual(shards, n, v, pauli)
-        return expectation_pauli(planes, n, pauli)
-
-    total = 0.0
+    terms = []
     for i, j in edges:
         p = ["I"] * n
         p[i] = p[j] = "Z"
-        total += 0.5 * (1.0 - expect("".join(p)))
-    return total
+        terms.append((-0.5, "".join(p)))
+    const = 0.5 * len(edges)
+
+    if hasattr(state_or_planes, "expectation_sum"):
+        # one dispatch for the whole cost Hamiltonian (StateVec, ShardedSim)
+        return const + state_or_planes.expectation_sum(terms)
+    planes = getattr(state_or_planes, "planes", state_or_planes)
+    if (isinstance(planes, (tuple, list)) and len(planes)
+            and isinstance(planes[0], (tuple, list))):
+        shards = tuple(planes)
+        v = (len(shards) - 1).bit_length()
+        return const + expectation_pauli_sum_virtual(shards, n, v, terms)
+    return const + expectation_pauli_sum(planes, n, terms)
 
 
 def qaoa_qasm(n: int, edges, gammas, betas, measure: bool = True) -> str:

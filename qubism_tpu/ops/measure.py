@@ -429,28 +429,8 @@ def _expectation_pair_fn(pauli: str, n: int):
     WITHOUT the i^{#Y} factor, over a (possibly partner) plane pair ``b``
     — so the same kernel serves the single-buffer state (b = a) and the
     virtual-shard / mesh representations (b = the s^f partner shard)."""
-    flip = [q for q, c in enumerate(pauli) if c in "XY"]
-    signq = [q for q, c in enumerate(pauli) if c in "YZ"]
-
-    # TPU rejects rank-n tensors, so every per-qubit axis op runs on a
-    # rank-3 (A, 2, B) view of the flat state, and the +/- sign table
-    # factorizes into one row vector x one lane vector (rank-2)
-    C = min(1 << n, 1 << _COL)
-    R = (1 << n) // C
-    srow, scol, fc = _pauli_tables(flip, signq, n)
-    srow_d = jnp.asarray(srow)
-    scol_d = jnp.asarray(scol)
-    lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
-
     def fn(a_planes, b_planes):
-        ar = a_planes[0].reshape(-1)
-        ai = a_planes[1].reshape(-1)
-        br = _flip_bits(b_planes[0].reshape(-1), n, flip, lane_p)
-        bi = _flip_bits(b_planes[1].reshape(-1), n, flip, lane_p)
-        prod_r = (br * ar + bi * ai).reshape(R, C)   # Re(conj(b) a)
-        prod_i = (br * ai - bi * ar).reshape(R, C)   # Im(conj(b) a)
-        s = srow_d[:, None] * scol_d[None, :]
-        return jnp.sum(prod_r * s), jnp.sum(prod_i * s)
+        return _expectation_pair_body(pauli, n, a_planes, b_planes)
 
     return jax.jit(fn)
 
@@ -486,25 +466,10 @@ def _expectation_multi_fn(paulis: tuple[str, ...], n: int):
     the compiled program depends only on the strings."""
 
     def fn(planes):
-        outs = []
-        for p in paulis:
-            flip = [q for q, c in enumerate(p) if c in "XY"]
-            signq = [q for q, c in enumerate(p) if c in "YZ"]
-            C = min(1 << n, 1 << _COL)
-            R = (1 << n) // C
-            srow, scol, fc = _pauli_tables(flip, signq, n)
-            srow_d = jnp.asarray(srow)
-            scol_d = jnp.asarray(scol)
-            lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
-            ar = planes[0].reshape(-1)
-            ai = planes[1].reshape(-1)
-            br = _flip_bits(planes[0].reshape(-1), n, flip, lane_p)
-            bi = _flip_bits(planes[1].reshape(-1), n, flip, lane_p)
-            pr = (br * ar + bi * ai).reshape(R, C)
-            pi = (br * ai - bi * ar).reshape(R, C)
-            s = srow_d[:, None] * scol_d[None, :]
-            outs.append(jnp.stack([jnp.sum(pr * s), jnp.sum(pi * s)]))
-        return jnp.stack(outs)  # (k, 2)
+        return jnp.stack([
+            jnp.stack(_expectation_pair_body(p, n, planes, planes))
+            for p in paulis
+        ])  # (k, 2)
 
     return jax.jit(fn)
 
@@ -524,6 +489,17 @@ def expectation_pauli_sum(planes: Planes, n: int, terms) -> float:
     return float(total)
 
 
+def _pauli_virtual_split(pauli: str, v: int):
+    """(f_virtual, sign_virtual) bit masks of a Pauli string's virtual part."""
+    fv = sv = 0
+    for q in range(v):
+        if pauli[q] in "XY":
+            fv |= 1 << (v - 1 - q)
+        if pauli[q] in "YZ":
+            sv |= 1 << (v - 1 - q)
+    return fv, sv
+
+
 def expectation_pauli_virtual(shards, n: int, v: int, pauli: str) -> float:
     """Pauli expectation over a virtual-sharded state (n > 29 on one chip):
     each shard pairs with its s ^ f_virtual partner, the virtual Y/Z bits
@@ -531,13 +507,7 @@ def expectation_pauli_virtual(shards, n: int, v: int, pauli: str) -> float:
     pair kernel."""
     pauli = _check_pauli(pauli, n)
     m = n - v
-    fv = 0
-    sv = 0
-    for q in range(v):
-        if pauli[q] in "XY":
-            fv |= 1 << (v - 1 - q)
-        if pauli[q] in "YZ":
-            sv |= 1 << (v - 1 - q)
+    fv, sv = _pauli_virtual_split(pauli, v)
     fn = _expectation_pair_fn(pauli[v:], m)
     tr = ti = 0.0
     for s in range(len(shards)):
@@ -547,3 +517,68 @@ def expectation_pauli_virtual(shards, n: int, v: int, pauli: str) -> float:
         ti += sign * float(pi)
     n_y = sum(1 for c in pauli if c == "Y")
     return float(_apply_iy(tr, ti, n_y).real)
+
+
+@functools.lru_cache(maxsize=None)
+def _expectation_multi_pair_fn(local_paulis: tuple[str, ...], m: int):
+    """One jitted program reducing MANY local Pauli strings over an
+    (a, partner-b) shard pair — the per-shard half of the virtual-sharded
+    Pauli-sum (dispatch count: shards, not shards x terms)."""
+
+    def fn(a_planes, b_planes):
+        return jnp.stack([
+            jnp.stack(_expectation_pair_body(p, m, a_planes, b_planes))
+            for p in local_paulis
+        ])  # (k, 2)
+
+    return jax.jit(fn)
+
+
+def _expectation_pair_body(pauli: str, n: int, a_planes, b_planes):
+    """The traced reduction of :func:`_expectation_pair_fn` (shared)."""
+    flip = [q for q, c in enumerate(pauli) if c in "XY"]
+    signq = [q for q, c in enumerate(pauli) if c in "YZ"]
+    C = min(1 << n, 1 << _COL)
+    R = (1 << n) // C
+    srow, scol, fc = _pauli_tables(flip, signq, n)
+    srow_d = jnp.asarray(srow)
+    scol_d = jnp.asarray(scol)
+    lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
+    ar = a_planes[0].reshape(-1)
+    ai = a_planes[1].reshape(-1)
+    br = _flip_bits(b_planes[0].reshape(-1), n, flip, lane_p)
+    bi = _flip_bits(b_planes[1].reshape(-1), n, flip, lane_p)
+    prod_r = (br * ar + bi * ai).reshape(R, C)   # Re(conj(b) a)
+    prod_i = (br * ai - bi * ar).reshape(R, C)   # Im(conj(b) a)
+    s = srow_d[:, None] * scol_d[None, :]
+    return jnp.sum(prod_r * s), jnp.sum(prod_i * s)
+
+
+def expectation_pauli_sum_virtual(shards, n: int, v: int, terms) -> float:
+    """Pauli-sum Hamiltonian over a virtual-sharded state: dispatch count
+    scales with the SHARD-PAIR groups, not with the term count — all
+    strings sharing a partner mask reduce in one jitted program per
+    shard."""
+    paulis = tuple(_check_pauli(p, n) for _, p in terms)
+    m = n - v
+    # group terms by their virtual flip mask (same partner pairing)
+    by_fv: dict[int, list[int]] = {}
+    for j, p in enumerate(paulis):
+        fv, _ = _pauli_virtual_split(p, v)
+        by_fv.setdefault(fv, []).append(j)
+    totals = [0.0 + 0.0j] * len(terms)
+    for fv, idxs in by_fv.items():
+        locals_ = tuple(paulis[j][v:] for j in idxs)
+        fn = _expectation_multi_pair_fn(locals_, m)
+        for s in range(len(shards)):
+            vals = np.asarray(jax.device_get(fn(shards[s], shards[s ^ fv])))
+            for row, j in enumerate(idxs):
+                _, sv_mask = _pauli_virtual_split(paulis[j], v)
+                sign = -1.0 if bin(s & sv_mask).count("1") % 2 else 1.0
+                totals[j] += sign * complex(float(vals[row][0]),
+                                            float(vals[row][1]))
+    energy = 0.0
+    for (coef, _), p, t in zip(terms, paulis, totals):
+        n_y = sum(1 for c in p if c == "Y")
+        energy += coef * (t * (1j ** (n_y % 4))).real
+    return float(energy)

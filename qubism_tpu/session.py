@@ -55,5 +55,10 @@ class Session:
         """<psi|P|psi> for a Pauli string (non-destructive)."""
         return self.sv.expectation(pauli)
 
+    def expectation_sum(self, terms) -> float:
+        """<psi| sum_j c_j P_j |psi> for ``[(coef, pauli), ...]`` — a whole
+        Hamiltonian in one device dispatch (non-destructive)."""
+        return self.sv.expectation_sum(terms)
+
     def state(self) -> StateVec:
         return self.sv

@@ -300,3 +300,23 @@ def test_expectation_pauli_sum_matches_per_string():
     assert abs(got - ref) < 1e-5
     sv = StateVec(n, planes)
     assert abs(sv.expectation_sum(terms) - ref) < 1e-5
+
+
+def test_expectation_pauli_sum_virtual_matches():
+    """The virtual-sharded Pauli-sum (grouped by partner mask, one jit per
+    shard per group) must equal the per-string virtual loop."""
+    from qubism_tpu.models.circuits import brickwork_prims
+    from qubism_tpu.ops.fusion import CompiledCircuit
+    from qubism_tpu.ops.measure import (expectation_pauli_sum_virtual,
+                                        expectation_pauli_virtual)
+
+    n, v = 7, 2
+    circ = CompiledCircuit(n, brickwork_prims(n, depth=2, seed=8),
+                           virtual_shards=v)
+    shards = circ(circ.init_state())
+    terms = [(0.5, "ZZIIIII"), (-1.25, "XIYIIII"), (2.0, "IIIIXZI"),
+             (0.75, "YZIIIIY"), (0.3, "IZIIIII")]
+    ref = sum(c * expectation_pauli_virtual(shards, n, v, p)
+              for c, p in terms)
+    got = expectation_pauli_sum_virtual(shards, n, v, terms)
+    assert abs(got - ref) < 1e-5
