@@ -1,5 +1,17 @@
-"""Circuit families for benchmarks and examples."""
+"""Circuit families for benchmarks and examples, and differentiable
+variational circuits (VQE / QAOA via jax.grad)."""
 
+from .variational import (  # noqa: F401
+    Ansatz,
+    PGate,
+    energy_fn,
+    hea_ansatz,
+    maxcut_terms,
+    qaoa_maxcut_ansatz,
+    state_fn,
+    value_and_grad_fn,
+    vqe_minimize,
+)
 from .circuits import (  # noqa: F401
     adder_qasm,
     brickwork_prims,
