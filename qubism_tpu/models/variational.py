@@ -331,17 +331,27 @@ def value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0):
 
 
 def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
-                 optimizer=None, constant: float = 0.0):
+                 optimizer=None, constant: float = 0.0,
+                 grad: str = "auto"):
     """Gradient-descent VQE. The ENTIRE optimization — ``steps`` iterations
     of value_and_grad + optax update — compiles into one ``lax.scan``
     device program: a full VQE run is a single dispatch.
+
+    ``grad="auto"`` uses reverse-mode autodiff (stores one state per gate
+    — fastest at small n); ``grad="adjoint"`` uses the constant-memory
+    adjoint sweep (the choice at large n, where a state is gigabytes).
 
     Returns ``(theta_opt, energies)`` with ``energies[i]`` the energy at
     step i's parameters (before that step's update)."""
     import optax
 
     opt = optimizer if optimizer is not None else optax.adam(0.1)
-    vg = jax.value_and_grad(energy_fn(ansatz, terms, constant))
+    if grad == "adjoint":
+        vg = adjoint_value_and_grad_fn(ansatz, terms, constant)
+    elif grad == "auto":
+        vg = jax.value_and_grad(energy_fn(ansatz, terms, constant))
+    else:
+        raise ValueError(f"grad must be 'auto' or 'adjoint', got {grad!r}")
 
     @jax.jit
     def run(theta):
@@ -359,6 +369,98 @@ def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
     theta0 = jnp.asarray(theta0, dtype=jnp.float32)
     theta, hist = run(theta0)
     return theta, hist
+
+
+# ---------------------------------------------------------------------------
+# Adjoint-method gradients (constant memory in circuit depth)
+# ---------------------------------------------------------------------------
+
+#: static op kind per builder (dense operand planes vs diagonal pair)
+_KIND = {"rx": "dense", "ry": "dense", "rz": "diag", "phase": "diag",
+         "u3": "dense", "cphase": "diag", "crz": "diag", "crx": "dense",
+         "cry": "dense", "rzz": "diag"}
+
+
+def _apply_op_dag(planes, op, theta, n):
+    """Apply U^dag of an op (the reverse-sweep step of the adjoint method)."""
+    if isinstance(op, PGate):
+        builder, _ = BUILDERS[op.name]
+        args = [op.scale * theta[j] for j in op.pidx]
+        kind, a, b = builder(*args)
+        if kind == "diag":
+            dr, di, tgts = _sort_diag(a, -b, op.targets)
+            return _apply_diag_traced(planes, dr, di, tgts, n)
+        ur, ui, tgts = _sort_planes(a.T, -b.T, op.targets)
+        return _apply_dense_traced(planes, ur, ui, tgts, n)
+    if op.diag:
+        dn = np.conj(np.asarray(op.u, dtype=np.complex128))
+        dr, di, tgts = _sort_diag(dn.real.astype(np.float32),
+                                  dn.imag.astype(np.float32), op.targets)
+        return _apply_diag_traced(planes, jnp.asarray(dr), jnp.asarray(di),
+                                  tgts, n)
+    un, tgts = _sort_targets(
+        np.conj(np.asarray(op.u, dtype=np.complex128)).T, op.targets)
+    return _apply_dense_traced(planes,
+                               jnp.asarray(un.real.astype(np.float32)),
+                               jnp.asarray(un.imag.astype(np.float32)),
+                               tgts, n)
+
+
+def _builder_jvp(name, args, i):
+    """(d a/d args[i], d b/d args[i]) of a builder's operand planes at
+    ``args`` — exact forward-mode derivative of the tiny gate matrix."""
+    builder, _ = BUILDERS[name]
+
+    def f(*a):
+        _, x, y = builder(*a)
+        return (x, y)
+
+    tangents = tuple(jnp.float32(1.0) if j == i else jnp.float32(0.0)
+                     for j in range(len(args)))
+    _, (da, db) = jax.jvp(f, tuple(args), tangents)
+    return da, db
+
+
+def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0):
+    """Jitted ``theta -> (energy, dE/dtheta)`` by the ADJOINT method
+    (PennyLane-lightning style): one forward sweep, then a reverse sweep
+    that un-applies each gate and contracts ``2 Re <lam| dU/dtheta |psi>``
+    — memory stays ~4 state vectors REGARDLESS of circuit depth (reverse
+    autodiff stores one state per gate). The natural choice at large n,
+    where a single state is gigabytes."""
+    paulis = tuple(_check_pauli(p, ansatz.n) for _, p in terms)
+    checked = tuple((c, p) for (c, _), p in zip(terms, paulis))
+    from ..ops.measure import apply_pauli_sum_traced
+
+    n = ansatz.n
+
+    def vg(theta):
+        phi = zero_state(n)
+        for op in ansatz.ops:
+            phi = _apply_op(phi, op, theta, n)
+        e = _terms_energy(phi, n, terms, paulis) + jnp.float32(constant)
+        lam = apply_pauli_sum_traced(phi, checked, n)
+        g = jnp.zeros(ansatz.num_params, jnp.float32)
+        for op in reversed(ansatz.ops):
+            phi = _apply_op_dag(phi, op, theta, n)  # psi before this op
+            if isinstance(op, PGate):
+                args = [op.scale * theta[j] for j in op.pidx]
+                kind = _KIND[op.name]
+                for li, j in enumerate(op.pidx):
+                    da, db = _builder_jvp(op.name, args, li)
+                    if kind == "diag":
+                        dr, di, tgts = _sort_diag(da, db, op.targets)
+                        dphi = _apply_diag_traced(phi, dr, di, tgts, n)
+                    else:
+                        ur, ui, tgts = _sort_planes(da, db, op.targets)
+                        dphi = _apply_dense_traced(phi, ur, ui, tgts, n)
+                    contrib = 2.0 * (jnp.vdot(lam[0], dphi[0])
+                                     + jnp.vdot(lam[1], dphi[1]))
+                    g = g.at[j].add(jnp.float32(op.scale) * contrib)
+            lam = _apply_op_dag(lam, op, theta, n)
+        return e, g
+
+    return jax.jit(vg)
 
 
 # ---------------------------------------------------------------------------

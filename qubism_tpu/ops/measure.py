@@ -420,6 +420,55 @@ def _flip_bits(x, n: int, qubits, lane_p=None):
     return x
 
 
+def apply_pauli_traced(planes, pauli: str, n: int):
+    """Inside-jit ``P |psi>`` for a Pauli string (differentiable wrt the
+    state planes). P|x> = c(x)|x ^ f| with c(x) = i^{#Y} (-1)^{x.(Y|Z)},
+    so (P psi)[y] = i^{#Y} s(y ^ f) psi[y ^ f] — one flip pass plus the
+    factored +/- table evaluated at the flipped index (host-permuted), all
+    under the lane-safe layout rules of :func:`_flip_bits`."""
+    pauli = _check_pauli(pauli, n)
+    flip = [q for q, c in enumerate(pauli) if c in "XY"]
+    signq = [q for q, c in enumerate(pauli) if c in "YZ"]
+    C = min(1 << n, 1 << _COL)
+    R = (1 << n) // C
+    log_c = C.bit_length() - 1
+    srow, scol, fc = _pauli_tables(flip, signq, n)
+    f_row = 0
+    for q in flip:
+        pos = n - 1 - q
+        if pos >= log_c:
+            f_row |= 1 << (pos - log_c)
+    srow_f = jnp.asarray(srow[np.arange(R) ^ f_row])
+    scol_f = jnp.asarray(scol[np.arange(C) ^ fc])
+    lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
+    shape = planes[0].shape
+    br = _flip_bits(planes[0].reshape(-1), n, flip, lane_p).reshape(R, C)
+    bi = _flip_bits(planes[1].reshape(-1), n, flip, lane_p).reshape(R, C)
+    s = srow_f[:, None] * scol_f[None, :]
+    br = (br * s).reshape(shape)
+    bi = (bi * s).reshape(shape)
+    k = sum(1 for c in pauli if c == "Y") % 4
+    if k == 0:
+        return (br, bi)
+    if k == 1:
+        return (-bi, br)
+    if k == 2:
+        return (-br, -bi)
+    return (bi, -br)
+
+
+def apply_pauli_sum_traced(planes, terms, n: int):
+    """Inside-jit ``(sum_j c_j P_j) |psi>`` (real coefficients) —
+    differentiable; the adjoint-gradient path uses this for H|psi>."""
+    out_r = out_i = None
+    for coef, pauli in terms:
+        pr, pi = apply_pauli_traced(planes, pauli, n)
+        c = jnp.float32(coef)
+        out_r = c * pr if out_r is None else out_r + c * pr
+        out_i = c * pi if out_i is None else out_i + c * pi
+    return (out_r, out_i)
+
+
 @functools.lru_cache(maxsize=None)
 def _expectation_pair_fn(pauli: str, n: int):
     """Jitted partial sum sum_x conj(b[x^f]) s(x) a[x] for a Pauli string
