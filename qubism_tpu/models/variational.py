@@ -332,7 +332,7 @@ def value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0):
 
 def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
                  optimizer=None, constant: float = 0.0,
-                 grad: str = "auto"):
+                 grad: str = "auto", scan: bool = True):
     """Gradient-descent VQE. The ENTIRE optimization — ``steps`` iterations
     of value_and_grad + optax update — compiles into one ``lax.scan``
     device program: a full VQE run is a single dispatch.
@@ -340,6 +340,11 @@ def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
     ``grad="auto"`` uses reverse-mode autodiff (stores one state per gate
     — fastest at small n); ``grad="adjoint"`` uses the constant-memory
     adjoint sweep (the choice at large n, where a state is gigabytes).
+
+    ``scan=True`` (default) fuses all steps into the one-dispatch scan;
+    ``scan=False`` jits a single step and loops on the host — the right
+    mode at large n, where tracing ``steps`` copies of a deep circuit
+    would blow up compile time (the step program is compiled once).
 
     Returns ``(theta_opt, energies)`` with ``energies[i]`` the energy at
     step i's parameters (before that step's update)."""
@@ -354,19 +359,32 @@ def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
         raise ValueError(f"grad must be 'auto' or 'adjoint', got {grad!r}")
 
     @jax.jit
+    def one_step(th, opt_state):
+        e, g = vg(th)
+        updates, opt_state = opt.update(g, opt_state, th)
+        th = optax.apply_updates(th, updates)
+        return th, opt_state, e
+
+    theta0 = jnp.asarray(theta0, dtype=jnp.float32)
+    if not scan:
+        th, opt_state = theta0, opt.init(theta0)
+        hist = []
+        for _ in range(steps):
+            th, opt_state, e = one_step(th, opt_state)
+            hist.append(e)
+        return th, jnp.stack(hist)
+
+    @jax.jit
     def run(theta):
         def step(carry, _):
             th, opt_state = carry
-            e, g = vg(th)
-            updates, opt_state = opt.update(g, opt_state, th)
-            th = optax.apply_updates(th, updates)
+            th, opt_state, e = one_step(th, opt_state)
             return (th, opt_state), e
 
         (th, _), hist = jax.lax.scan(step, (theta, opt.init(theta)),
                                      xs=None, length=steps)
         return th, hist
 
-    theta0 = jnp.asarray(theta0, dtype=jnp.float32)
     theta, hist = run(theta0)
     return theta, hist
 

@@ -314,6 +314,18 @@ def test_adjoint_grad_matches_autodiff():
         np.asarray(g_ref), np.asarray(g_adj))
 
 
+def test_vqe_noscan_matches_scan():
+    """The host-loop mode (scan=False, for large n) takes the same
+    trajectory as the fused lax.scan mode."""
+    terms = [(1.0, "ZZ"), (0.4, "XI")]
+    ans = hea_ansatz(2, 1)
+    theta0 = np.full(ans.num_params, 0.2, dtype=np.float32)
+    t1, h1 = vqe_minimize(ans, terms, theta0, steps=40)
+    t2, h2 = vqe_minimize(ans, terms, theta0, steps=40, scan=False)
+    assert np.allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+    assert np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+
+
 def test_vqe_adjoint_converges():
     terms = [(1.0, "ZZ"), (0.4, "XI"), (0.4, "IX")]
     exact = float(np.linalg.eigvalsh(dense_hamiltonian(terms, 2)).min())
