@@ -4,10 +4,14 @@ variational circuits (VQE / QAOA via jax.grad)."""
 from .variational import (  # noqa: F401
     Ansatz,
     PGate,
+    adjoint_value_and_grad_fn,
+    ansatz_qasm,
+    bind,
     energy_fn,
     hea_ansatz,
     maxcut_terms,
     qaoa_maxcut_ansatz,
+    sample_fn,
     state_fn,
     value_and_grad_fn,
     vqe_minimize,

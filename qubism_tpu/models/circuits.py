@@ -348,6 +348,101 @@ def qaoa_qasm(n: int, edges, gammas, betas, measure: bool = True) -> str:
     return "\n".join(lines) + "\n"
 
 
+# -- generic prim-stream -> OpenQASM exporter ----------------------------------------
+
+
+def _zyz_u3(u: np.ndarray) -> tuple[float, float, float]:
+    """(theta, phi, lam) with u = e^{i global} * u3(theta, phi, lam) for any
+    2x2 unitary (global phase dropped — irrelevant to a state simulator)."""
+    a00, a01, a10 = u[0, 0], u[0, 1], u[1, 0]
+    theta = 2.0 * math.atan2(abs(a10), abs(a00))
+    if abs(a00) < 1e-12:      # theta = pi: m00 = 0, phase split is free
+        return math.pi, float(np.angle(a10) - np.angle(-a01)), 0.0
+    if abs(a10) < 1e-12:      # theta = 0: diagonal — one u1 worth of phase
+        return 0.0, 0.0, float(np.angle(u[1, 1]) - np.angle(a00))
+    phi = float(np.angle(a10) - np.angle(a00))
+    lam = float(np.angle(-a01) - np.angle(a00))
+    return theta, phi, lam
+
+
+def _diag_phase_lines(phases, qs) -> list[str]:
+    """qelib1 lines realizing diag(e^{i phases}) on 1 or 2 qubits (up to a
+    global phase): u1s plus one cu1 solve the phase system exactly."""
+    if len(qs) == 1:
+        return [f"u1({float(phases[1] - phases[0]):.12f}) q[{qs[0]}];"]
+    a0, a1, a2, a3 = (float(p) for p in phases)
+    q1, q2 = qs  # q1 = MSB of the local index
+    lines = []
+    if abs(a1 - a0) > 1e-12:
+        lines.append(f"u1({a1 - a0:.12f}) q[{q2}];")
+    if abs(a2 - a0) > 1e-12:
+        lines.append(f"u1({a2 - a0:.12f}) q[{q1}];")
+    z = a3 - a2 - a1 + a0
+    if abs(z) > 1e-12:
+        lines.append(f"cu1({z:.12f}) q[{q1}],q[{q2}];")
+    return lines
+
+
+def prims_qasm(n: int, prims, measure: bool = False) -> str:
+    """Export ANY compiled-engine primitive stream to OpenQASM 2.0 (qelib1
+    gates), correct up to a global phase: arbitrary 1q unitaries via ZYZ
+    (u3), 1-2q diagonals via u1/cu1 phase solves, CNOT/SWAP/arbitrary
+    controlled-1q (cu3) for dense 2q gates. The bridge from the TPU-native
+    circuit builders to the interpreter/REPL/mesh QASM surfaces. Raises
+    ValueError for dense k>2 gates or k>2 diagonals (no local qelib1
+    form)."""
+    lines = ["OPENQASM 2.0;", 'include "qelib1.inc";', f"qreg q[{n}];"]
+    if measure:
+        lines.append(f"creg c[{n}];")
+    for prim in prims:
+        u = np.asarray(prim.u, dtype=np.complex128)
+        qs = prim.targets
+        if prim.diag:
+            if len(qs) > 2:
+                raise ValueError(f"no qelib1 form for a {len(qs)}q diagonal")
+            # f32-built diagonals (bound ansatz gates) carry ~1e-7 noise
+            if np.max(np.abs(np.abs(u) - 1.0)) > 1e-5:
+                raise ValueError("diagonal is not unitary")
+            lines.extend(_diag_phase_lines(np.angle(u), qs))
+            continue
+        if len(qs) == 1:
+            th, ph, lm = _zyz_u3(u)
+            lines.append(f"u3({th:.12f},{ph:.12f},{lm:.12f}) q[{qs[0]}];")
+            continue
+        if len(qs) == 2:
+            if np.allclose(u, np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                                        [0, 0, 0, 1], [0, 0, 1, 0]]),
+                           atol=1e-9):
+                lines.append(f"cx q[{qs[0]}],q[{qs[1]}];")
+                continue
+            if np.allclose(u, np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                                        [0, 1, 0, 0], [0, 0, 0, 1]]),
+                           atol=1e-9):
+                lines.append(f"cx q[{qs[0]}],q[{qs[1]}];")
+                lines.append(f"cx q[{qs[1]}],q[{qs[0]}];")
+                lines.append(f"cx q[{qs[0]}],q[{qs[1]}];")
+                continue
+            if np.allclose(u[:2, :2], np.eye(2), atol=1e-9) and \
+                    np.allclose(u[:2, 2:], 0, atol=1e-9) and \
+                    np.allclose(u[2:, :2], 0, atol=1e-9):
+                blk = u[2:, 2:]
+                th, ph, lm = _zyz_u3(blk)
+                # blk = e^{ig} u3(th,ph,lm); a controlled global phase is a
+                # u1 on the control
+                g = float(np.angle(blk[0, 0]) if abs(blk[0, 0]) > 1e-12
+                          else np.angle(-blk[0, 1]))
+                lines.append(
+                    f"cu3({th:.12f},{ph:.12f},{lm:.12f}) q[{qs[0]}],q[{qs[1]}];")
+                if abs(g) > 1e-12:
+                    lines.append(f"u1({g:.12f}) q[{qs[0]}];")
+                continue
+            raise ValueError("no qelib1 form for a generic dense 2q gate")
+        raise ValueError(f"no qelib1 form for a dense {len(qs)}q gate")
+    if measure:
+        lines.append("measure q -> c;")
+    return "\n".join(lines) + "\n"
+
+
 # -- quantum phase estimation --------------------------------------------------------
 
 

@@ -522,6 +522,51 @@ def qaoa_maxcut_ansatz(n: int, edges, p_layers: int) -> Ansatz:
     return Ansatz(n, tuple(ops), 2 * p_layers)
 
 
+def sample_fn(ansatz: Ansatz):
+    """``(theta, shots, key=None) -> {bitstring: count}``: prepare the
+    ansatz state (one jitted program) and draw shots with the hierarchical
+    sampler — the QAOA/VQE readout path."""
+    import jax as _jax
+
+    from ..ops.sample import sample_counts
+
+    run = _jax.jit(state_fn(ansatz))
+
+    def sample(theta, shots: int, key=None):
+        planes = run(jnp.asarray(theta, dtype=jnp.float32))
+        return sample_counts(planes, ansatz.n, shots, key)
+
+    return sample
+
+
+def bind(ansatz: Ansatz, theta) -> list[Prim]:
+    """Evaluate every parameterized gate at ``theta`` into a host-constant
+    :class:`Prim` stream — the bridge to the compiled engine, the mesh
+    executor, and (via :func:`models.circuits.prims_qasm`) the QASM
+    surfaces."""
+    theta = np.asarray(theta, dtype=np.float64)
+    prims: list[Prim] = []
+    for op in ansatz.ops:
+        if not isinstance(op, PGate):
+            prims.append(op)
+            continue
+        builder, _ = BUILDERS[op.name]
+        args = [float(op.scale * theta[j]) for j in op.pidx]
+        kind, a, b = builder(*args)
+        u = np.asarray(a, dtype=np.float64) + 1j * np.asarray(b, np.float64)
+        prims.append(Prim(u, op.targets, diag=(kind == "diag")))
+    return prims
+
+
+def ansatz_qasm(ansatz: Ansatz, theta, measure: bool = False) -> str:
+    """OpenQASM 2.0 text of the ansatz bound at ``theta`` (state equal up
+    to a global phase) — optimized variational circuits run unchanged on
+    the interpreter, REPL, ``--compile`` and ``--mesh`` paths."""
+    from .circuits import prims_qasm
+
+    return prims_qasm(ansatz.n, bind(ansatz, theta), measure=measure)
+
+
 def maxcut_terms(n: int, edges):
     """(terms, constant) so that constant + sum terms = the MaxCut value
     <sum_edges (1 - Z_i Z_j)/2>."""
