@@ -348,3 +348,37 @@ def test_bad_pgate_name_and_arity():
         Ansatz(2, (PGate("rx", (0,), (5,)),), 2)  # pidx out of range
     with pytest.raises(ValueError):
         Ansatz(1, (PGate("rx", (3,), (0,)),), 1)  # target out of range
+
+
+# -- Hamiltonian library --------------------------------------------------------
+
+
+def test_hamiltonian_builders_vs_dense():
+    """TFIM/XXZ ground energies from dense diagonalization are reached by
+    a deep-enough HEA via vqe_minimize (n=3), and h2_minimal matches the
+    hard-coded VQE test's Hamiltonian."""
+    from qubism_tpu.models.hamiltonians import h2_minimal, heisenberg_xxz, tfim
+
+    for terms, const in (tfim(3, j=1.0, h=0.7),
+                         heisenberg_xxz(3, jxy=1.0, jz=0.5, field=0.2)):
+        exact = float(np.linalg.eigvalsh(dense_hamiltonian(terms, 3)).min())
+        ans = hea_ansatz(3, 3)
+        rng = np.random.default_rng(12)
+        theta0 = rng.uniform(-0.4, 0.4,
+                             size=ans.num_params).astype(np.float32)
+        theta, _ = vqe_minimize(ans, terms, theta0, steps=400,
+                                constant=const)
+        final = float(energy_fn(ans, terms, constant=const)(theta))
+        assert final - exact < 2e-2, (final, exact)
+
+    terms, const = h2_minimal()
+    assert const == -0.4804 and ("ZZ" in [p for _, p in terms])
+
+
+def test_tfim_periodic_and_fields():
+    from qubism_tpu.models.hamiltonians import heisenberg_xxz, tfim
+
+    terms, _ = tfim(4, periodic=True)
+    assert sum(1 for _, p in terms if p.count("Z") == 2) == 4  # ring bonds
+    terms, _ = heisenberg_xxz(4, field=0.3)
+    assert sum(1 for _, p in terms if p.count("Z") == 1) == 4  # field terms
