@@ -428,9 +428,12 @@ def prims_qasm(n: int, prims, measure: bool = False) -> str:
                 blk = u[2:, 2:]
                 th, ph, lm = _zyz_u3(blk)
                 # blk = e^{ig} u3(th,ph,lm); a controlled global phase is a
-                # u1 on the control
+                # u1 on the control. qelib1's (paper-version) cu3 lacks the
+                # control u1 and implements controlled-
+                # [e^{-i(phi+lambda)/2} u3] — fold that phase in too.
                 g = float(np.angle(blk[0, 0]) if abs(blk[0, 0]) > 1e-12
                           else np.angle(-blk[0, 1]))
+                g += (ph + lm) / 2.0
                 lines.append(
                     f"cu3({th:.12f},{ph:.12f},{lm:.12f}) q[{qs[0]}],q[{qs[1]}];")
                 if abs(g) > 1e-12:

@@ -136,3 +136,45 @@ def test_sample_fn_counts():
                     shots=4096, key=jax.random.PRNGKey(7))
     assert set(counts) <= {"00", "10"} and sum(counts.values()) == 4096
     assert abs(counts.get("10", 0) / 4096 - 0.5) < 0.05
+
+
+def test_export_fuzz_roundtrip():
+    """Random streams over every exportable prim class round-trip through
+    the interpreter (8 seeds x 12 gates)."""
+    rng = np.random.default_rng(123)
+    h = np.array([[1, 1], [1, -1]], dtype=complex) / math.sqrt(2)
+    cnot = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                     [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
+    swap = np.array([[1, 0, 0, 0], [0, 0, 1, 0],
+                     [0, 1, 0, 0], [0, 0, 0, 1]], dtype=complex)
+
+    def rand_su2():
+        m = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        q, _ = np.linalg.qr(m)
+        return q
+
+    n = 4
+    for seed in range(8):
+        prims = []
+        for _ in range(12):
+            kind = rng.integers(0, 6)
+            qs = rng.permutation(n)[:2]
+            a, b = int(qs[0]), int(qs[1])
+            if kind == 0:
+                prims.append(Prim(rand_su2(), (a,)))
+            elif kind == 1:
+                prims.append(Prim(h, (a,)))
+            elif kind == 2:
+                prims.append(Prim(cnot, (a, b)))
+            elif kind == 3:
+                prims.append(Prim(swap, (a, b)))
+            elif kind == 4:  # random 2q diagonal
+                d = np.exp(1j * rng.uniform(-math.pi, math.pi, 4))
+                prims.append(Prim(d, (a, b), diag=True))
+            else:            # controlled random-phase su2 block
+                m = np.eye(4, dtype=complex)
+                m[2:, 2:] = np.exp(1j * rng.uniform(-math.pi, math.pi)) \
+                    * rand_su2()
+                prims.append(Prim(m, (a, b)))
+        assert_same_up_to_phase(interpret_qasm(prims_qasm(n, prims)),
+                                engine_state(n, prims))
