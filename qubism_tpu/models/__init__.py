@@ -16,6 +16,12 @@ from .variational import (  # noqa: F401
     value_and_grad_fn,
     vqe_minimize,
 )
+from .hamiltonians import (  # noqa: F401
+    h2_minimal,
+    heisenberg_xxz,
+    maxcut,
+    tfim,
+)
 from .circuits import (  # noqa: F401
     adder_qasm,
     brickwork_prims,
