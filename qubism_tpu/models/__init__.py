@@ -28,6 +28,11 @@ from .circuits import (  # noqa: F401
     brickwork_qasm,
     ghz_prims,
     ghz_qasm,
+    prims_qasm,
+    qaoa_maxcut_energy,
+    qaoa_prims,
+    qaoa_qasm,
     qft_prims,
     qft_qasm,
+    ring_edges,
 )
