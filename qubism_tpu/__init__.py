@@ -17,6 +17,7 @@ The two user-facing surfaces:
 from .config import config, TOLERANCE  # noqa: F401
 from .core import (  # noqa: F401
     CReg,
+    DensityMatrix,
     Gate,
     Prim,
     StateVec,
@@ -39,6 +40,13 @@ from .core import (  # noqa: F401
     swap,
     u3_matrix,
     unitary,
+)
+from .core.density import (  # noqa: F401
+    amplitude_damping,
+    bit_flip,
+    depolarizing,
+    phase_damping,
+    phase_flip,
 )
 from .core import algebra  # noqa: F401
 from .session import Session  # noqa: F401
