@@ -203,6 +203,19 @@ class DensityMatrix:
     def expectation_sum(self, terms) -> float:
         return float(sum(c * self.expectation(p) for c, p in terms))
 
+    def sample(self, shots: int, key=None) -> dict[str, int]:
+        """Non-destructive computational-basis shot sampling from the
+        diagonal: {big-endian bitstring: count}."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        p = np.clip(self.probs().astype(np.float64), 0.0, None)
+        p /= p.sum()
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        idx = np.random.default_rng(seed).choice(p.size, size=shots, p=p)
+        vals, counts = np.unique(idx, return_counts=True)
+        return {format(int(v), f"0{self.n}b"): int(c)
+                for v, c in zip(vals, counts)}
+
     def prob_one(self, q: int) -> float:
         """Born probability that measuring qubit q yields 1."""
         d = self.probs()

@@ -161,3 +161,17 @@ def test_noisy_circuit_probs_stay_normalized():
     assert np.abs(dm.probs() - np.real(np.diag(rho))).max() < 1e-5
     assert abs(dm.probs().sum() - 1.0) < 1e-5
     assert np.abs(dm.matrix() - rho).max() < 1e-5
+
+
+def test_sample_noisy_bell():
+    """Sampling a bit-flipped Bell pair: the flip error shows up in the
+    histogram at its channel rate."""
+    dm = DensityMatrix(2).apply([Prim(_H, (0,)), Prim(_CNOT, (0, 1))])
+    dm.apply_channel(bit_flip(0.2), 1)
+    counts = dm.sample(20000, jax.random.PRNGKey(3))
+    assert sum(counts.values()) == 20000
+    good = (counts.get("00", 0) + counts.get("11", 0)) / 20000
+    bad = (counts.get("01", 0) + counts.get("10", 0)) / 20000
+    assert abs(good - 0.8) < 0.02 and abs(bad - 0.2) < 0.02
+    # sampling is non-destructive
+    assert abs(dm.trace() - 1.0) < 1e-5
