@@ -382,3 +382,28 @@ def test_tfim_periodic_and_fields():
     assert sum(1 for _, p in terms if p.count("Z") == 2) == 4  # ring bonds
     terms, _ = heisenberg_xxz(4, field=0.3)
     assert sum(1 for _, p in terms if p.count("Z") == 1) == 4  # field terms
+
+
+# -- transform composition ------------------------------------------------------
+
+
+def test_vmap_batched_energies_and_grads():
+    """state_fn/energy_fn compose with jax.vmap: a whole parameter
+    landscape (and its gradients) evaluates as ONE batched program — the
+    multi-start/grid-scan workflow."""
+    import jax.numpy as jnp
+
+    n, p = 4, 1
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    ans = qaoa_maxcut_ansatz(n, edges, p)
+    terms, const = maxcut_terms(n, edges)
+    efn = energy_fn(ans, terms, constant=const)
+    thetas = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 2, (16, 2)).astype(np.float32))
+    vals = jax.jit(jax.vmap(efn))(thetas)
+    grads = jax.jit(jax.vmap(jax.grad(efn)))(thetas)
+    assert vals.shape == (16,) and grads.shape == (16, 2)
+    for i in (0, 7, 15):
+        assert abs(float(vals[i]) - float(efn(thetas[i]))) < 1e-5
+        gi = np.asarray(jax.grad(efn)(thetas[i]))
+        assert np.allclose(np.asarray(grads[i]), gi, atol=1e-5)
