@@ -12,7 +12,7 @@ from qubism_tpu.core.density import (DensityMatrix, amplitude_damping,
                                      phase_flip)
 from qubism_tpu.core.gates import Prim
 from qubism_tpu.models.circuits import brickwork_prims, ghz_prims
-from qubism_tpu.ops.apply import complex_from_planes, zero_state
+from qubism_tpu.ops.apply import complex_from_planes
 from qubism_tpu.ops.fusion import CompiledCircuit
 
 _H = np.array([[1, 1], [1, -1]], dtype=complex) / math.sqrt(2)

@@ -265,15 +265,13 @@ def test_vqe_history_is_monotonic_enough():
 
 def test_apply_pauli_traced_matches_dense():
     """P|psi> via the traced flip+sign path equals the dense operator."""
-    import jax.numpy as jnp
-    from qubism_tpu.ops.apply import zero_state
     from qubism_tpu.ops.measure import apply_pauli_traced
 
     n = 4
     ans = hea_ansatz(n, 1)
     rng = np.random.default_rng(9)
     theta = rng.uniform(-2, 2, size=ans.num_params).astype(np.float32)
-    planes = state_fn(ans)(jnp.asarray(theta))
+    planes = state_fn(ans)(jax.numpy.asarray(theta))
     psi = dense_state(ans, theta)
     for pauli in ["XIZY", "YYYY", "IZIX", "ZXII", "IIII", "XYZX"]:
         got = complex_from_planes(
