@@ -255,3 +255,45 @@ def test_variational_grad_compiled_on_device():
         shift = (float(efn(jax.numpy.asarray(tp)))
                  - float(efn(jax.numpy.asarray(tm)))) / 2.0
         assert abs(float(g_ref[j]) - shift) < 5e-3, (j, float(g_ref[j]), shift)
+
+
+def test_density_matrix_on_device():
+    """Vectorized rho at n=7 (2n=14: the Pallas-engine threshold) compiled
+    on the TPU: GHZ + depolarizing noise matches the dense numpy Kraus
+    oracle's diagonal, trace, purity and parity expectations."""
+    import math
+
+    from qubism_tpu.core.density import DensityMatrix, depolarizing
+    from qubism_tpu.core.gates import Prim
+
+    n = 7
+    h = np.array([[1, 1], [1, -1]], dtype=complex) / math.sqrt(2)
+    cnot = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                     [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
+    prims = [Prim(h, (0,))] + [Prim(cnot, (i, i + 1)) for i in range(n - 1)]
+    dm = DensityMatrix(n).apply(prims)
+    p = 0.3
+    dm.apply_channel(depolarizing(p), 3)
+
+    # dense oracle: GHZ projector, then the 1q Kraus sum on qubit 3
+    psi = np.zeros(1 << n, dtype=complex)
+    psi[0] = psi[-1] = 1 / math.sqrt(2)
+    rho = np.outer(psi, psi.conj())
+    ks = depolarizing(p)
+
+    def embed1(k, q):
+        m = np.array([[1.0]], dtype=complex)
+        for i in range(n):
+            m = np.kron(m, k if i == q else np.eye(2))
+        return m
+
+    rho = sum(embed1(k, 3) @ rho @ embed1(k, 3).conj().T for k in ks)
+    assert abs(dm.trace() - 1.0) < 1e-4
+    assert abs(dm.purity() - np.real(np.trace(rho @ rho))) < 1e-4
+    assert np.abs(dm.probs() - np.real(np.diag(rho))).max() < 1e-5
+    got = dm.expectation("Z" + "I" * (n - 2) + "Z")
+    mz = np.array([[1.0]], dtype=complex)
+    for q in range(n):
+        mz = np.kron(mz, np.diag([1, -1]) if q in (0, n - 1) else np.eye(2))
+    want = float(np.real(np.trace(mz @ rho)))
+    assert abs(got - want) < 1e-4, (got, want)
