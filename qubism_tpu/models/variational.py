@@ -332,7 +332,8 @@ def value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0):
 
 def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
                  optimizer=None, constant: float = 0.0,
-                 grad: str = "auto", scan: bool = True):
+                 grad: str = "auto", scan: bool = True,
+                 segment_size: int | None = None):
     """Gradient-descent VQE. The ENTIRE optimization — ``steps`` iterations
     of value_and_grad + optax update — compiles into one ``lax.scan``
     device program: a full VQE run is a single dispatch.
@@ -352,11 +353,29 @@ def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
 
     opt = optimizer if optimizer is not None else optax.adam(0.1)
     if grad == "adjoint":
-        vg = adjoint_value_and_grad_fn(ansatz, terms, constant)
+        vg = adjoint_value_and_grad_fn(ansatz, terms, constant,
+                                       segment_size=segment_size)
     elif grad == "auto":
         vg = jax.value_and_grad(energy_fn(ansatz, terms, constant))
     else:
         raise ValueError(f"grad must be 'auto' or 'adjoint', got {grad!r}")
+
+    theta0 = jnp.asarray(theta0, dtype=jnp.float32)
+    if getattr(vg, "_host_composed", False):
+        # segmented adjoint: vg composes jits on the host, so the step
+        # cannot be traced — host loop with a jitted optax update
+        @jax.jit
+        def apply_update(g, opt_state, th):
+            updates, opt_state = opt.update(g, opt_state, th)
+            return optax.apply_updates(th, updates), opt_state
+
+        th, opt_state = theta0, opt.init(theta0)
+        hist = []
+        for _ in range(steps):
+            e, g = vg(th)
+            th, opt_state = apply_update(g, opt_state, th)
+            hist.append(e)
+        return th, jnp.stack(hist)
 
     @jax.jit
     def one_step(th, opt_state):
@@ -365,7 +384,6 @@ def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
         th = optax.apply_updates(th, updates)
         return th, opt_state, e
 
-    theta0 = jnp.asarray(theta0, dtype=jnp.float32)
     if not scan:
         th, opt_state = theta0, opt.init(theta0)
         hist = []
@@ -439,46 +457,108 @@ def _builder_jvp(name, args, i):
     return da, db
 
 
-def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0):
-    """Jitted ``theta -> (energy, dE/dtheta)`` by the ADJOINT method
+def _adjoint_bwd_step(op, theta, phi, lam, g, n):
+    """One reverse-sweep step: un-apply ``op`` from phi, contract this op's
+    parameter gradients against lam, un-apply from lam. Returns
+    (phi', lam', g')."""
+    phi = _apply_op_dag(phi, op, theta, n)  # psi before this op
+    if isinstance(op, PGate):
+        args = [op.scale * theta[j] for j in op.pidx]
+        kind = _KIND[op.name]
+        for li, j in enumerate(op.pidx):
+            da, db = _builder_jvp(op.name, args, li)
+            if kind == "diag":
+                dr, di, tgts = _sort_diag(da, db, op.targets)
+                dphi = _apply_diag_traced(phi, dr, di, tgts, n)
+            else:
+                ur, ui, tgts = _sort_planes(da, db, op.targets)
+                dphi = _apply_dense_traced(phi, ur, ui, tgts, n)
+            contrib = 2.0 * (jnp.vdot(lam[0], dphi[0])
+                             + jnp.vdot(lam[1], dphi[1]))
+            g = g.at[j].add(jnp.float32(op.scale) * contrib)
+    lam = _apply_op_dag(lam, op, theta, n)
+    return phi, lam, g
+
+
+def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
+                              segment_size: int | None = None):
+    """``theta -> (energy, dE/dtheta)`` by the ADJOINT method
     (PennyLane-lightning style): one forward sweep, then a reverse sweep
     that un-applies each gate and contracts ``2 Re <lam| dU/dtheta |psi>``
     — memory stays ~4 state vectors REGARDLESS of circuit depth (reverse
     autodiff stores one state per gate). The natural choice at large n,
-    where a single state is gigabytes."""
+    where a single state is gigabytes.
+
+    ``segment_size=None`` compiles the whole sweep as one jitted program.
+    For DEEP circuits at LARGE n that single program's HLO can exceed the
+    compiler's memory (observed: a remote v5e compiler SIGKILLed on QAOA
+    n=24 p=2, ~340 gate applications); an int splits the sweep into
+    bounded jitted segments composed on the host — compile memory stays
+    flat in depth, at a few extra dispatches per step. The returned
+    callable then carries ``_host_composed = True`` (``vqe_minimize``
+    drops to its host loop automatically)."""
     paulis = tuple(_check_pauli(p, ansatz.n) for _, p in terms)
     checked = tuple((c, p) for (c, _), p in zip(terms, paulis))
     from ..ops.measure import apply_pauli_sum_traced
 
     n = ansatz.n
 
-    def vg(theta):
-        phi = zero_state(n)
-        for op in ansatz.ops:
-            phi = _apply_op(phi, op, theta, n)
-        e = _terms_energy(phi, n, terms, paulis) + jnp.float32(constant)
-        lam = apply_pauli_sum_traced(phi, checked, n)
-        g = jnp.zeros(ansatz.num_params, jnp.float32)
-        for op in reversed(ansatz.ops):
-            phi = _apply_op_dag(phi, op, theta, n)  # psi before this op
-            if isinstance(op, PGate):
-                args = [op.scale * theta[j] for j in op.pidx]
-                kind = _KIND[op.name]
-                for li, j in enumerate(op.pidx):
-                    da, db = _builder_jvp(op.name, args, li)
-                    if kind == "diag":
-                        dr, di, tgts = _sort_diag(da, db, op.targets)
-                        dphi = _apply_diag_traced(phi, dr, di, tgts, n)
-                    else:
-                        ur, ui, tgts = _sort_planes(da, db, op.targets)
-                        dphi = _apply_dense_traced(phi, ur, ui, tgts, n)
-                    contrib = 2.0 * (jnp.vdot(lam[0], dphi[0])
-                                     + jnp.vdot(lam[1], dphi[1]))
-                    g = g.at[j].add(jnp.float32(op.scale) * contrib)
-            lam = _apply_op_dag(lam, op, theta, n)
+    if segment_size is None:
+        def vg(theta):
+            phi = zero_state(n)
+            for op in ansatz.ops:
+                phi = _apply_op(phi, op, theta, n)
+            e = _terms_energy(phi, n, terms, paulis) + jnp.float32(constant)
+            lam = apply_pauli_sum_traced(phi, checked, n)
+            g = jnp.zeros(ansatz.num_params, jnp.float32)
+            for op in reversed(ansatz.ops):
+                phi, lam, g = _adjoint_bwd_step(op, theta, phi, lam, g, n)
+            return e, g
+
+        return jax.jit(vg)
+
+    segs = [ansatz.ops[i:i + segment_size]
+            for i in range(0, len(ansatz.ops), segment_size)]
+
+    def _fwd(seg):
+        def f(theta, planes):
+            for op in seg:
+                planes = _apply_op(planes, op, theta, n)
+            return planes
+
+        return jax.jit(f)
+
+    def _bwd(seg):
+        def f(theta, phi, lam):
+            g = jnp.zeros(ansatz.num_params, jnp.float32)
+            for op in reversed(seg):
+                phi, lam, g = _adjoint_bwd_step(op, theta, phi, lam, g, n)
+            return phi, lam, g
+
+        return jax.jit(f)
+
+    fwd_fns = [_fwd(s) for s in segs]
+    bwd_fns = [_bwd(s) for s in segs]
+
+    @jax.jit
+    def head(planes):
+        e = _terms_energy(planes, n, terms, paulis) + jnp.float32(constant)
+        return e, apply_pauli_sum_traced(planes, checked, n)
+
+    def vg_segmented(theta):
+        theta = jnp.asarray(theta, dtype=jnp.float32)
+        planes = fwd_fns[0](theta, zero_state(n))
+        for f in fwd_fns[1:]:
+            planes = f(theta, planes)
+        e, lam = head(planes)
+        phi, g = planes, None
+        for f in reversed(bwd_fns):
+            phi, lam, gs = f(theta, phi, lam)
+            g = gs if g is None else g + gs
         return e, g
 
-    return jax.jit(vg)
+    vg_segmented._host_composed = True
+    return vg_segmented
 
 
 # ---------------------------------------------------------------------------

@@ -405,3 +405,30 @@ def test_vmap_batched_energies_and_grads():
         assert abs(float(vals[i]) - float(efn(thetas[i]))) < 1e-5
         gi = np.asarray(jax.grad(efn)(thetas[i]))
         assert np.allclose(np.asarray(grads[i]), gi, atol=1e-5)
+
+
+def test_segmented_adjoint_matches_whole_program():
+    """segment_size-chunked adjoint (bounded-HLO jits composed on the
+    host) returns the same energy/grad as the single-program version, and
+    vqe_minimize drops to its host loop for it."""
+    from qubism_tpu.models.variational import adjoint_value_and_grad_fn
+
+    ans = hea_ansatz(3, 2)
+    terms = [(0.7, "ZZI"), (-0.4, "XIY"), (0.3, "IZX")]
+    theta = jax.numpy.asarray(np.random.default_rng(6).uniform(
+        -math.pi, math.pi, ans.num_params).astype(np.float32))
+    e1, g1 = adjoint_value_and_grad_fn(ans, terms, constant=0.1)(theta)
+    for seg in (1, 4, 7, 100):
+        vg = adjoint_value_and_grad_fn(ans, terms, constant=0.1,
+                                       segment_size=seg)
+        assert vg._host_composed
+        e2, g2 = vg(theta)
+        assert abs(float(e1) - float(e2)) < 1e-5
+        assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    t1, h1 = vqe_minimize(ans, terms, np.asarray(theta), steps=25,
+                          grad="adjoint")
+    t2, h2 = vqe_minimize(ans, terms, np.asarray(theta), steps=25,
+                          grad="adjoint", segment_size=5)
+    assert np.allclose(np.asarray(h1), np.asarray(h2), atol=1e-4)
+    assert np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-4)
