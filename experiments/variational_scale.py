@@ -25,11 +25,13 @@ from qubism_tpu.models.variational import (adjoint_value_and_grad_fn,  # noqa: E
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    seg = int(sys.argv[3]) if len(sys.argv) > 3 else None
     edges = [(i, (i + 1) % n) for i in range(n)]
     ans = qaoa_maxcut_ansatz(n, edges, p)
     terms, const = maxcut_terms(n, edges)
     neg = [(-c, s) for c, s in terms]
-    vg = adjoint_value_and_grad_fn(ans, neg, constant=-const)
+    vg = adjoint_value_and_grad_fn(ans, neg, constant=-const,
+                                   segment_size=seg)
     theta = jax.numpy.asarray(np.full(2 * p, 0.25, dtype=np.float32))
 
     t0 = time.time()
