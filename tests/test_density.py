@@ -175,3 +175,19 @@ def test_sample_noisy_bell():
     assert abs(good - 0.8) < 0.02 and abs(bad - 0.2) < 0.02
     # sampling is non-destructive
     assert abs(dm.trace() - 1.0) < 1e-5
+
+
+def test_two_qubit_kraus_channel():
+    """Multi-qubit Kraus sets route through the same path: a correlated
+    two-qubit depolarizing channel matches the dense sum."""
+    p = 0.3
+    kraus = [math.sqrt(1 - p) * np.eye(4, dtype=complex)] + [
+        math.sqrt(p / 3) * np.kron(_PAULI[a], _PAULI[a])
+        for a in ("X", "Y", "Z")]
+    dm = DensityMatrix(3).apply([Prim(_H, (0,)), Prim(_CNOT, (0, 2))])
+    rho = dm.matrix()
+    dm.apply_channel(kraus, (0, 2))
+    want = sum(embed(k, (0, 2), 3) @ rho @ embed(k, (0, 2), 3).conj().T
+               for k in kraus)
+    assert np.abs(dm.matrix() - want).max() < 1e-5
+    assert abs(dm.trace() - 1.0) < 1e-5
