@@ -445,6 +445,38 @@ def main():
             log(f"adder failed: {type(e).__name__}: {str(e)[:200]}")
             extra["adder_28q_s"] = None
 
+    # differentiable-simulation throughput: one adjoint value+grad of a
+    # QAOA-20 MaxCut ansatz (segmented jits; the reference has no autodiff
+    # story at all, so this row has no baseline bar — it documents the
+    # feature's measured speed)
+    if on_tpu:
+        try:
+            import numpy as _np
+
+            from qubism_tpu.models.variational import (
+                adjoint_value_and_grad_fn, maxcut_terms, qaoa_maxcut_ansatz)
+
+            nq, p = 20, 2
+            edges = [(i, (i + 1) % nq) for i in range(nq)]
+            ans = qaoa_maxcut_ansatz(nq, edges, p)
+            terms, const = maxcut_terms(nq, edges)
+            neg = [(-c, s) for c, s in terms]
+            vg = adjoint_value_and_grad_fn(ans, neg, constant=-const,
+                                           segment_size=40)
+            theta = _np.full(2 * p, 0.25, dtype=_np.float32)
+            e, g = vg(theta)
+            _ = float(g[0])  # warm + barrier
+            t0 = time.time()
+            e, g = vg(theta)
+            gs = _np.asarray(g)
+            dt = time.time() - t0
+            extra["qaoa20_adjoint_vg_s"] = round(dt, 3)
+            extra["qaoa20_grad_finite"] = bool(_np.isfinite(gs).all()
+                                               and _np.abs(gs).max() > 1e-6)
+        except Exception as e:
+            log(f"variational probe failed: {type(e).__name__}: {str(e)[:200]}")
+            extra["qaoa20_adjoint_vg_s"] = None
+
     if extra.get("qft30_actual_s"):
         value = extra["qft30_actual_s"]
         metric = "qft30_wallclock"

@@ -134,6 +134,28 @@ def _crx(t):
     return ("dense", ur, ui)
 
 
+def _rxx(t):
+    # exp(-i t/2 X(x)X) = cos(t/2) I - i sin(t/2) XX
+    c, s = jnp.cos(t / 2), jnp.sin(t / 2)
+    z = _z(t)
+    ur = jnp.stack([jnp.stack([c, z, z, z]), jnp.stack([z, c, z, z]),
+                    jnp.stack([z, z, c, z]), jnp.stack([z, z, z, c])])
+    ui = jnp.stack([jnp.stack([z, z, z, -s]), jnp.stack([z, z, -s, z]),
+                    jnp.stack([z, -s, z, z]), jnp.stack([-s, z, z, z])])
+    return ("dense", ur, ui)
+
+
+def _ryy(t):
+    # exp(-i t/2 Y(x)Y) = cos(t/2) I - i sin(t/2) YY  (YY is real)
+    c, s = jnp.cos(t / 2), jnp.sin(t / 2)
+    z = _z(t)
+    ur = jnp.stack([jnp.stack([c, z, z, z]), jnp.stack([z, c, z, z]),
+                    jnp.stack([z, z, c, z]), jnp.stack([z, z, z, c])])
+    ui = jnp.stack([jnp.stack([z, z, z, s]), jnp.stack([z, z, -s, z]),
+                    jnp.stack([z, -s, z, z]), jnp.stack([s, z, z, z])])
+    return ("dense", ur, ui)
+
+
 #: name -> (builder, arity): builder takes ``arity`` traced scalars.
 BUILDERS = {
     "rx": (_rx, 1),
@@ -146,6 +168,8 @@ BUILDERS = {
     "crx": (_crx, 1),
     "cry": (_cry, 1),
     "rzz": (_rzz, 1),
+    "rxx": (_rxx, 1),
+    "ryy": (_ryy, 1),
 }
 
 
@@ -414,7 +438,7 @@ def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
 #: static op kind per builder (dense operand planes vs diagonal pair)
 _KIND = {"rx": "dense", "ry": "dense", "rz": "diag", "phase": "diag",
          "u3": "dense", "cphase": "diag", "crz": "diag", "crx": "dense",
-         "cry": "dense", "rzz": "diag"}
+         "cry": "dense", "rzz": "diag", "rxx": "dense", "ryy": "dense"}
 
 
 def _apply_op_dag(planes, op, theta, n):
@@ -645,6 +669,24 @@ def ansatz_qasm(ansatz: Ansatz, theta, measure: bool = False) -> str:
     from .circuits import prims_qasm
 
     return prims_qasm(ansatz.n, bind(ansatz, theta), measure=measure)
+
+
+def tfim_hva_ansatz(n: int, layers: int, periodic: bool = False) -> Ansatz:
+    """Hamiltonian-variational ansatz for the transverse-field Ising model
+    (H = -J sum ZZ - h sum X): start from |+>^n (the h-term ground state),
+    then alternate e^{-i theta_l sum ZZ} (rzz bond layers, one shared
+    parameter) and e^{-i phi_l sum X} (rx site layers). 2*layers params:
+    ``[theta_0, phi_0, theta_1, phi_1, ...]``."""
+    h = np.array([[1, 1], [1, -1]], dtype=np.complex128) / math.sqrt(2)
+    ops: list = [Prim(h, (q,)) for q in range(n)]
+    last = n if periodic and n > 2 else n - 1
+    for l in range(layers):
+        for q in range(last):
+            ops.append(PGate("rzz", (q, (q + 1) % n) if q + 1 < n
+                             else (0, q), (2 * l,), scale=2.0))
+        for q in range(n):
+            ops.append(PGate("rx", (q,), (2 * l + 1,), scale=2.0))
+    return Ansatz(n, tuple(ops), 2 * layers)
 
 
 def maxcut_terms(n: int, edges):
