@@ -13,6 +13,7 @@ from .variational import (  # noqa: F401
     qaoa_maxcut_ansatz,
     sample_fn,
     state_fn,
+    tfim_hva_ansatz,
     value_and_grad_fn,
     vqe_minimize,
 )
