@@ -133,6 +133,18 @@ class StateVec:
         — a whole Pauli-sum Hamiltonian in ONE device dispatch."""
         return _measure.expectation_pauli_sum(self.planes, self.n, terms)
 
+    def reduced_density_matrix(self, subset) -> np.ndarray:
+        """rho_A = Tr_B |psi><psi| for qubit subset A (host complex)."""
+        from ..ops.rdm import reduced_density_matrix
+
+        return reduced_density_matrix(self.planes, self.n, subset)
+
+    def entanglement_entropy(self, subset, base: float | None = None) -> float:
+        """Von Neumann entropy of rho_A (nats; ``base=2`` for bits)."""
+        from ..ops.rdm import entanglement_entropy
+
+        return entanglement_entropy(self.planes, self.n, subset, base)
+
     # -- measurement ---------------------------------------------------------
 
     def prob_one(self, i: int) -> float:

@@ -73,3 +73,13 @@ def test_rdm_validation():
         reduced_density_matrix(planes, 3, (0, 0))
     with pytest.raises(ValueError):
         reduced_density_matrix(planes, 3, (5,))
+
+
+def test_statevec_methods():
+    import qubism_tpu as qt
+
+    sv = (qt.cnot(0, 1, 2) @ qt.on_just(0, qt.hadamard(), 2))(
+        qt.mk_state_vec(2))
+    assert abs(sv.entanglement_entropy((0,), base=2) - 1.0) < 1e-5
+    rho = sv.reduced_density_matrix((1,))
+    assert np.abs(rho - np.eye(2) / 2).max() < 1e-5
