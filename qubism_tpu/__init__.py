@@ -50,5 +50,6 @@ from .core.density import (  # noqa: F401
 )
 from .core import algebra  # noqa: F401
 from .session import Session  # noqa: F401
+from .stabilizer import StabilizerSim  # noqa: F401
 
 __version__ = "0.1.0"

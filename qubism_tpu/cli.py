@@ -46,6 +46,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "amplitudes as float32 (re, im) planes (= complex64 "
                         "precision); complex128 is not available on TPU "
                         "backends and is rejected")
+    p.add_argument("--backend", choices=["statevector", "stabilizer"],
+                   default="statevector",
+                   help="simulation engine: the dense state-vector engine "
+                        "(default) or the Clifford stabilizer-tableau engine "
+                        "(O(n^2) bits — thousands of qubits — but Clifford "
+                        "gates only)")
     p.add_argument("--compile", action="store_true", dest="compile_mode",
                    help="lower the program to fused XLA segments (fast path; "
                         "registers are laid out in one state vector up front)")
@@ -109,7 +115,8 @@ def _apply_flags(args):
 
 def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
               shots: int | None = None, out=None, compile_mode: bool = False,
-              fuse_width: int = 5, mesh: int | None = None) -> int:
+              fuse_width: int = 5, mesh: int | None = None,
+              backend: str = "statevector") -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -124,7 +131,33 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         out.write(e.pretty())
         return 1
     try:
-        if compile_mode or mesh:
+        if backend == "stabilizer":
+            from .stabilizer import NotCliffordError, StabilizerProgram
+
+            if mesh:
+                print("qubism: --mesh applies to the state-vector backend only",
+                      file=out)
+                return 2
+            prog = StabilizerProgram(ast)
+            try:
+                sim, cregs = prog.run(seed=seed, dump_writer=out.write)
+            except NotCliffordError as e:
+                print(f"qubism: stabilizer backend: {e}", file=out)
+                return 1
+            if dump_state:
+                out.write(prog._pretty(sim, cregs))
+            if shots and prog.n:
+                bits = sim.sample(shots)
+                rows = ["".join("01"[b] for b in row) for row in bits]
+                import collections
+
+                counts = collections.Counter(rows)
+                name = "(x)".join(prog.layout)
+                print(f"Counts for state vector {name} ({shots} shots):",
+                      file=out)
+                for basis in sorted(counts):
+                    print(f"  |{basis}>: {counts[basis]}", file=out)
+        elif compile_mode or mesh:
             from .run.compiler import CompiledProgram
 
             prog = CompiledProgram(ast, max_block=fuse_width)
@@ -263,7 +296,8 @@ def main(argv=None) -> int:
     if args.file:
         return eval_file(args.file, seed=args.seed, dump_state=args.dump_state,
                          shots=args.shots, compile_mode=args.compile_mode,
-                         fuse_width=args.fuse_width, mesh=args.mesh)
+                         fuse_width=args.fuse_width, mesh=args.mesh,
+                         backend=args.backend)
     Repl(seed=args.seed).run()
     return 0
 

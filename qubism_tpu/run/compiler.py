@@ -170,6 +170,18 @@ class _Elaborator(Interpreter):
             self.ps.runtime_error(f"CX with identical control and target qubit: {qr1}[{i}]")
         self._emit(EvGates((Prim(u, (q1, q2)),)))
 
+def elaborate(ast):
+    """Statically elaborate a program to its flat event stream. Returns
+    (n, events, cregs0, layout, qreg_sizes) — shared by the compiled
+    state-vector executor and the stabilizer backend."""
+    ps = blank_state(0)
+    elab = _Elaborator(ps)
+    for stmt in ast:
+        elab.run_stmt(stmt)
+    qreg_sizes = {name: ps.qregs[name].size for name in ps.qregs}
+    return elab.n, list(elab.events), dict(ps.cregs), dict(elab.layout), qreg_sizes
+
+
 def _ev_desc(ev) -> str:
     if isinstance(ev, EvGates):
         return f"EvGates({len(ev.prims)} prims)"
@@ -190,15 +202,8 @@ class CompiledProgram:
     """A QASM program lowered to fused segments + host-level control flow."""
 
     def __init__(self, ast, max_block: int = 5, virtual_shards: int | None = None):
-        ps = blank_state(0)
-        elab = _Elaborator(ps)
-        for stmt in ast:
-            elab.run_stmt(stmt)
-        self.n = elab.n
-        self.events = list(elab.events)
-        self.cregs0 = dict(ps.cregs)
-        self.layout = dict(elab.layout)
-        self.qreg_sizes = {name: ps.qregs[name].size for name in ps.qregs}
+        (self.n, self.events, self.cregs0, self.layout,
+         self.qreg_sizes) = elaborate(ast)
         self.max_block = max_block
         self._v_req = virtual_shards
         self._segments: dict[int, CompiledCircuit] = {}

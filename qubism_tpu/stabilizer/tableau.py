@@ -1,0 +1,561 @@
+"""Stabilizer-tableau (Clifford) simulation engine.
+
+A second simulation backend alongside the dense state-vector engine:
+circuits built purely from Clifford gates (H, S, S†, the Paulis, CX, CZ,
+SWAP, ...) simulate in O(n^2) *bits* of memory — thousands of qubits —
+instead of O(2^n) amplitudes, via the Aaronson–Gottesman
+destabilizer/stabilizer tableau (arXiv:quant-ph/0406196).
+
+The reference (qubitrot/qubism) has no such backend; its dense engine caps
+at ~13 qubits for *any* circuit (src/Qubism/QGate.hs:80,148-154). This
+module gives the framework the standard "second engine" of production
+simulators, designed TPU-first:
+
+* **Bit-packed planes.** The tableau is two ``(2n, W)`` uint32 arrays
+  (x- and z-bit planes, 32 qubits per word) plus a ``(2n,)`` phase vector.
+  A row is the Pauli ``i^s · X^x Z^z`` with ``s`` tracked mod 4 (the
+  phase convention of modern bit-sliced implementations — it reduces the
+  Aaronson–Gottesman ``g`` function to one AND + popcount).
+* **Gates are gather + XOR, vectorized over rows.** Any k-qubit Clifford
+  prim is characterized once on the host by its conjugation action on the
+  4^k Pauli patterns of its targets (a 4^k-entry lookup table); applying
+  it is a per-row table gather plus bitwise scatter across the whole
+  tableau — pure VPU work on the 8×128 lanes, with a whole gate chain
+  jit-fused into one XLA program. Non-Clifford prims raise
+  :class:`NotCliffordError` at table-build time.
+* **Measurement** is ``lax.cond`` between the random branch (masked
+  row-product fan against the pivot row, ``lax.population_count`` for the
+  phase bookkeeping) and the deterministic branch (a masked product scan
+  over the stabilizer rows); the qubit index is a traced argument so one
+  compiled program serves every qubit.
+* **Shot sampling** ``vmap``s independent measure-all sweeps over the
+  shots axis — each lane evolves its own tableau copy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "NotCliffordError",
+    "Tableau",
+    "identity_tableau",
+    "apply_prims",
+    "measure_qubit",
+    "sample_bits",
+    "expectation",
+    "stabilizer_strings",
+    "StabilizerSim",
+]
+
+
+class NotCliffordError(ValueError):
+    """Raised when a primitive does not normalize the Pauli group."""
+
+
+# -- host-side Clifford characterization --------------------------------------
+
+_I2 = np.eye(2, dtype=np.complex128)
+_X2 = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+_Z2 = np.array([[1, 0], [0, -1]], dtype=np.complex128)
+
+
+def _w_matrix(c: int, k: int) -> np.ndarray:
+    """Dense ``X^x Z^z`` for pattern ``c`` (bit 2j = x_j, bit 2j+1 = z_j);
+    factor j=0 is the MOST significant kron factor, matching the Prim
+    convention targets[0] = MSB (core/gates.py:35-47)."""
+    m = np.eye(1, dtype=np.complex128)
+    for j in range(k):
+        xj = (c >> (2 * j)) & 1
+        zj = (c >> (2 * j + 1)) & 1
+        f = (_X2 if xj else _I2) @ (_Z2 if zj else _I2)
+        m = np.kron(m, f)
+    return m
+
+
+def _w_inverse(c: int, k: int) -> np.ndarray:
+    """(X^x Z^z)^{-1} = Z^z X^x per factor."""
+    m = np.eye(1, dtype=np.complex128)
+    for j in range(k):
+        xj = (c >> (2 * j)) & 1
+        zj = (c >> (2 * j + 1)) & 1
+        f = (_Z2 if zj else _I2) @ (_X2 if xj else _I2)
+        m = np.kron(m, f)
+    return m
+
+
+_TABLE_CACHE: dict = {}
+
+
+def clifford_tables(u: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Characterize a dense 2^k x 2^k unitary by conjugation: for each of
+    the 4^k Pauli patterns ``c`` on its targets, ``U W(c) U† = i^ds W(c')``.
+    Returns (tx, tz, ts) where tx[c]/tz[c] pack the k new x/z bits (bit j =
+    target j) and ts[c] = ds mod 4. Raises NotCliffordError when any image
+    is not a single Pauli with a unit fourth-root-of-unity coefficient."""
+    u = np.asarray(u, dtype=np.complex128)
+    key = (u.shape[0], u.tobytes())
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dim = u.shape[0]
+    k = dim.bit_length() - 1
+    if dim != (1 << k):
+        raise ValueError(f"not a 2^k x 2^k matrix: {u.shape}")
+    ncfg = 4 ** k
+    ws = [_w_matrix(c, k) for c in range(ncfg)]
+    winv = [_w_inverse(c, k) for c in range(ncfg)]
+    tx = np.zeros(ncfg, dtype=np.uint32)
+    tz = np.zeros(ncfg, dtype=np.uint32)
+    ts = np.zeros(ncfg, dtype=np.uint32)
+    udag = u.conj().T
+    if not np.allclose(u @ udag, np.eye(dim), atol=1e-8):
+        raise NotCliffordError("matrix is not unitary")
+    for c in range(ncfg):
+        a = u @ ws[c] @ udag
+        for c2 in range(ncfg):
+            coef = np.trace(winv[c2] @ a) / dim
+            if abs(abs(coef) - 1.0) < 1e-8 and np.allclose(a, coef * ws[c2], atol=1e-8):
+                ds = int(np.round(np.angle(coef) / (np.pi / 2))) % 4
+                if abs(coef - 1j ** ds) > 1e-8:
+                    raise NotCliffordError(
+                        f"Pauli image carries non-quarter-turn phase {coef:.6f}")
+                for j in range(k):
+                    tx[c] |= (((c2 >> (2 * j)) & 1) << j)
+                    tz[c] |= (((c2 >> (2 * j + 1)) & 1) << j)
+                ts[c] = ds
+                break
+        else:
+            raise NotCliffordError(
+                "gate does not map Paulis to Paulis under conjugation "
+                "(not a Clifford unitary) — the stabilizer backend supports "
+                "H, S, S†, X, Y, Z, CX, CZ, SWAP and any other gate whose "
+                "matrix is Clifford; use the state-vector backend for "
+                "general circuits")
+    _TABLE_CACHE[key] = (tx, tz, ts)
+    return tx, tz, ts
+
+
+# -- the tableau --------------------------------------------------------------
+
+def _words(n: int) -> int:
+    return (n + 31) // 32
+
+
+class Tableau(NamedTuple):
+    """(x, z, s): two (2n, W) uint32 bit planes + (2n,) uint32 phase mod 4.
+    Rows [0, n) are destabilizers, rows [n, 2n) stabilizers. A NamedTuple,
+    hence already a pytree."""
+
+    x: jax.Array
+    z: jax.Array
+    s: jax.Array
+
+
+def identity_tableau(n: int) -> Tableau:
+    """|0...0>: destabilizer i = X_i, stabilizer i = Z_i, all phases +."""
+    w = _words(n)
+    x = np.zeros((2 * n, w), dtype=np.uint32)
+    z = np.zeros((2 * n, w), dtype=np.uint32)
+    for i in range(n):
+        x[i, i >> 5] |= np.uint32(1 << (i & 31))
+        z[n + i, i >> 5] |= np.uint32(1 << (i & 31))
+    s = np.zeros(2 * n, dtype=np.uint32)
+    return Tableau(jnp.asarray(x), jnp.asarray(z), jnp.asarray(s))
+
+
+# -- gate application ---------------------------------------------------------
+
+def _apply_one(x, z, s, targets: tuple[int, ...], tx, tz, ts):
+    """One table-characterized prim; targets are static Python ints."""
+    idx = jnp.zeros(x.shape[0], dtype=jnp.uint32)
+    for j, q in enumerate(targets):
+        w, off = q >> 5, q & 31
+        xb = (x[:, w] >> off) & 1
+        zb = (z[:, w] >> off) & 1
+        idx = idx | (xb << (2 * j)) | (zb << (2 * j + 1))
+    idx = idx.astype(jnp.int32)
+    nx = jnp.asarray(tx)[idx]
+    nz = jnp.asarray(tz)[idx]
+    s = (s + jnp.asarray(ts)[idx]) & 3
+    for j, q in enumerate(targets):
+        w, off = q >> 5, q & 31
+        xb = (x[:, w] >> off) & 1
+        zb = (z[:, w] >> off) & 1
+        x = x.at[:, w].set(x[:, w] ^ ((xb ^ ((nx >> j) & 1)) << off))
+        z = z.at[:, w].set(z[:, w] ^ ((zb ^ ((nz >> j) & 1)) << off))
+    return x, z, s
+
+
+def _prim_key(prim) -> tuple:
+    return (prim.u.tobytes(), prim.u.shape, prim.targets, prim.diag)
+
+
+_CHAIN_CACHE: dict = {}
+
+
+_STATIC_CHAIN_MAX = 24  # short chains: unroll + fuse into one jit program
+
+
+def apply_prims(tab: Tableau, prims) -> Tableau:
+    """Apply a sequence of Clifford :class:`~qubism_tpu.core.gates.Prim`s.
+
+    Short chains unroll into one fully-fused jit program (cached by gate
+    content — the interpreter/REPL pattern of small repeated fragments).
+    Long chains lower to ONE ``lax.scan`` over a stacked gate-table array
+    (every prim promoted to a generic table-driven 2-qubit gate, chain
+    padded to the next power of two): compile cost is a single program
+    per (tableau shape, padded length), independent of circuit content —
+    a thousand-gate chain applies in milliseconds instead of minutes of
+    XLA compilation."""
+    prims = tuple(prims)
+    if not prims:
+        return tab
+    n_rows = tab.x.shape[0]
+    if len(prims) > _STATIC_CHAIN_MAX and n_rows >= 4:
+        packed = _pack_chain(prims, n_rows // 2)
+        if packed is not None:
+            return _apply_scan(tab, packed)
+    return _apply_static(tab, prims)
+
+
+def _apply_static(tab: Tableau, prims: tuple) -> Tableau:
+    plans = [(p.targets, clifford_tables(p.dense())) for p in prims]
+    key = (tab.x.shape, tuple(_prim_key(p) for p in prims))
+    fn = _CHAIN_CACHE.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(x, z, s):
+            for targets, (tx, tz, ts) in plans:
+                x, z, s = _apply_one(x, z, s, targets, tx, tz, ts)
+            return x, z, s
+
+        _CHAIN_CACHE[key] = fn
+    return Tableau(*fn(tab.x, tab.z, tab.s))
+
+
+_ID4 = np.eye(4, dtype=np.complex128)
+
+
+def _pack_chain(prims, n: int):
+    """Stack a prim chain as scan data: every gate becomes a 2-qubit
+    table gate (1q prims padded with an identity partner). Returns
+    (t0, t1, tx, tz, ts) int32/uint32 arrays of length next-pow2, or
+    None when a prim has arity > 2 (caller falls back to the static
+    path)."""
+    t0s, t1s, txs, tzs, tss = [], [], [], [], []
+    for p in prims:
+        targets = p.targets
+        if len(targets) == 1:
+            q = targets[0]
+            u2 = np.kron(np.eye(2, dtype=np.complex128), p.dense())
+            targets = ((q + 1) % n, q)
+            tx, tz, ts = clifford_tables(u2)
+        elif len(targets) == 2:
+            tx, tz, ts = clifford_tables(p.dense())
+        else:
+            return None
+        t0s.append(targets[0])
+        t1s.append(targets[1])
+        txs.append(tx)
+        tzs.append(tz)
+        tss.append(ts)
+    # pad with identity gates to the next power of two: one compile
+    # serves every chain of that padded length
+    g = 1 << (len(prims) - 1).bit_length()
+    if g > len(prims):
+        tx, tz, ts = clifford_tables(_ID4)
+        for _ in range(g - len(prims)):
+            t0s.append(0)
+            t1s.append(1)
+            txs.append(tx)
+            tzs.append(tz)
+            tss.append(ts)
+    return (np.asarray(t0s, dtype=np.uint32), np.asarray(t1s, dtype=np.uint32),
+            np.stack(txs), np.stack(tzs), np.stack(tss))
+
+
+def _set_col_bit(mat, w, off, bits):
+    """Write per-row ``bits`` into bit ``off`` of word column ``w``
+    (w, off traced)."""
+    col = jnp.take(mat, w, axis=1)
+    cur = (col >> off) & jnp.uint32(1)
+    return mat.at[:, w].set(col ^ ((cur ^ bits) << off))
+
+
+@jax.jit
+def _apply_scan_impl(x, z, s, t0, t1, txs, tzs, tss):
+    def step(carry, inp):
+        x, z, s = carry
+        q0, q1, tx, tz, ts = inp
+        w0, o0 = (q0 >> 5).astype(jnp.int32), q0 & 31
+        w1, o1 = (q1 >> 5).astype(jnp.int32), q1 & 31
+        xb0 = _row_bit(x, w0, o0)
+        zb0 = _row_bit(z, w0, o0)
+        xb1 = _row_bit(x, w1, o1)
+        zb1 = _row_bit(z, w1, o1)
+        idx = (xb0 | (zb0 << 1) | (xb1 << 2) | (zb1 << 3)).astype(jnp.int32)
+        nx = tx[idx]
+        nz = tz[idx]
+        s = (s + ts[idx]) & 3
+        x = _set_col_bit(x, w0, o0, nx & 1)
+        x = _set_col_bit(x, w1, o1, (nx >> 1) & 1)
+        z = _set_col_bit(z, w0, o0, nz & 1)
+        z = _set_col_bit(z, w1, o1, (nz >> 1) & 1)
+        return (x, z, s), None
+
+    (x, z, s), _ = lax.scan(step, (x, z, s), (t0, t1, txs, tzs, tss))
+    return x, z, s
+
+
+def _apply_scan(tab: Tableau, packed) -> Tableau:
+    t0, t1, txs, tzs, tss = (jnp.asarray(a) for a in packed)
+    return Tableau(*_apply_scan_impl(tab.x, tab.z, tab.s, t0, t1, txs, tzs, tss))
+
+
+# -- measurement --------------------------------------------------------------
+
+def _pc_rows(words) -> jnp.ndarray:
+    """popcount summed over the word axis -> (rows,) uint32."""
+    return jnp.sum(lax.population_count(words), axis=-1, dtype=jnp.uint32)
+
+
+def _row_bit(mat, w, off):
+    """Bit ``off`` of word column ``w`` for every row (w, off traced)."""
+    col = jnp.take(mat, w, axis=1)
+    return (col >> off) & jnp.uint32(1)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _measure_impl(x, z, s, q, rnd_bit, n: int):
+    """Measure qubit ``q`` (traced int32) in the Z basis. ``rnd_bit`` is the
+    uniform bit consumed only when the outcome is random. Returns
+    (outcome, x, z, s)."""
+    q = q.astype(jnp.uint32) if hasattr(q, "astype") else jnp.uint32(q)
+    w = (q >> 5).astype(jnp.int32)
+    off = (q & 31).astype(jnp.uint32)
+    xq = _row_bit(x, w, off)                      # (2n,) x-bit at q per row
+    rows = x.shape[0]
+    has_random = jnp.any(xq[n:] == 1)
+
+    def random_branch(_):
+        outcome = rnd_bit.astype(jnp.uint32)
+        p = n + jnp.argmax(xq[n:])
+        xp = jnp.take(x, p, axis=0)
+        zp = jnp.take(z, p, axis=0)
+        sp = jnp.take(s, p)
+        # every other row with an x-bit at q absorbs row p:
+        #   row_j := row_j * row_p, s += s_p + 2*popcount(z_j & x_p)
+        mask = xq & (jnp.arange(rows) != p).astype(jnp.uint32)
+        cross = jnp.uint32(2) * _pc_rows(z & xp[None, :])
+        s2 = (s + mask * (sp + cross)) & 3
+        x2 = x ^ (mask[:, None] * xp[None, :])
+        z2 = z ^ (mask[:, None] * zp[None, :])
+        # the old stabilizer p becomes the destabilizer p-n ...
+        x2 = x2.at[p - n].set(xp)
+        z2 = z2.at[p - n].set(zp)
+        s2 = s2.at[p - n].set(sp)
+        # ... and row p becomes (-1)^outcome Z_q
+        zq_row = jnp.zeros_like(zp).at[w].set(jnp.uint32(1) << off)
+        x2 = x2.at[p].set(jnp.zeros_like(xp))
+        z2 = z2.at[p].set(zq_row)
+        s2 = s2.at[p].set(jnp.uint32(2) * outcome)
+        return outcome, x2, z2, s2
+
+    def det_branch(_):
+        # product of the stabilizer rows selected by destabilizer x-bits;
+        # stabilizers commute, so the fold order is immaterial
+        def body(i, carry):
+            sx, sz, ss = carry
+            sel = xq[i]
+            rx = jnp.take(x, n + i, axis=0)
+            rz = jnp.take(z, n + i, axis=0)
+            rs = jnp.take(s, n + i)
+            cross = jnp.uint32(2) * jnp.sum(
+                lax.population_count(sz & rx), dtype=jnp.uint32)
+            ss = (ss + sel * (rs + cross)) & 3
+            sx = sx ^ (sel * rx)
+            sz = sz ^ (sel * rz)
+            return sx, sz, ss
+
+        sx0 = jnp.zeros_like(x[0])
+        ss = lax.fori_loop(0, n, body, (sx0, sx0, jnp.uint32(0)))[2]
+        outcome = (ss >> 1) & 1
+        return outcome, x, z, s
+
+    return lax.cond(has_random, random_branch, det_branch, None)
+
+
+def measure_qubit(tab: Tableau, q, key, n: int):
+    """Measure qubit ``q``; returns (outcome int, tableau, next key)."""
+    key, sub = jax.random.split(key)
+    rnd = jax.random.bernoulli(sub, 0.5)
+    out, x, z, s = _measure_impl(tab.x, tab.z, tab.s, jnp.uint32(q), rnd, n)
+    return int(out), Tableau(x, z, s), key
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _measure_all_impl(x, z, s, rnd_bits, n: int):
+    """Measure qubits 0..n-1 sequentially (one lax.scan, dynamic q)."""
+
+    def step(carry, inp):
+        x, z, s = carry
+        q, rb = inp
+        out, x, z, s = _measure_impl(x, z, s, q, rb, n)
+        return (x, z, s), out
+
+    qs = jnp.arange(n, dtype=jnp.uint32)
+    (x, z, s), outs = lax.scan(step, (x, z, s), (qs, rnd_bits))
+    return outs, x, z, s
+
+
+def sample_bits(tab: Tableau, shots: int, key, n: int,
+                chunk: int = 4096) -> np.ndarray:
+    """``shots`` independent full-register measurements (each on its own
+    tableau copy, vmapped over the shots axis). Returns (shots, n) uint8,
+    bit j = outcome of qubit j (qubit 0 = most significant basis bit, the
+    engine-wide big-endian convention)."""
+    outs = []
+    done = 0
+    while done < shots:
+        m = min(chunk, shots - done)
+        key, sub = jax.random.split(key)
+        rnd = jax.random.bernoulli(sub, 0.5, (m, n))
+        bits = jax.vmap(
+            lambda rb: _measure_all_impl(tab.x, tab.z, tab.s, rb, n)[0]
+        )(rnd)
+        outs.append(np.asarray(bits, dtype=np.uint8))
+        done += m
+    return np.concatenate(outs, axis=0)
+
+
+# -- Pauli-string expectation -------------------------------------------------
+
+def _pack_pauli(pauli: str) -> tuple[np.ndarray, np.ndarray]:
+    px = np.zeros(_words(len(pauli)), dtype=np.uint32)
+    pz = np.zeros_like(px)
+    for q, ch in enumerate(pauli.upper()):
+        if ch in "XY":
+            px[q >> 5] |= np.uint32(1 << (q & 31))
+        if ch in "ZY":
+            pz[q >> 5] |= np.uint32(1 << (q & 31))
+        if ch not in "IXYZ":
+            raise ValueError(f"bad Pauli character {ch!r}")
+    return px, pz
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _expect_impl(x, z, s, px, pz, n: int):
+    # anticommutes with any stabilizer -> expectation 0
+    anti = (_pc_rows(x[n:] & pz[None, :]) + _pc_rows(z[n:] & px[None, :])) & 1
+    undetermined = jnp.any(anti == 1)
+    # otherwise P = +/- product of the stabilizers selected by the
+    # destabilizers that anticommute with P
+    sel = (_pc_rows(x[:n] & pz[None, :]) + _pc_rows(z[:n] & px[None, :])) & 1
+
+    def body(i, carry):
+        sx, sz, ss = carry
+        rx, rz, rs = x[n + i], z[n + i], s[n + i]
+        cross = jnp.uint32(2) * jnp.sum(
+            lax.population_count(sz & rx), dtype=jnp.uint32)
+        ss = (ss + sel[i] * (rs + cross)) & 3
+        sx = sx ^ (sel[i] * rx)
+        sz = sz ^ (sel[i] * rz)
+        return sx, sz, ss
+
+    sx0 = jnp.zeros_like(x[0])
+    qx, qz, qs = lax.fori_loop(0, n, body, (sx0, sx0, jnp.uint32(0)))
+    # Q = i^qs W(qx,qz) must equal +/- sigma(P) = +/- i^{|px&pz|} W(px,pz)
+    matches = jnp.all(qx == px) & jnp.all(qz == pz)
+    herm = jnp.sum(lax.population_count(px & pz), dtype=jnp.uint32)
+    sign_bit = ((qs - herm) >> 1) & 1
+    val = jnp.where(sign_bit == 0, 1.0, -1.0)
+    return jnp.where(undetermined | ~matches, 0.0, val)
+
+
+def expectation(tab: Tableau, pauli: str, n: int) -> float:
+    """<P> for a Pauli string (index 0 = qubit 0). Stabilizer states only
+    take values in {-1, 0, +1}."""
+    if len(pauli) != n:
+        raise ValueError(f"Pauli string length {len(pauli)} != n={n}")
+    px, pz = _pack_pauli(pauli)
+    return float(_expect_impl(tab.x, tab.z, tab.s,
+                              jnp.asarray(px), jnp.asarray(pz), n))
+
+
+# -- inspection ---------------------------------------------------------------
+
+def stabilizer_strings(tab: Tableau, n: int, destabilizers: bool = False):
+    """Decode rows to text like ``+XXI`` / ``-IZZ`` (for ``:dump`` and
+    debugging)."""
+    x = np.asarray(tab.x)
+    z = np.asarray(tab.z)
+    s = np.asarray(tab.s)
+    lo, hi = (0, n) if destabilizers else (n, 2 * n)
+    out = []
+    for r in range(lo, hi):
+        chars = []
+        herm = 0
+        for q in range(n):
+            xb = (x[r, q >> 5] >> (q & 31)) & 1
+            zb = (z[r, q >> 5] >> (q & 31)) & 1
+            herm += int(xb & zb)
+            chars.append("IXZY"[xb + 2 * zb])
+        sign = "-" if ((int(s[r]) - herm) >> 1) & 1 else "+"
+        out.append(sign + "".join(chars))
+    return out
+
+
+# -- the user-facing simulator ------------------------------------------------
+
+class StabilizerSim:
+    """Stateful Clifford simulator mirroring the Session/StateVec surface:
+    ``apply`` (Gate or prim stream), ``measure_qubit``, ``reset``,
+    ``sample``, ``expectation``, ``stabilizers``."""
+
+    def __init__(self, n: int, seed: int | None = None,
+                 key: jax.Array | None = None):
+        self.n = n
+        self.tab = identity_tableau(n)
+        self.key = key if key is not None else jax.random.PRNGKey(
+            0 if seed is None else seed)
+
+    def apply(self, gate_or_prims) -> "StabilizerSim":
+        prims = getattr(gate_or_prims, "prims", gate_or_prims)
+        self.tab = apply_prims(self.tab, prims)
+        return self
+
+    def measure_qubit(self, q: int) -> int:
+        out, self.tab, self.key = measure_qubit(self.tab, q, self.key, self.n)
+        return out
+
+    def measure_qubits(self, qubits) -> list[int]:
+        return [self.measure_qubit(q) for q in qubits]
+
+    def reset(self, q: int) -> None:
+        """Project qubit q to |0>: measure, then flip with X on outcome 1.
+        (The stabilizer formalism cannot express the reference's
+        renormalizing projection of a |1>-certain qubit; measure-and-flip
+        is the physical reset and agrees whenever the outcome is not
+        certainly |1>.)"""
+        out = self.measure_qubit(q)
+        if out:
+            from ..core.gates import Prim
+            self.tab = apply_prims(self.tab, (Prim(_X2, (q,)),))
+
+    def sample(self, shots: int, key=None) -> np.ndarray:
+        if key is None:
+            self.key, key = jax.random.split(self.key)
+        return sample_bits(self.tab, shots, key, self.n)
+
+    def expectation(self, pauli: str) -> float:
+        return expectation(self.tab, pauli, self.n)
+
+    def stabilizers(self) -> list[str]:
+        return stabilizer_strings(self.tab, self.n)

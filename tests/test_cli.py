@@ -185,3 +185,27 @@ def test_include_search_path_flag(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Done." in r.stdout
+
+
+def test_stabilizer_backend_flag(tmp_path, capsys):
+    f = tmp_path / "bell.qasm"
+    f.write_text("qreg q[2]; creg c[2];\n"
+                 "U(pi/2,0,pi) q[0]; CX q[0],q[1];\n"
+                 "measure q -> c;\n")
+    code = eval_file(str(f), seed=0, backend="stabilizer", shots=64,
+                     dump_state=True)
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "Done." in out
+    assert "stabilizer backend" in out          # the dump header
+    # post-measurement: counts concentrate on one of |00>, |11>
+    assert ("|00>: 64" in out) or ("|11>: 64" in out)
+
+
+def test_stabilizer_backend_rejects_non_clifford(tmp_path, capsys):
+    f = tmp_path / "t.qasm"
+    f.write_text("qreg q[1]; U(pi/4,0,0) q[0];\n")
+    code = eval_file(str(f), backend="stabilizer")
+    out = capsys.readouterr().out
+    assert code == 1
+    assert "stabilizer backend" in out and "Clifford" in out

@@ -1,0 +1,250 @@
+"""Stabilizer (Clifford tableau) backend tests.
+
+Differential against the dense state-vector engine (which is itself
+golden-tested against analytic states): random Clifford circuits must
+agree on every Pauli expectation, on measurement determinism/probability,
+and on post-measurement states. Plus scaling smoke tests far beyond any
+dense engine's reach, and the QASM program path with feed-forward.
+"""
+
+import numpy as np
+import pytest
+
+import qubism_tpu as qt
+from qubism_tpu.core.gates import Prim
+from qubism_tpu.core.statevec import StateVec
+from qubism_tpu.ops import apply as _apply
+from qubism_tpu.qasm.parser import parse_openqasm
+from qubism_tpu.stabilizer import (NotCliffordError, StabilizerProgram,
+                                   StabilizerSim, clifford_tables)
+
+_H = np.array([[1, 1], [1, -1]], dtype=np.complex128) / np.sqrt(2)
+_X = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+_Y = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
+_Z = np.diag([1.0, -1.0]).astype(np.complex128)
+_S = np.diag([1.0, 1j]).astype(np.complex128)
+_SDG = np.diag([1.0, -1j]).astype(np.complex128)
+_CX = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]],
+               dtype=np.complex128)
+_CZ = np.diag([1.0, 1.0, 1.0, -1.0]).astype(np.complex128)
+_SWAP = np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+                 dtype=np.complex128)
+
+_ONE_Q = [_H, _X, _Y, _Z, _S, _SDG]
+_TWO_Q = [_CX, _CZ, _SWAP]
+
+
+def _random_clifford_prims(n, depth, rng):
+    prims = []
+    for _ in range(depth):
+        if n >= 2 and rng.random() < 0.4:
+            a, b = rng.choice(n, size=2, replace=False)
+            prims.append(Prim(_TWO_Q[rng.integers(len(_TWO_Q))],
+                              (int(a), int(b))))
+        else:
+            q = int(rng.integers(n))
+            prims.append(Prim(_ONE_Q[rng.integers(len(_ONE_Q))], (q,)))
+    return prims
+
+
+def _dense_state(n, prims):
+    sv = StateVec.zero(n)
+    planes = sv.planes
+    for p in prims:
+        if p.diag:
+            planes = _apply.apply_diag(planes, p.u, p.targets, n)
+        else:
+            planes = _apply.apply_gate(planes, p.u, p.targets, n)
+    return StateVec(n, planes)
+
+
+def _random_pauli(n, rng):
+    return "".join(rng.choice(list("IXYZ")) for _ in range(n))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_clifford_expectations_match_dense(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 6))
+    prims = _random_clifford_prims(n, 40, rng)
+    sv = _dense_state(n, prims)
+    sim = StabilizerSim(n).apply(prims)
+    for _ in range(25):
+        p = _random_pauli(n, rng)
+        want = sv.expectation(p)
+        got = sim.expectation(p)
+        assert got == pytest.approx(want, abs=1e-5), (p, got, want)
+
+
+@pytest.mark.parametrize("seed", [5, 6, 7])
+def test_measurement_probability_and_collapse_match_dense(seed):
+    rng = np.random.default_rng(seed)
+    n = 4
+    prims = _random_clifford_prims(n, 30, rng)
+    sv = _dense_state(n, prims)
+    for q in range(n):
+        p1 = sv.prob_one(q)
+        sim = StabilizerSim(n, seed=seed).apply(prims)
+        out = sim.measure_qubit(q)
+        if p1 < 1e-6:
+            assert out == 0
+        elif p1 > 1 - 1e-6:
+            assert out == 1
+        else:
+            # random outcome: p must be exactly 1/2 for stabilizer states
+            assert p1 == pytest.approx(0.5, abs=1e-5)
+        # post-measurement state must agree with the dense engine
+        # collapsed to the SAME outcome
+        sv_post = sv.collapse(q, out)
+        for _ in range(10):
+            pauli = _random_pauli(n, rng)
+            assert sim.expectation(pauli) == pytest.approx(
+                sv_post.expectation(pauli), abs=1e-5), pauli
+
+
+def test_sequential_register_measurement_matches_dense_distribution():
+    # GHZ(3): sampling must give only 000 / 111, ~50/50
+    prims = [Prim(_H, (0,)), Prim(_CX, (0, 1)), Prim(_CX, (1, 2))]
+    sim = StabilizerSim(3, seed=0).apply(prims)
+    bits = sim.sample(400)
+    assert bits.shape == (400, 3)
+    same = (bits == bits[:, :1]).all(axis=1)
+    assert same.all()
+    ones = bits[:, 0].mean()
+    assert 0.4 < ones < 0.6
+
+
+def test_plus_state_sampling_is_uniform():
+    n = 3
+    sim = StabilizerSim(n, seed=1).apply([Prim(_H, (q,)) for q in range(n)])
+    bits = sim.sample(800)
+    idx = (bits * (1 << np.arange(n - 1, -1, -1))).sum(axis=1)
+    counts = np.bincount(idx, minlength=8)
+    # chi^2 with 7 dof; 99.9th percentile ~ 24.3
+    chi2 = (((counts - 100.0) ** 2) / 100.0).sum()
+    assert chi2 < 24.3, counts
+
+
+def test_measure_qubit_idempotent():
+    rng = np.random.default_rng(11)
+    prims = _random_clifford_prims(4, 25, rng)
+    sim = StabilizerSim(4, seed=3).apply(prims)
+    first = sim.measure_qubit(2)
+    for _ in range(5):
+        assert sim.measure_qubit(2) == first
+
+
+def test_reset_projects_to_zero():
+    sim = StabilizerSim(2, seed=0).apply([Prim(_H, (0,)), Prim(_CX, (0, 1))])
+    sim.reset(0)
+    assert sim.expectation("ZI") == pytest.approx(1.0)
+    assert sim.measure_qubit(0) == 0
+
+
+def test_non_clifford_rejected_with_clear_error():
+    t = np.diag([1.0, np.exp(1j * np.pi / 4)]).astype(np.complex128)
+    with pytest.raises(NotCliffordError, match="stabilizer backend supports"):
+        StabilizerSim(1).apply([Prim(t, (0,))])
+    # non-unitary is also rejected
+    with pytest.raises(NotCliffordError):
+        clifford_tables(np.array([[1, 1], [0, 1]], dtype=np.complex128))
+
+
+def test_diag_prims_supported():
+    # CZ as a diagonal prim (the elaborator's preferred encoding)
+    sim = StabilizerSim(2).apply([
+        Prim(_H, (0,)), Prim(_H, (1,)),
+        Prim(np.array([1, 1, 1, -1], dtype=np.complex128), (0, 1), diag=True),
+    ])
+    assert sim.expectation("XZ") == pytest.approx(1.0)
+    assert sim.expectation("ZX") == pytest.approx(1.0)
+
+
+def test_ghz_1000_qubits_scales():
+    n = 1000
+    prims = [Prim(_H, (0,))] + [Prim(_CX, (q, q + 1)) for q in range(n - 1)]
+    sim = StabilizerSim(n, seed=0).apply(prims)
+    assert sim.expectation("Z" * n) == pytest.approx(1.0)
+    assert sim.expectation("X" * n) == pytest.approx(1.0)
+    assert sim.expectation("Z" + "I" * (n - 1)) == pytest.approx(0.0)
+    bits = sim.sample(8)
+    same = (bits == bits[:, :1]).all(axis=1)
+    assert same.all()
+
+
+def test_stabilizer_strings_readable():
+    sim = StabilizerSim(2).apply([Prim(_H, (0,)), Prim(_CX, (0, 1))])
+    assert sim.stabilizers() == ["+XX", "+ZZ"]
+    sim.apply([Prim(_Z, (0,))])
+    assert sim.stabilizers() == ["-XX", "+ZZ"]
+
+
+# -- QASM program path --------------------------------------------------------
+
+def _parse(src):
+    return parse_openqasm("<test>", src)
+
+
+def test_qasm_bell_with_feedforward():
+    src = """
+    qreg q[2]; creg c[2];
+    U(pi/2, 0, pi) q[0];
+    CX q[0], q[1];
+    measure q[0] -> c[0];
+    if (c == 1) CX q[0], q[1];
+    if (c == 1) U(pi, 0, pi) q[0];
+    measure q -> c;
+    """
+    for seed in range(6):
+        prog = StabilizerProgram(_parse(src))
+        sim, cregs = prog.run(seed=seed)
+        # after correction both qubits are |0> whenever c0 was 1; when c0
+        # was 0 the state was already |00>
+        assert cregs["c"].to_natural() == 0
+
+
+def test_qasm_teleportation_of_plus_state():
+    """Clifford teleportation: |+> on q[0] teleported to q[2] (the bundled
+    teleportation.qasm opens with a non-Clifford u3 tomography rotation, so
+    this inline variant teleports a stabilizer state instead)."""
+    src = """
+    qreg q[3]; creg c0[1]; creg c1[1];
+    U(pi/2, 0, pi) q[0];                      // the state to teleport: |+>
+    U(pi/2, 0, pi) q[1]; CX q[1], q[2];      // Bell pair
+    CX q[0], q[1]; U(pi/2, 0, pi) q[0];
+    measure q[0] -> c0[0];
+    measure q[1] -> c1[0];
+    if (c0 == 1) U(0, 0, pi) q[2];           // Z correction
+    if (c1 == 1) U(pi, 0, pi) q[2];          // X correction
+    """
+    for seed in (0, 1, 2, 3):
+        prog = StabilizerProgram(_parse(src))
+        sim, cregs = prog.run(seed=seed)
+        # q[2] now holds |+>: <X> = +1 regardless of the measured bits
+        assert sim.expectation("IIX") == pytest.approx(1.0)
+
+
+def test_qasm_non_clifford_raises():
+    src = "qreg q[1]; U(pi/4, 0, 0) q[0];"
+    with pytest.raises(NotCliffordError):
+        StabilizerProgram(_parse(src)).run()
+
+
+def test_qasm_dump_prints_stabilizers():
+    src = "qreg q[2]; U(pi/2,0,pi) q[0]; CX q[0],q[1]; :dump;"
+    chunks = []
+    prog = StabilizerProgram(_parse(src))
+    prog.run(dump_writer=chunks.append)
+    text = "".join(chunks)
+    assert "+XX" in text and "+ZZ" in text
+
+
+def test_seeded_runs_reproducible():
+    rng = np.random.default_rng(21)
+    prims = _random_clifford_prims(5, 30, rng)
+
+    def run():
+        sim = StabilizerSim(5, seed=42).apply(prims)
+        return [sim.measure_qubit(q) for q in range(5)]
+
+    assert run() == run()
