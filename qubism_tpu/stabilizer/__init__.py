@@ -2,9 +2,10 @@
 on the TPU VPU. See :mod:`qubism_tpu.stabilizer.tableau`."""
 
 from .program import StabilizerProgram
-from .tableau import (NotCliffordError, StabilizerSim, Tableau, apply_prims,
-                      clifford_tables, expectation, identity_tableau,
-                      measure_qubit, sample_bits, stabilizer_strings)
+from .tableau import (NotCliffordError, StabilizerSim, Tableau, affine_support,
+                      apply_prims, clifford_tables, expectation,
+                      identity_tableau, measure_qubit, sample_bits,
+                      stabilizer_strings)
 
 __all__ = [
     "NotCliffordError",

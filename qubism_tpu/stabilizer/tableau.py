@@ -47,6 +47,7 @@ __all__ = [
     "Tableau",
     "identity_tableau",
     "apply_prims",
+    "affine_support",
     "measure_qubit",
     "sample_bits",
     "expectation",
@@ -401,8 +402,10 @@ def measure_qubit(tab: Tableau, q, key, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _measure_all_impl(x, z, s, rnd_bits, n: int):
-    """Measure qubits 0..n-1 sequentially (one lax.scan, dynamic q)."""
+def _measure_seq_impl(x, z, s, qs, rnd_bits, n: int):
+    """Measure the qubits in ``qs`` sequentially (one lax.scan, dynamic q —
+    a single compiled program per (tableau shape, len(qs)) serves any qubit
+    list: `measure q -> c` on a thousand-qubit register is one dispatch)."""
 
     def step(carry, inp):
         x, z, s = carry
@@ -410,29 +413,126 @@ def _measure_all_impl(x, z, s, rnd_bits, n: int):
         out, x, z, s = _measure_impl(x, z, s, q, rb, n)
         return (x, z, s), out
 
-    qs = jnp.arange(n, dtype=jnp.uint32)
     (x, z, s), outs = lax.scan(step, (x, z, s), (qs, rnd_bits))
     return outs, x, z, s
 
 
+def _unpack_bits(words: np.ndarray, n: int) -> np.ndarray:
+    """(rows, W) uint32 -> (rows, n) uint8 (bit q of the row = column q)."""
+    rows = words.shape[0]
+    if rows == 0:
+        return np.zeros((0, n), dtype=np.uint8)
+    b = words.view(np.uint8).reshape(rows, -1)          # little-endian bytes
+    return np.unpackbits(b, axis=1, bitorder="little")[:, :n]
+
+
+def affine_support(tab: Tableau, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """The Z-basis measurement distribution of a stabilizer state is uniform
+    over an affine subspace ``{x0 XOR r.V : r in GF(2)^R}`` of basis indices.
+    Extract ``(x0, V)`` — x0 a (n,) uint8 bit row, V an (R, n) uint8 basis —
+    by one host-side GF(2) Gaussian elimination on the stabilizer rows:
+
+    * rows keeping an X-pivot span the support directions (their X parts
+      form V: multiplying a stabilizer ``i^s X^v Z^z`` into the state maps
+      basis component ``|x>`` to ``|x XOR v>``, so the support is closed
+      under every v);
+    * rows eliminated to pure ``Z^z`` (phase ``i^s``, s even) constrain the
+      support: ``z.x = s/2 (mod 2)``; back-substitution yields one solution
+      x0.
+
+    O(n^2) word operations once per state — then ANY number of shots is a
+    single GF(2) matmul (see :func:`sample_bits`)."""
+    x = np.array(tab.x)[n:]
+    z = np.array(tab.z)[n:]
+    s = np.array(tab.s)[n:].astype(np.uint64)
+    rows = n
+
+    def mul_into(j_mask, p):
+        """Rows selected by boolean j_mask absorb row p (group product)."""
+        cross = np.zeros(rows, dtype=np.uint64)
+        xp = x[p]
+        for w in range(x.shape[1]):
+            cross += np.asarray(
+                np.bitwise_count(z[:, w] & xp[w]), dtype=np.uint64)
+        s[j_mask] = (s[j_mask] + s[p] + 2 * cross[j_mask]) & 3
+        x[j_mask] ^= x[p]
+        z[j_mask] ^= z[p]
+
+    pivots = []            # (row, qubit) with an X-pivot
+    used = np.zeros(rows, dtype=bool)
+    for q in range(n):
+        w, off = q >> 5, np.uint32(q & 31)
+        col = (x[:, w] >> off) & 1
+        cand = np.nonzero(col.astype(bool) & ~used)[0]
+        if cand.size == 0:
+            continue
+        p = int(cand[0])
+        used[p] = True
+        pivots.append((p, q))
+        others = col.astype(bool).copy()
+        others[p] = False
+        if others.any():
+            mul_into(others, p)
+
+    V = (_unpack_bits(x[[p for p, _ in pivots]], n)
+         if pivots else np.zeros((0, n), dtype=np.uint8))
+
+    # pure-Z constraint rows: z.x0 = s/2 (mod 2); solve by elimination
+    zrows = np.nonzero(~used)[0]
+    zb = _unpack_bits(z[zrows], n)
+    assert not (s[zrows] & 1).any(), "non-Hermitian pure-Z stabilizer row"
+    rhs = ((s[zrows] >> 1) & 1).astype(np.uint8)
+    x0 = np.zeros(n, dtype=np.uint8)
+    done_cols = np.zeros(n, dtype=bool)
+    r = 0
+    for q in range(n):
+        hit = np.nonzero(zb[r:, q] == 1)[0]
+        if hit.size == 0:
+            continue
+        p = r + int(hit[0])
+        zb[[r, p]] = zb[[p, r]]
+        rhs[[r, p]] = rhs[[p, r]]
+        elim = (zb[:, q] == 1)
+        elim[r] = False
+        zb[elim] ^= zb[r]
+        rhs[elim] ^= rhs[r]
+        done_cols[q] = True
+        r += 1
+    # Gauss-Jordan leaves each pivot column with a single 1; with the free
+    # variables fixed to 0 the pivot variables read straight off rhs
+    for i in range(r):
+        q = int(np.argmax(zb[i] == 1))
+        x0[q] = rhs[i]
+    return x0, V
+
+
+@functools.partial(jax.jit, static_argnames=("shots",))
+def _affine_sample_impl(x0, v, key, shots: int):
+    """shots x R uniform bits, one f32 MXU matmul mod 2 (exact: 0/1 values,
+    integer sums <= R < 2^24), XOR the base point."""
+    r = jax.random.bernoulli(key, 0.5, (shots, v.shape[0])).astype(jnp.float32)
+    prod = jnp.dot(r, v.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return (prod.astype(jnp.uint8) ^ x0[None, :]) & 1
+
+
 def sample_bits(tab: Tableau, shots: int, key, n: int,
-                chunk: int = 4096) -> np.ndarray:
-    """``shots`` independent full-register measurements (each on its own
-    tableau copy, vmapped over the shots axis). Returns (shots, n) uint8,
-    bit j = outcome of qubit j (qubit 0 = most significant basis bit, the
-    engine-wide big-endian convention)."""
-    outs = []
-    done = 0
-    while done < shots:
-        m = min(chunk, shots - done)
-        key, sub = jax.random.split(key)
-        rnd = jax.random.bernoulli(sub, 0.5, (m, n))
-        bits = jax.vmap(
-            lambda rb: _measure_all_impl(tab.x, tab.z, tab.s, rb, n)[0]
-        )(rnd)
-        outs.append(np.asarray(bits, dtype=np.uint8))
-        done += m
-    return np.concatenate(outs, axis=0)
+                support: tuple[np.ndarray, np.ndarray] | None = None,
+                ) -> np.ndarray:
+    """``shots`` independent full-register measurements, non-destructive.
+    Returns (shots, n) uint8, column j = outcome of qubit j (qubit 0 = most
+    significant basis bit, the engine-wide big-endian convention).
+
+    One GF(2) elimination characterizes the distribution (``support``
+    pre-computes it for reuse across calls); the shots themselves are a
+    single (shots, R) x (R, n) matmul on the MXU — thousand-qubit states
+    sample 8192 shots in milliseconds, where a per-shot measurement sweep
+    takes minutes."""
+    x0, v = affine_support(tab, n) if support is None else support
+    if v.shape[0] == 0:
+        return np.broadcast_to(x0, (shots, n)).copy()
+    bits = _affine_sample_impl(jnp.asarray(x0), jnp.asarray(v), key, shots)
+    return np.asarray(bits, dtype=np.uint8)
 
 
 # -- Pauli-string expectation -------------------------------------------------
@@ -525,18 +625,31 @@ class StabilizerSim:
         self.tab = identity_tableau(n)
         self.key = key if key is not None else jax.random.PRNGKey(
             0 if seed is None else seed)
+        self._support = None        # cached affine_support, dropped on mutation
 
     def apply(self, gate_or_prims) -> "StabilizerSim":
         prims = getattr(gate_or_prims, "prims", gate_or_prims)
         self.tab = apply_prims(self.tab, prims)
+        self._support = None
         return self
 
     def measure_qubit(self, q: int) -> int:
         out, self.tab, self.key = measure_qubit(self.tab, q, self.key, self.n)
+        self._support = None
         return out
 
     def measure_qubits(self, qubits) -> list[int]:
-        return [self.measure_qubit(q) for q in qubits]
+        qubits = list(qubits)
+        if len(qubits) <= 2:
+            return [self.measure_qubit(q) for q in qubits]
+        self.key, sub = jax.random.split(self.key)
+        rnd = jax.random.bernoulli(sub, 0.5, (len(qubits),))
+        qs = jnp.asarray(np.asarray(qubits, dtype=np.uint32))
+        outs, x, z, s = _measure_seq_impl(
+            self.tab.x, self.tab.z, self.tab.s, qs, rnd, self.n)
+        self.tab = Tableau(x, z, s)
+        self._support = None
+        return [int(b) for b in np.asarray(outs)]
 
     def reset(self, q: int) -> None:
         """Project qubit q to |0>: measure, then flip with X on outcome 1.
@@ -547,12 +660,15 @@ class StabilizerSim:
         out = self.measure_qubit(q)
         if out:
             from ..core.gates import Prim
-            self.tab = apply_prims(self.tab, (Prim(_X2, (q,)),))
+            self.apply((Prim(_X2, (q,)),))
 
     def sample(self, shots: int, key=None) -> np.ndarray:
         if key is None:
             self.key, key = jax.random.split(self.key)
-        return sample_bits(self.tab, shots, key, self.n)
+        if self._support is None:
+            self._support = affine_support(self.tab, self.n)
+        return sample_bits(self.tab, shots, key, self.n,
+                           support=self._support)
 
     def expectation(self, pauli: str) -> float:
         return expectation(self.tab, pauli, self.n)

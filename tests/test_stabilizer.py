@@ -125,6 +125,61 @@ def test_plus_state_sampling_is_uniform():
     assert chi2 < 24.3, counts
 
 
+@pytest.mark.parametrize("seed", [12, 13, 14])
+def test_affine_sampler_matches_dense_distribution(seed):
+    """The GF(2)-affine shot sampler must reproduce the dense engine's
+    full-register Born distribution (chi^2 over all 2^n bins)."""
+    rng = np.random.default_rng(seed)
+    n = 4
+    prims = _random_clifford_prims(n, 35, rng)
+    sv = _dense_state(n, prims)
+    probs = np.abs(sv.amps) ** 2
+    sim = StabilizerSim(n, seed=seed).apply(prims)
+    shots = 2000
+    bits = sim.sample(shots)
+    idx = (bits.astype(np.int64) * (1 << np.arange(n - 1, -1, -1))).sum(axis=1)
+    counts = np.bincount(idx, minlength=1 << n)
+    # impossible outcomes must never appear
+    assert (counts[probs < 1e-9] == 0).all()
+    live = probs > 1e-9
+    expected = probs[live] * shots
+    chi2 = (((counts[live] - expected) ** 2) / expected).sum()
+    dof = live.sum() - 1
+    # 99.9th percentile of chi^2_k is ~ k + 3.1*sqrt(2k) + 4
+    assert chi2 < dof + 3.1 * np.sqrt(2 * dof) + 4, (chi2, dof, counts)
+
+
+def test_affine_sampler_after_collapse_respects_outcome():
+    # measure q0 of GHZ(4), then every sample must agree with the outcome
+    prims = [Prim(_H, (0,))] + [Prim(_CX, (q, q + 1)) for q in range(3)]
+    sim = StabilizerSim(4, seed=7).apply(prims)
+    out = sim.measure_qubit(0)
+    bits = sim.sample(200)
+    assert (bits == out).all()
+
+
+def test_sample_8192_shots_at_1000_qubits():
+    n = 1000
+    prims = [Prim(_H, (0,))] + [Prim(_CX, (q, q + 1)) for q in range(n - 1)]
+    sim = StabilizerSim(n, seed=0).apply(prims)
+    bits = sim.sample(8192)
+    assert bits.shape == (8192, n)
+    same = (bits == bits[:, :1]).all(axis=1)
+    assert same.all()
+    frac = bits[:, 0].mean()
+    assert 0.45 < frac < 0.55
+
+
+def test_measure_qubits_scan_path_matches_semantics():
+    # >2 qubits routes through the one-dispatch scan; GHZ outcomes must
+    # still be perfectly correlated and the collapse persistent
+    prims = [Prim(_H, (0,))] + [Prim(_CX, (q, q + 1)) for q in range(4)]
+    sim = StabilizerSim(5, seed=9).apply(prims)
+    outs = sim.measure_qubits(range(5))
+    assert len(set(outs)) == 1
+    assert sim.measure_qubit(3) == outs[0]
+
+
 def test_measure_qubit_idempotent():
     rng = np.random.default_rng(11)
     prims = _random_clifford_prims(4, 25, rng)
