@@ -37,3 +37,10 @@ from .circuits import (  # noqa: F401
     qft_qasm,
     ring_edges,
 )
+from .trajectories import (  # noqa: F401
+    ChannelOp,
+    run_trajectories,
+    trajectory_expectation,
+    trajectory_pauli_sum,
+    trajectory_probs,
+)
