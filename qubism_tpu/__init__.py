@@ -51,5 +51,6 @@ from .core.density import (  # noqa: F401
 from .core import algebra  # noqa: F401
 from .session import Session  # noqa: F401
 from .stabilizer import StabilizerSim  # noqa: F401
+from .mps import MPSSim  # noqa: F401
 
 __version__ = "0.1.0"

@@ -46,12 +46,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "amplitudes as float32 (re, im) planes (= complex64 "
                         "precision); complex128 is not available on TPU "
                         "backends and is rejected")
-    p.add_argument("--backend", choices=["statevector", "stabilizer"],
+    p.add_argument("--backend", choices=["statevector", "stabilizer", "mps"],
                    default="statevector",
                    help="simulation engine: the dense state-vector engine "
-                        "(default) or the Clifford stabilizer-tableau engine "
+                        "(default), the Clifford stabilizer-tableau engine "
                         "(O(n^2) bits — thousands of qubits — but Clifford "
-                        "gates only)")
+                        "gates only), or the matrix-product-state engine "
+                        "(bounded-entanglement circuits at 100+ qubits, "
+                        "see --chi)")
+    p.add_argument("--chi", type=int, default=32, metavar="X",
+                   help="MPS bond dimension cap (--backend mps): simulation "
+                        "is exact while the circuit's entanglement fits "
+                        "(default 32)")
     p.add_argument("--compile", action="store_true", dest="compile_mode",
                    help="lower the program to fused XLA segments (fast path; "
                         "registers are laid out in one state vector up front)")
@@ -116,7 +122,7 @@ def _apply_flags(args):
 def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
               shots: int | None = None, out=None, compile_mode: bool = False,
               fuse_width: int = 5, mesh: int | None = None,
-              backend: str = "statevector") -> int:
+              backend: str = "statevector", chi: int = 32) -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -151,6 +157,32 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 rows = ["".join("01"[b] for b in row) for row in bits]
                 import collections
 
+                counts = collections.Counter(rows)
+                name = "(x)".join(prog.layout)
+                print(f"Counts for state vector {name} ({shots} shots):",
+                      file=out)
+                for basis in sorted(counts):
+                    print(f"  |{basis}>: {counts[basis]}", file=out)
+        elif backend == "mps":
+            from .mps import MPSProgram, NotAdjacentError
+
+            if mesh:
+                print("qubism: --mesh applies to the state-vector backend only",
+                      file=out)
+                return 2
+            prog = MPSProgram(ast, chi=chi)
+            try:
+                sim, cregs = prog.run(seed=seed, dump_writer=out.write)
+            except NotAdjacentError as e:
+                print(f"qubism: mps backend: {e}", file=out)
+                return 1
+            if dump_state:
+                out.write(prog._pretty(sim, cregs))
+            if shots and prog.n:
+                import collections
+
+                bits = sim.sample(shots)
+                rows = ["".join("01"[b] for b in row) for row in bits]
                 counts = collections.Counter(rows)
                 name = "(x)".join(prog.layout)
                 print(f"Counts for state vector {name} ({shots} shots):",
@@ -297,7 +329,7 @@ def main(argv=None) -> int:
         return eval_file(args.file, seed=args.seed, dump_state=args.dump_state,
                          shots=args.shots, compile_mode=args.compile_mode,
                          fuse_width=args.fuse_width, mesh=args.mesh,
-                         backend=args.backend)
+                         backend=args.backend, chi=args.chi)
     Repl(seed=args.seed).run()
     return 0
 

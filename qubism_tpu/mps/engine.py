@@ -1,0 +1,437 @@
+"""Matrix-product-state circuit engine (TPU-first design).
+
+A third simulation regime alongside the dense state vector (O(2^n)) and
+the Clifford tableau (O(n^2) bits): bounded-entanglement circuits at
+100+ qubits in O(n * chi^2) memory. Reference (qubitrot/qubism) has no
+analogue — its dense engine caps at ~13 qubits; this extends the same
+program surface (QASM via ``--backend mps``, DSL prims) the way
+``stabilizer/`` does.
+
+TPU-native choices:
+
+* **Static shapes, dynamic sites.** All n site tensors live in ONE
+  stacked (n, chi, 2, chi) buffer (split float32 re/im planes at rest —
+  the engine-wide convention; complex64 exists only inside jit). Bond
+  dimensions are padded to a fixed ``chi``, so every kernel compiles
+  ONCE per (n, chi) and serves any site via ``lax.dynamic_slice`` —
+  no per-site recompilation through the remote-compile tunnel.
+* **Gate application is contract -> SVD -> truncate** on the
+  orthogonality center (host-tracked integer; QR shift kernels move
+  it), keeping local truncation globally optimal. SVD/QR run on device
+  (XLA batches them fine at these sizes); the (chi*2, chi*2) theta
+  contraction is an MXU matmul.
+* **Sampling / expectations are EXACT transfer contractions** via
+  `lax.scan` over the stacked tensor — one scan builds the right
+  environment stack, then shots vmap over it (per-shot cost O(n chi^2),
+  any number of shots in one dispatch). Correctness never depends on
+  canonical-form invariants, so padding rank-deficiency is harmless.
+* **Non-adjacent gates ride SWAP routing** (the same discipline the
+  dense engine uses for lane-safe reordering, ops/rdm.py): route the
+  far qubit next to its partner, apply, route back.
+
+Truncation weight (sum of discarded Schmidt squares) accumulates in
+``MPSSim.trunc_error`` — zero while chi suffices, so exact simulation
+is the default regime and degradation is observable.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.gates import Gate, Prim
+from ..ops.apply import _sort_targets
+
+__all__ = ["MPSSim", "NotAdjacentError"]
+
+_SWAP = np.eye(4, dtype=complex)[[0, 2, 1, 3]]
+
+
+class NotAdjacentError(ValueError):
+    """Raised for k>2-qubit prims the MPS backend cannot route."""
+
+
+def _cplx(re, im):
+    return re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
+
+
+def _split(c):
+    return jnp.real(c).astype(jnp.float32), jnp.imag(c).astype(jnp.float32)
+
+
+def _site(re, im, q, chi):
+    a = lax.dynamic_slice(re, (q, 0, 0, 0), (1, chi, 2, chi))[0]
+    b = lax.dynamic_slice(im, (q, 0, 0, 0), (1, chi, 2, chi))[0]
+    return _cplx(a, b)
+
+
+def _put(re, im, q, t):
+    tr, ti = _split(t)
+    re = lax.dynamic_update_slice(re, tr[None], (q, 0, 0, 0))
+    im = lax.dynamic_update_slice(im, ti[None], (q, 0, 0, 0))
+    return re, im
+
+
+# ---------------------------------------------------------------------------
+# Jitted kernels (one compile per (n, chi) shape; q is traced)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _k_apply_1q(re, im, ur, ui, q):
+    chi = re.shape[1]
+    a = _site(re, im, q, chi)
+    u = _cplx(ur, ui)
+    out = jnp.einsum("ts,asb->atb", u, a)
+    return _put(re, im, q, out)
+
+
+@jax.jit
+def _k_apply_2q(re, im, ur, ui, q):
+    """Dense 4x4 on adjacent sites (q, q+1); truncating SVD back to chi.
+    Returns (re, im, discarded_weight). Renormalizes the kept spectrum
+    so the state norm is preserved under truncation."""
+    chi = re.shape[1]
+    a = _site(re, im, q, chi)
+    b = _site(re, im, q + 1, chi)
+    u = _cplx(ur, ui)
+    theta = jnp.einsum("asc,ctb->astb", a, b).reshape(chi, 4, chi)
+    theta = jnp.einsum("pq,aqb->apb", u, theta)
+    m = theta.reshape(chi, 2, 2, chi).reshape(chi * 2, 2 * chi)
+    uu, s, vh = jnp.linalg.svd(m, full_matrices=False)
+    s1 = s[:chi]
+    kept = jnp.sum(s1 * s1)
+    disc = jnp.sum(s * s) - kept
+    scale = lax.rsqrt(jnp.maximum(kept, 1e-30)) * jnp.sqrt(
+        jnp.maximum(jnp.sum(s * s), 1e-30))
+    a2 = uu[:, :chi].reshape(chi, 2, chi)
+    b2 = (scale * s1[:, None] * vh[:chi, :]).reshape(chi, 2, chi)
+    re, im = _put(re, im, q, a2)
+    re, im = _put(re, im, q + 1, b2)
+    return re, im, disc
+
+
+@jax.jit
+def _k_shift_right(re, im, c):
+    """QR at site c; absorb R into site c+1 (center c -> c+1)."""
+    chi = re.shape[1]
+    a = _site(re, im, c, chi)
+    qm, r = jnp.linalg.qr(a.reshape(chi * 2, chi))
+    b = _site(re, im, c + 1, chi)
+    b2 = jnp.einsum("ac,csb->asb", r, b)
+    re, im = _put(re, im, c, qm.reshape(chi, 2, chi))
+    return _put(re, im, c + 1, b2)
+
+
+@jax.jit
+def _k_shift_left(re, im, c):
+    """LQ at site c (QR of the dagger); absorb L into site c-1."""
+    chi = re.shape[1]
+    a = _site(re, im, c, chi)
+    qm, r = jnp.linalg.qr(a.reshape(chi, 2 * chi).conj().T)
+    lmat = r.conj().T                     # (chi, chi); a = lmat @ qm^H
+    b = _site(re, im, c - 1, chi)
+    b2 = jnp.einsum("asb,bc->asc", b, lmat)
+    re, im = _put(re, im, c, qm.conj().T.reshape(chi, 2, chi))
+    return _put(re, im, c - 1, b2)
+
+
+@jax.jit
+def _k_norm2(re, im):
+    """<psi|psi> by exact transfer contraction (e0 boundaries)."""
+    chi = re.shape[1]
+    e0 = jnp.zeros((chi, chi), dtype=jnp.complex64).at[0, 0].set(1)
+
+    def step(env, planes):
+        a = _cplx(planes[0], planes[1])
+        env = jnp.einsum("asb,aA,Asc->bc", a.conj(), env, a)
+        return env, None
+
+    env, _ = lax.scan(step, e0, (re, im))
+    return jnp.real(env[0, 0])
+
+
+@jax.jit
+def _k_scale_site(re, im, q, s):
+    chi = re.shape[1]
+    return _put(re, im, q, _site(re, im, q, chi) * s.astype(jnp.complex64))
+
+
+@jax.jit
+def _k_expect(re, im, opr, opi):
+    """<psi| prod_i O_i |psi> for per-site 2x2 ops stacked (n, 2, 2)."""
+    chi = re.shape[1]
+    e0 = jnp.zeros((chi, chi), dtype=jnp.complex64).at[0, 0].set(1)
+
+    def step(env, inp):
+        ar, ai, o_r, o_i = inp
+        a = _cplx(ar, ai)
+        o = _cplx(o_r, o_i)
+        env = jnp.einsum("asb,st,aA,Atc->bc", a.conj(), o, env, a)
+        return env, None
+
+    env, _ = lax.scan(step, e0, (re, im, opr, opi))
+    return env[0, 0]
+
+
+@jax.jit
+def _k_amplitude(re, im, bits):
+    """<bits|psi> (bits (n,) int32, site order = qubit order)."""
+    chi = re.shape[1]
+    v = jnp.zeros(chi, dtype=jnp.complex64).at[0].set(1)
+
+    def step(v, inp):
+        ar, ai, s = inp
+        a = _cplx(ar, ai)
+        return jnp.einsum("a,ab->b", v, a[:, s, :]), None
+
+    v, _ = lax.scan(step, v, (re, im, bits))
+    return v[0]
+
+
+@jax.jit
+def _k_right_envs(re, im):
+    """Stack of right environments: env[i] = contraction of sites
+    i+1..n-1 with the e0 boundary — env[i][b,b'] so that
+    p(prefix) = v env v^H. (n, chi, chi) complex split planes."""
+    chi = re.shape[1]
+    e0 = jnp.zeros((chi, chi), dtype=jnp.complex64).at[0, 0].set(1)
+
+    def step(env, planes):
+        a = _cplx(planes[0], planes[1])
+        new = jnp.einsum("asb,bB,AsB->aA", a, env, a.conj())
+        return new, env
+
+    _, envs = lax.scan(step, e0, (re, im), reverse=True)
+    return _split(envs)
+
+
+@jax.jit
+def _k_sample(re, im, envr, envi, keys):
+    """Perfect MPS sampling: one lax.scan per shot over sites (vmapped
+    across the shots axis), conditioning on the exact right-environment
+    stack — valid for ANY (even non-canonical) MPS. (shots, n) uint8."""
+
+    chi = re.shape[1]
+
+    def one(key):
+        v0 = jnp.zeros(chi, dtype=jnp.complex64).at[0].set(1)
+
+        def step(carry, inp):
+            v, key = carry
+            ar, ai, er, ei = inp
+            a = _cplx(ar, ai)
+            env = _cplx(er, ei)
+            w0 = jnp.einsum("a,ab->b", v, a[:, 0, :])
+            w1 = jnp.einsum("a,ab->b", v, a[:, 1, :])
+            p0 = jnp.real(jnp.einsum("b,bB,B->", w0, env, w0.conj()))
+            p1 = jnp.real(jnp.einsum("b,bB,B->", w1, env, w1.conj()))
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub)
+            bit = (u * (p0 + p1) >= p0).astype(jnp.uint8)
+            w = jnp.where(bit == 1, w1, w0)
+            p = jnp.where(bit == 1, p1, p0)
+            v = w * lax.rsqrt(jnp.maximum(p, 1e-30))
+            return (v, key), bit
+
+        (_, _), bits = lax.scan(step, (v0, key), (re, im, envr, envi))
+        return bits
+
+    return jax.vmap(one)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Host-side simulator
+# ---------------------------------------------------------------------------
+
+_PAULI = {
+    "I": np.eye(2, dtype=complex),
+    "X": np.array([[0, 1], [1, 0]], dtype=complex),
+    "Y": np.array([[0, -1j], [1j, 0]], dtype=complex),
+    "Z": np.diag([1.0, -1.0]).astype(complex),
+}
+
+
+class MPSSim:
+    """Bounded-bond-dimension circuit simulator.
+
+    ``chi`` caps the Schmidt rank across every cut: simulation is exact
+    while the circuit's entanglement fits (``trunc_error`` stays 0.0)
+    and degrades gracefully past it. Qubit q lives at site q; qubit 0
+    is the most significant basis bit (engine-wide convention).
+    """
+
+    def __init__(self, n: int, chi: int = 32, seed: int | None = None,
+                 key=None):
+        if n < 1:
+            raise ValueError("MPSSim needs n >= 1")
+        self.n = n
+        self.chi = chi
+        re = np.zeros((n, chi, 2, chi), dtype=np.float32)
+        re[:, 0, 0, 0] = 1.0
+        self.re = jnp.asarray(re)
+        self.im = jnp.zeros((n, chi, 2, chi), dtype=jnp.float32)
+        self.center = 0
+        self.trunc_error = 0.0
+        self.key = key if key is not None else jax.random.PRNGKey(
+            0 if seed is None else seed)
+
+    # -- center management --------------------------------------------------
+
+    def _move_center(self, target: int) -> None:
+        while self.center < target:
+            self.re, self.im = _k_shift_right(self.re, self.im, self.center)
+            self.center += 1
+        while self.center > target:
+            self.re, self.im = _k_shift_left(self.re, self.im, self.center)
+            self.center -= 1
+
+    # -- gate application ---------------------------------------------------
+
+    def _apply_1q(self, u: np.ndarray, q: int) -> None:
+        u = np.asarray(u, dtype=np.complex128)
+        self.re, self.im = _k_apply_1q(
+            self.re, self.im,
+            jnp.asarray(u.real, dtype=jnp.float32),
+            jnp.asarray(u.imag, dtype=jnp.float32), q)
+
+    def _apply_2q_adj(self, u: np.ndarray, q: int) -> None:
+        self._move_center(q if self.center <= q else q + 1)
+        u = np.asarray(u, dtype=np.complex128)
+        self.re, self.im, disc = _k_apply_2q(
+            self.re, self.im,
+            jnp.asarray(u.real, dtype=jnp.float32),
+            jnp.asarray(u.imag, dtype=jnp.float32), q)
+        self.center = q + 1
+        self.trunc_error += float(disc)
+
+    def _apply_2q(self, u: np.ndarray, a: int, b: int) -> None:
+        """Sorted targets a < b; SWAP-route b down to a+1 and back."""
+        if b == a + 1:
+            self._apply_2q_adj(u, a)
+            return
+        for j in range(b - 1, a, -1):          # qubit b walks left to a+1
+            self._apply_2q_adj(_SWAP, j)
+        self._apply_2q_adj(u, a)
+        for j in range(a + 1, b):              # walk it back
+            self._apply_2q_adj(_SWAP, j)
+
+    def apply(self, gate_or_prims) -> "MPSSim":
+        prims = getattr(gate_or_prims, "prims", gate_or_prims)
+        if isinstance(prims, (Gate, Prim)):
+            prims = (prims,)
+        for p in prims:
+            if isinstance(p, Gate):
+                self.apply(p.prims)
+                continue
+            u = np.diag(p.u) if p.diag else np.asarray(p.u)
+            un, tgts = _sort_targets(np.asarray(u, dtype=np.complex128),
+                                     p.targets)
+            if len(tgts) == 1:
+                self._apply_1q(un, tgts[0])
+            elif len(tgts) == 2:
+                self._apply_2q(un, tgts[0], tgts[1])
+            else:
+                raise NotAdjacentError(
+                    f"MPS backend applies 1- and 2-qubit prims; got a "
+                    f"{len(tgts)}-qubit prim on {tgts}. Decompose it "
+                    f"(qelib1-style) before running on --backend mps.")
+        return self
+
+    # -- observables --------------------------------------------------------
+
+    def norm(self) -> float:
+        return math.sqrt(max(float(_k_norm2(self.re, self.im)), 0.0))
+
+    def expectation(self, pauli: str) -> float:
+        """<psi|P|psi> / <psi|psi> for a length-n I/X/Y/Z string."""
+        if len(pauli) != self.n or any(c not in _PAULI for c in pauli):
+            raise ValueError(f"bad Pauli string for n={self.n}: {pauli!r}")
+        ops = np.stack([_PAULI[c] for c in pauli])
+        val = _k_expect(self.re, self.im,
+                        jnp.asarray(ops.real, dtype=jnp.float32),
+                        jnp.asarray(ops.imag, dtype=jnp.float32))
+        n2 = float(_k_norm2(self.re, self.im))
+        return float(np.real(np.asarray(val))) / max(n2, 1e-30)
+
+    def amplitude(self, bits) -> complex:
+        """<bits|psi>; bits is an n-sequence of 0/1 (bits[0] = qubit 0)."""
+        bits = np.asarray(list(bits), dtype=np.int32)
+        if bits.shape != (self.n,):
+            raise ValueError("amplitude wants one bit per qubit")
+        return complex(np.asarray(
+            _k_amplitude(self.re, self.im, jnp.asarray(bits))))
+
+    def to_statevec(self) -> np.ndarray:
+        """Dense (2^n,) amplitudes (test oracle; n <= 14 guard)."""
+        if self.n > 14:
+            raise ValueError("to_statevec is O(2^n); n > 14 refused")
+        re = np.asarray(self.re, dtype=np.float64)
+        im = np.asarray(self.im, dtype=np.float64)
+        a = re + 1j * im
+        v = a[0, 0]                       # (2, chi)
+        for i in range(1, self.n):
+            v = np.einsum("...a,asb->...sb", v, a[i])
+        return v[..., 0].reshape(-1)
+
+    # -- measurement / sampling ---------------------------------------------
+
+    def sample(self, shots: int, key=None) -> np.ndarray:
+        """``shots`` independent full-register measurements
+        (non-destructive). (shots, n) uint8, column q = qubit q."""
+        if key is None:
+            self.key, key = jax.random.split(self.key)
+        envr, envi = _k_right_envs(self.re, self.im)
+        keys = jax.random.split(key, shots)
+        bits = _k_sample(self.re, self.im, envr, envi, keys)
+        return np.asarray(bits, dtype=np.uint8)
+
+    def prob_one(self, q: int) -> float:
+        """P(qubit q = 1)."""
+        pauli = "".join("Z" if i == q else "I" for i in range(self.n))
+        return (1.0 - self.expectation(pauli)) / 2.0
+
+    def measure_qubit(self, q: int) -> int:
+        """Projective mid-circuit measurement: draw, project, renormalize."""
+        p1 = min(max(self.prob_one(q), 0.0), 1.0)
+        self.key, sub = jax.random.split(self.key)
+        out = int(jax.random.uniform(sub) < p1)
+        proj = np.zeros((2, 2), dtype=complex)
+        proj[out, out] = 1.0
+        self._apply_1q(proj, q)
+        nrm = self.norm()
+        if nrm < 1e-15:
+            raise FloatingPointError("measurement collapsed to zero norm")
+        self.re, self.im = _k_scale_site(
+            self.re, self.im, self.center, jnp.float32(1.0 / nrm))
+        return out
+
+    def measure_qubits(self, qubits) -> list[int]:
+        return [self.measure_qubit(q) for q in qubits]
+
+    def reset(self, q: int) -> None:
+        out = self.measure_qubit(q)
+        if out:
+            self._apply_1q(_PAULI["X"], q)
+
+    def entanglement_entropy(self, bond: int) -> float:
+        """Von Neumann entropy (nats) across the cut between qubit
+        ``bond`` and ``bond+1``."""
+        if not 0 <= bond < self.n - 1:
+            raise ValueError("bond out of range")
+        self._move_center(bond)
+        chi = self.chi
+        a = np.asarray(self.re, dtype=np.float64)[bond] + \
+            1j * np.asarray(self.im, dtype=np.float64)[bond]
+        s = np.linalg.svd(a.reshape(chi * 2, chi), compute_uv=False)
+        p = s * s
+        tot = p.sum()
+        if tot <= 0:
+            return 0.0
+        p = p[p > 1e-14] / tot
+        return float(-(p * np.log(p)).sum())

@@ -111,10 +111,17 @@ class _Elaborator(Interpreter):
             self.ps.pos = stmt.pos
             self.run_stmt(stmt.stmt)
         elif isinstance(stmt, A.QRegDecl):
-            self.ps.add_qreg(stmt.name, stmt.size)
-            # replace the engine-allocated state with a placeholder: the
-            # compiled program owns one flat layout instead
-            self.ps.stvecs[stmt.name] = None
+            # register bookkeeping WITHOUT the engine's 2^n allocation
+            # (elaboration is static; the compiled program owns one flat
+            # layout, and the stabilizer/MPS backends run 100+-qubit
+            # programs where a dense zero state cannot exist at all)
+            from .progstate import QRegView
+
+            ps = self.ps
+            ps.check_name_conflict(stmt.name, ps.qregs)
+            ps.check_name_conflict(stmt.name, ps.stvecs)
+            ps.qregs[stmt.name] = QRegView(stmt.name, 0, stmt.size)
+            ps.stvecs[stmt.name] = None
             self.layout[stmt.name] = self.n
             self.n += stmt.size
         elif isinstance(stmt, A.Cond):

@@ -209,3 +209,46 @@ def test_stabilizer_backend_rejects_non_clifford(tmp_path, capsys):
     out = capsys.readouterr().out
     assert code == 1
     assert "stabilizer backend" in out and "Clifford" in out
+
+
+def test_mps_backend_flag(tmp_path, capsys):
+    f = tmp_path / "bell.qasm"
+    f.write_text("qreg q[2]; creg c[2];\n"
+                 "U(pi/2,0,pi) q[0]; CX q[0],q[1];\n"
+                 "measure q -> c;\n")
+    code = eval_file(str(f), seed=0, backend="mps", shots=64,
+                     dump_state=True, chi=4)
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "Done." in out
+    assert "mps backend" in out and "chi=4" in out
+    # post-measurement: counts concentrate on one of |00>, |11>
+    assert ("|00>: 64" in out) or ("|11>: 64" in out)
+
+
+def test_mps_backend_nonclifford_ok(tmp_path, capsys):
+    # T gates are fine on the MPS backend (unlike --backend stabilizer)
+    f = tmp_path / "t.qasm"
+    f.write_text("qreg q[1];\n"
+                 "U(pi/2,0,pi) q[0]; U(0,0,pi/4) q[0]; U(pi/2,0,pi) q[0];\n")
+    code = eval_file(str(f), seed=0, backend="mps", shots=200, chi=2)
+    out = capsys.readouterr().out
+    assert code == 0 and "Done." in out
+    # |<0|HTH|0>|^2 = cos^2(pi/8) ~ 0.854
+    import re
+    m = dict(re.findall(r"\|(\d)>: (\d+)", out))
+    assert int(m.get("0", 0)) > 130
+
+
+def test_large_n_programs_skip_dense_allocation(tmp_path, capsys):
+    """qreg declarations must not allocate 2^n during elaboration: a
+    64-qubit GHZ runs on the stabilizer and mps backends."""
+    f = tmp_path / "ghz64.qasm"
+    lines = ["qreg q[64];", "U(pi/2,0,pi) q[0];"]
+    lines += [f"CX q[{i}],q[{i + 1}];" for i in range(63)]
+    f.write_text("\n".join(lines) + "\n")
+    for backend, kw in (("stabilizer", {}), ("mps", {"chi": 4})):
+        code = eval_file(str(f), seed=0, backend=backend, shots=32, **kw)
+        out = capsys.readouterr().out
+        assert code == 0 and "Done." in out, (backend, out)
+        assert ("|" + "0" * 64 + ">") in out or ("|" + "1" * 64 + ">") in out

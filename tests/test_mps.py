@@ -1,0 +1,188 @@
+"""MPS engine vs the dense state-vector oracle."""
+
+import numpy as np
+import pytest
+
+import qubism_tpu as qt
+from qubism_tpu.core.gates import Prim
+from qubism_tpu.mps import MPSProgram, MPSSim, NotAdjacentError
+
+_H = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+_X = np.array([[0, 1], [1, 0]], dtype=complex)
+_CX = np.eye(4, dtype=complex)[[0, 1, 3, 2]]
+
+
+def _haar(k, rng):
+    m = rng.normal(size=(k, k)) + 1j * rng.normal(size=(k, k))
+    q, r = np.linalg.qr(m)
+    return q * (np.diag(r) / np.abs(np.diag(r)))
+
+
+def _random_prims(n, depth, rng, two_q_prob=0.5):
+    prims = []
+    for _ in range(depth):
+        if n >= 2 and rng.random() < two_q_prob:
+            a, b = rng.choice(n, size=2, replace=False)
+            prims.append(Prim(_haar(4, rng), (int(a), int(b))))
+        else:
+            q = int(rng.integers(n))
+            prims.append(Prim(_haar(2, rng), (q,)))
+    return prims
+
+
+def _dense(n, prims):
+    sv = qt.mk_state_vec(n)
+    for p in prims:
+        sv = qt.Gate(n, [p])(sv)
+    return sv.amps
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_circuit_matches_dense(seed):
+    rng = np.random.default_rng(seed)
+    n = 5
+    prims = _random_prims(n, 20, rng)
+    sim = MPSSim(n, chi=1 << (n // 2 + 1), seed=seed).apply(prims)
+    got = sim.to_statevec()
+    want = _dense(n, prims)
+    assert np.linalg.norm(got - want) < 2e-4
+    assert sim.trunc_error < 1e-9
+
+
+def test_expectation_and_amplitude_match_dense():
+    rng = np.random.default_rng(9)
+    n = 4
+    prims = _random_prims(n, 15, rng)
+    sim = MPSSim(n, chi=8, seed=9).apply(prims)
+    amps = _dense(n, prims)
+    for bits, idx in (((0,) * n, 0), ((1,) * n, (1 << n) - 1),
+                      ((0, 1, 0, 1), 0b0101)):
+        assert abs(sim.amplitude(bits) - amps[idx]) < 1e-4
+    sv = qt.StateVec.from_amplitudes(amps)
+    for pauli in ("ZZZZ", "XIXI", "IYYI", "ZXYZ"):
+        assert abs(sim.expectation(pauli) - sv.expectation(pauli)) < 1e-4
+
+
+def test_sampling_distribution_chi2():
+    rng = np.random.default_rng(21)
+    n = 4
+    prims = _random_prims(n, 18, rng)
+    sim = MPSSim(n, chi=8, seed=21).apply(prims)
+    probs = np.abs(_dense(n, prims)) ** 2
+    shots = 4000
+    bits = sim.sample(shots)
+    idx = (bits.astype(np.int64) * (1 << np.arange(n - 1, -1, -1))).sum(1)
+    counts = np.bincount(idx, minlength=1 << n)
+    live = probs > 1e-9
+    expected = probs[live] * shots
+    chi2 = (((counts[live] - expected) ** 2) / expected).sum()
+    dof = live.sum() - 1
+    assert chi2 < dof + 3.1 * np.sqrt(2 * dof) + 4, (chi2, dof)
+    assert (counts[~live] == 0).all()
+
+
+def test_mid_circuit_measurement_ghz():
+    n = 8
+    prims = [Prim(_H, (0,))] + [Prim(_CX, (q, q + 1)) for q in range(n - 1)]
+    sim = MPSSim(n, chi=4, seed=3).apply(prims)
+    out = sim.measure_qubit(0)
+    # perfectly correlated: every remaining qubit yields the same outcome
+    assert sim.measure_qubits(range(1, n)) == [out] * (n - 1)
+    assert abs(sim.norm() - 1.0) < 1e-4
+
+
+def test_reset_projects_to_zero():
+    sim = MPSSim(3, chi=4, seed=5).apply(
+        [Prim(_H, (0,)), Prim(_CX, (0, 1)), Prim(_X, (2,))])
+    sim.reset(1)
+    assert sim.prob_one(1) < 1e-6
+    assert sim.prob_one(2) > 1 - 1e-6
+
+
+def test_hundred_qubit_ghz():
+    n = 100
+    prims = [Prim(_H, (0,))] + [Prim(_CX, (q, q + 1)) for q in range(n - 1)]
+    sim = MPSSim(n, chi=4, seed=7).apply(prims)
+    assert sim.trunc_error == 0.0
+    assert abs(sim.norm() - 1.0) < 1e-3
+    assert abs(sim.expectation("Z" * n) - 1.0) < 1e-3  # parity of GHZ
+    assert abs(sim.entanglement_entropy(49) - np.log(2)) < 1e-3
+    bits = sim.sample(256)
+    assert bits.shape == (256, n)
+    assert (bits == bits[:, :1]).all()
+    frac = bits[:, 0].mean()
+    assert 0.35 < frac < 0.65
+
+
+def test_truncation_degrades_gracefully():
+    rng = np.random.default_rng(31)
+    n = 6
+    prims = _random_prims(n, 40, rng, two_q_prob=0.8)
+    exact = MPSSim(n, chi=8, seed=0).apply(prims)
+    assert exact.trunc_error < 1e-9
+    lossy = MPSSim(n, chi=2, seed=0).apply(prims)
+    assert lossy.trunc_error > 1e-4          # it noticed
+    assert abs(lossy.norm() - 1.0) < 1e-3    # but stayed normalized
+
+
+def test_entropy_matches_statevec():
+    rng = np.random.default_rng(41)
+    n = 6
+    prims = _random_prims(n, 25, rng)
+    sim = MPSSim(n, chi=8, seed=0).apply(prims)
+    sv = qt.StateVec.from_amplitudes(_dense(n, prims))
+    for bond in (1, 2, 4):
+        want = sv.entanglement_entropy(tuple(range(bond + 1)))
+        assert abs(sim.entanglement_entropy(bond) - want) < 1e-3, bond
+
+
+def test_wide_prim_rejected():
+    ccx = np.eye(8, dtype=complex)
+    ccx[6:, 6:] = np.array([[0, 1], [1, 0]])
+    with pytest.raises(NotAdjacentError):
+        MPSSim(3, chi=4).apply([Prim(ccx, (0, 1, 2))])
+
+
+def test_qasm_program_teleportation():
+    """End-to-end QASM on the MPS backend: mid-circuit measurement +
+    feed-forward; teleported state must be deterministic |1>."""
+    from qubism_tpu.qasm.parser import parse_openqasm
+    src = """OPENQASM 2.0;
+include "examples/qelib1.inc";
+qreg q[3];
+creg c0[1];
+creg c1[1];
+creg c2[1];
+x q[0];
+h q[1];
+cx q[1],q[2];
+cx q[0],q[1];
+h q[0];
+measure q[0] -> c0[0];
+measure q[1] -> c1[0];
+if (c1 == 1) x q[2];
+if (c0 == 1) z q[2];
+measure q[2] -> c2[0];
+"""
+    for seed in range(4):
+        prog = MPSProgram(parse_openqasm("<test>", src), chi=4)
+        _, cregs = prog.run(seed=seed)
+        assert cregs["c2"].to_natural() == 1, seed
+
+
+def test_qasm_dump_writer():
+    from qubism_tpu.qasm.parser import parse_openqasm
+    src = """OPENQASM 2.0;
+include "examples/qelib1.inc";
+qreg q[2];
+h q[0];
+cx q[0],q[1];
+"""
+    dumps = []
+    prog = MPSProgram(parse_openqasm("<test>", src), chi=4)
+    # inject a dump event by re-parsing with the dump pragma if supported;
+    # otherwise drive _pretty directly
+    sim, cregs = prog.run(seed=0)
+    text = prog._pretty(sim, cregs)
+    assert "mps backend" in text and "chi=4" in text
+    assert "trunc_error" in text
