@@ -43,4 +43,5 @@ from .trajectories import (  # noqa: F401
     trajectory_expectation,
     trajectory_pauli_sum,
     trajectory_probs,
+    trajectory_sample,
 )

@@ -41,6 +41,7 @@ __all__ = [
     "trajectory_expectation",
     "trajectory_pauli_sum",
     "trajectory_probs",
+    "trajectory_sample",
 ]
 
 
@@ -186,6 +187,29 @@ def trajectory_pauli_sum(planes, terms, n: int, constant: float = 0.0):
 
     mean, se = _mean_stderr(jax.jit(jax.vmap(one))(planes[0], planes[1]))
     return mean + constant, se
+
+
+def trajectory_sample(planes, key=None, seed: int = 0) -> np.ndarray:
+    """One full-register measurement record per trajectory (the standard
+    MCWF readout: the shot ensemble converges to sampling the averaged
+    rho). Returns (T, n) uint8, column q = qubit q (qubit 0 = most
+    significant basis bit). One vmapped inverse-CDF dispatch."""
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    re, im = planes
+    t, size = re.shape
+    n = size.bit_length() - 1
+    keys = jax.random.split(key, t)
+
+    def one(r, i, k):
+        cdf = jnp.cumsum(r * r + i * i)
+        u = jax.random.uniform(k) * cdf[-1]
+        return jnp.searchsorted(cdf, u, side="right")
+
+    idx = jax.jit(jax.vmap(one))(re, im, keys)
+    idx = np.asarray(idx, dtype=np.int64)
+    shifts = n - 1 - np.arange(n)
+    return ((idx[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
 
 
 def trajectory_probs(planes) -> np.ndarray:

@@ -359,6 +359,25 @@ class MPSSim:
         n2 = float(_k_norm2(self.re, self.im))
         return float(np.real(np.asarray(val))) / max(n2, 1e-30)
 
+    def expectation_sum(self, terms) -> float:
+        """<H> for H = sum coef * P: ALL Pauli strings ride one vmapped
+        transfer-scan dispatch (ops stacked (k, n, 2, 2))."""
+        coefs = []
+        ops = []
+        for coef, pauli in terms:
+            if len(pauli) != self.n or any(c not in _PAULI for c in pauli):
+                raise ValueError(
+                    f"bad Pauli string for n={self.n}: {pauli!r}")
+            coefs.append(float(coef))
+            ops.append(np.stack([_PAULI[c] for c in pauli]))
+        ops = np.stack(ops)                     # (k, n, 2, 2)
+        vals = jax.vmap(
+            lambda opr, opi: _k_expect(self.re, self.im, opr, opi)
+        )(jnp.asarray(ops.real, dtype=jnp.float32),
+          jnp.asarray(ops.imag, dtype=jnp.float32))
+        n2 = max(float(_k_norm2(self.re, self.im)), 1e-30)
+        return float(np.real(np.asarray(vals)) @ np.asarray(coefs)) / n2
+
     def amplitude(self, bits) -> complex:
         """<bits|psi>; bits is an n-sequence of 0/1 (bits[0] = qubit 0)."""
         bits = np.asarray(list(bits), dtype=np.int32)

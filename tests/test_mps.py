@@ -186,3 +186,14 @@ cx q[0],q[1];
     text = prog._pretty(sim, cregs)
     assert "mps backend" in text and "chi=4" in text
     assert "trunc_error" in text
+
+
+def test_expectation_sum_matches_dense():
+    rng = np.random.default_rng(51)
+    n = 4
+    prims = _random_prims(n, 15, rng)
+    sim = MPSSim(n, chi=8, seed=0).apply(prims)
+    sv = qt.StateVec.from_amplitudes(_dense(n, prims))
+    terms = [(0.5, "ZZII"), (-0.25, "XIXI"), (1.5, "IYYI"), (0.3, "ZXYZ")]
+    want = sum(c * sv.expectation(p) for c, p in terms)
+    assert abs(sim.expectation_sum(terms) - want) < 1e-3

@@ -141,3 +141,18 @@ def test_gate_objects_accepted_in_program():
     mean, se = trajectory_expectation(planes, "ZZ", n)
     # phase damping never flips Z: ZZ stays exactly +1 on every trajectory
     assert abs(mean - 1.0) < 1e-5
+
+
+def test_trajectory_sample_distribution():
+    chan = depolarizing(0.25)
+    prog = _bell_prims() + [ChannelOp(chan, (0,))]
+    planes = run_trajectories(2, prog, ntraj=4000, seed=23)
+    rho = DensityMatrix(2).apply(_bell_prims()).apply_channel(chan, (0,))
+    from qubism_tpu.models.trajectories import trajectory_sample
+    bits = trajectory_sample(planes, seed=1)
+    assert bits.shape == (4000, 2)
+    idx = bits[:, 0] * 2 + bits[:, 1]
+    counts = np.bincount(idx, minlength=4)
+    expected = rho.probs() * 4000
+    chi2 = (((counts - expected) ** 2) / np.maximum(expected, 1e-9)).sum()
+    assert chi2 < 25, (counts, expected)
