@@ -477,6 +477,53 @@ def main():
             log(f"variational probe failed: {type(e).__name__}: {str(e)[:200]}")
             extra["qaoa20_adjoint_vg_s"] = None
 
+    # alternative-engine probes (no reference analogue / no baseline bar;
+    # documents the measured speed of the Clifford + MPS regimes)
+    try:
+        import numpy as _np
+
+        from qubism_tpu.core.gates import Prim
+        from qubism_tpu.stabilizer import StabilizerSim
+
+        _sh = (_np.array([[1, 1], [1, -1]]) / _np.sqrt(2)).astype(complex)
+        _scx = _np.eye(4)[[0, 1, 3, 2]].astype(complex)
+        n_st = 1000
+        sim = StabilizerSim(n_st, seed=0).apply(
+            [Prim(_sh, (0,))] + [Prim(_scx, (q, q + 1))
+                                 for q in range(n_st - 1)])
+        bits = sim.sample(16)  # warm (elimination + matmul compile)
+        t0 = time.time()
+        bits = sim.sample(8192)
+        dt = time.time() - t0
+        ok = bool((bits == bits[:, :1]).all()
+                  and 0.45 < bits[:, 0].mean() < 0.55)
+        extra["stab1000q_8192shots_s"] = round(dt, 3)
+        extra["stab1000q_ghz_ok"] = ok
+    except Exception as e:
+        log(f"stabilizer probe failed: {type(e).__name__}: {str(e)[:200]}")
+        extra["stab1000q_8192shots_s"] = None
+    try:
+        import numpy as _np
+
+        from qubism_tpu.core.gates import Prim
+        from qubism_tpu.mps import MPSSim
+
+        _h = _np.array([[1, 1], [1, -1]]) / _np.sqrt(2)
+        _cx = _np.eye(4)[[0, 1, 3, 2]].astype(complex)
+        t0 = time.time()
+        msim = MPSSim(40, chi=4, seed=0).apply(
+            [Prim(_h.astype(complex), (0,))]
+            + [Prim(_cx, (q, q + 1)) for q in range(39)])
+        bits = msim.sample(512)
+        dt = time.time() - t0
+        ok = bool(msim.trunc_error == 0.0 and (bits == bits[:, :1]).all()
+                  and 0.35 < bits[:, 0].mean() < 0.65)
+        extra["mps40q_ghz_sample_s"] = round(dt, 3)
+        extra["mps40q_ghz_ok"] = ok
+    except Exception as e:
+        log(f"mps probe failed: {type(e).__name__}: {str(e)[:200]}")
+        extra["mps40q_ghz_sample_s"] = None
+
     if extra.get("qft30_actual_s"):
         value = extra["qft30_actual_s"]
         metric = "qft30_wallclock"

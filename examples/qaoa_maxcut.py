@@ -6,6 +6,11 @@ variational loop the reference engine could not express.
 Run from the repo root:  python examples/qaoa_maxcut.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from qubism_tpu.models import (energy_fn, maxcut_terms, qaoa_maxcut_ansatz,

@@ -8,6 +8,11 @@ measurement and classical feed-forward.
 Run:  python examples/teleportation.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import qubism_tpu as qt

@@ -9,6 +9,11 @@ jit-compiled ``lax.scan`` device program.
 Run from the repo root:  python examples/vqe_h2.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from qubism_tpu.models import energy_fn, hea_ansatz, vqe_minimize

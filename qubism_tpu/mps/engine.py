@@ -10,16 +10,19 @@ program surface (QASM via ``--backend mps``, DSL prims) the way
 TPU-native choices:
 
 * **Static shapes, dynamic sites.** All n site tensors live in ONE
-  stacked (n, chi, 2, chi) buffer (split float32 re/im planes at rest —
-  the engine-wide convention; complex64 exists only inside jit). Bond
-  dimensions are padded to a fixed ``chi``, so every kernel compiles
-  ONCE per (n, chi) and serves any site via ``lax.dynamic_slice`` —
-  no per-site recompilation through the remote-compile tunnel.
+  stacked (n, chi, 2, chi) buffer of split float32 re/im planes — the
+  engine-wide convention, and on this TPU runtime a hard requirement:
+  complex dtypes are UNIMPLEMENTED on device (even ``conj``), so every
+  kernel here is pure split-real arithmetic. Bond dimensions are padded
+  to a fixed ``chi``, so every kernel compiles ONCE per (n, chi) and
+  serves any site via ``lax.dynamic_slice`` — no per-site recompilation
+  through the remote-compile tunnel.
 * **Gate application is contract -> SVD -> truncate** on the
-  orthogonality center (host-tracked integer; QR shift kernels move
-  it), keeping local truncation globally optimal. SVD/QR run on device
-  (XLA batches them fine at these sizes); the (chi*2, chi*2) theta
-  contraction is an MXU matmul.
+  orthogonality center (host-tracked integer; SVD shift kernels move
+  it), keeping local truncation globally optimal. The SVDs run on
+  device as a split-real one-sided Jacobi (``_svd.jacobi_svd`` — XLA's
+  complex svd/qr custom calls don't exist on this backend); the
+  (chi*2, chi*2) theta contraction is an MXU matmul.
 * **Sampling / expectations are EXACT transfer contractions** via
   `lax.scan` over the stacked tensor — one scan builds the right
   environment stack, then shots vmap over it (per-shot cost O(n chi^2),
@@ -46,6 +49,7 @@ from jax import lax
 
 from ..core.gates import Gate, Prim
 from ..ops.apply import _sort_targets
+from ._svd import jacobi_svd
 
 __all__ = ["MPSSim", "NotAdjacentError"]
 
@@ -56,25 +60,29 @@ class NotAdjacentError(ValueError):
     """Raised for k>2-qubit prims the MPS backend cannot route."""
 
 
-def _cplx(re, im):
-    return re.astype(jnp.complex64) + 1j * im.astype(jnp.complex64)
-
-
-def _split(c):
-    return jnp.real(c).astype(jnp.float32), jnp.imag(c).astype(jnp.float32)
-
-
 def _site(re, im, q, chi):
+    """Site q's tensor as a split (re, im) pair of (chi, 2, chi) planes."""
     a = lax.dynamic_slice(re, (q, 0, 0, 0), (1, chi, 2, chi))[0]
     b = lax.dynamic_slice(im, (q, 0, 0, 0), (1, chi, 2, chi))[0]
-    return _cplx(a, b)
+    return a, b
 
 
-def _put(re, im, q, t):
-    tr, ti = _split(t)
+def _put(re, im, q, tr, ti):
     re = lax.dynamic_update_slice(re, tr[None], (q, 0, 0, 0))
     im = lax.dynamic_update_slice(im, ti[None], (q, 0, 0, 0))
     return re, im
+
+
+def _ce(spec, ar, ai, br, bi):
+    """Complex einsum in split-real planes (this TPU runtime implements
+    NO complex ops — see _svd.py): (a_r + i a_i) x (b_r + i b_i).
+    precision=HIGHEST: TPU matmuls default to bf16 MXU passes, which
+    drifts amplitudes ~1e-4 (the engine-wide einsum rule, ops/apply.py)."""
+    hi = lax.Precision.HIGHEST
+    return (jnp.einsum(spec, ar, br, precision=hi)
+            - jnp.einsum(spec, ai, bi, precision=hi),
+            jnp.einsum(spec, ar, bi, precision=hi)
+            + jnp.einsum(spec, ai, br, precision=hi))
 
 
 # ---------------------------------------------------------------------------
@@ -85,130 +93,159 @@ def _put(re, im, q, t):
 @jax.jit
 def _k_apply_1q(re, im, ur, ui, q):
     chi = re.shape[1]
-    a = _site(re, im, q, chi)
-    u = _cplx(ur, ui)
-    out = jnp.einsum("ts,asb->atb", u, a)
-    return _put(re, im, q, out)
+    ar, ai = _site(re, im, q, chi)
+    or_, oi_ = _ce("ts,asb->atb", ur, ui, ar, ai)
+    return _put(re, im, q, or_, oi_)
 
 
 @jax.jit
 def _k_apply_2q(re, im, ur, ui, q):
     """Dense 4x4 on adjacent sites (q, q+1); truncating SVD back to chi.
     Returns (re, im, discarded_weight). Renormalizes the kept spectrum
-    so the state norm is preserved under truncation."""
+    so the state norm is preserved under truncation. The SVD is the
+    split-real on-device Jacobi (``_svd.jacobi_svd``)."""
     chi = re.shape[1]
-    a = _site(re, im, q, chi)
-    b = _site(re, im, q + 1, chi)
-    u = _cplx(ur, ui)
-    theta = jnp.einsum("asc,ctb->astb", a, b).reshape(chi, 4, chi)
-    theta = jnp.einsum("pq,aqb->apb", u, theta)
-    m = theta.reshape(chi, 2, 2, chi).reshape(chi * 2, 2 * chi)
-    uu, s, vh = jnp.linalg.svd(m, full_matrices=False)
+    ar, ai = _site(re, im, q, chi)
+    br, bi = _site(re, im, q + 1, chi)
+    thr, thi = _ce("asc,ctb->astb", ar, ai, br, bi)
+    thr = thr.reshape(chi, 4, chi)
+    thi = thi.reshape(chi, 4, chi)
+    thr, thi = _ce("pq,aqb->apb", ur, ui, thr, thi)
+    mr = thr.reshape(chi * 2, 2 * chi)
+    mi = thi.reshape(chi * 2, 2 * chi)
+    uur, uui, s, vvr, vvi = jacobi_svd(mr, mi)
     s1 = s[:chi]
     kept = jnp.sum(s1 * s1)
-    disc = jnp.sum(s * s) - kept
+    tot = jnp.sum(s * s)
+    disc = tot - kept
     scale = lax.rsqrt(jnp.maximum(kept, 1e-30)) * jnp.sqrt(
-        jnp.maximum(jnp.sum(s * s), 1e-30))
-    a2 = uu[:, :chi].reshape(chi, 2, chi)
-    b2 = (scale * s1[:, None] * vh[:chi, :]).reshape(chi, 2, chi)
-    re, im = _put(re, im, q, a2)
-    re, im = _put(re, im, q + 1, b2)
+        jnp.maximum(tot, 1e-30))
+    a2r = uur[:, :chi].reshape(chi, 2, chi)
+    a2i = uui[:, :chi].reshape(chi, 2, chi)
+    # b2 = scale * diag(s1) V^H[:chi, :]  (V^H row k = conj(V[:, k]))
+    b2r = (scale * s1[:, None] * vvr[:, :chi].T).reshape(chi, 2, chi)
+    b2i = (-scale * s1[:, None] * vvi[:, :chi].T).reshape(chi, 2, chi)
+    re, im = _put(re, im, q, a2r, a2i)
+    re, im = _put(re, im, q + 1, b2r, b2i)
     return re, im, disc
 
 
 @jax.jit
 def _k_shift_right(re, im, c):
-    """QR at site c; absorb R into site c+1 (center c -> c+1)."""
+    """Canonicalize site c as an isometry via SVD (A = U diag(s) V^H);
+    absorb diag(s) V^H into site c+1 (center c -> c+1)."""
     chi = re.shape[1]
-    a = _site(re, im, c, chi)
-    qm, r = jnp.linalg.qr(a.reshape(chi * 2, chi))
-    b = _site(re, im, c + 1, chi)
-    b2 = jnp.einsum("ac,csb->asb", r, b)
-    re, im = _put(re, im, c, qm.reshape(chi, 2, chi))
-    return _put(re, im, c + 1, b2)
+    ar, ai = _site(re, im, c, chi)
+    uur, uui, s, vvr, vvi = jacobi_svd(ar.reshape(chi * 2, chi),
+                                       ai.reshape(chi * 2, chi))
+    absr = s[:, None] * vvr.T           # diag(s) V^H
+    absi = -(s[:, None] * vvi.T)
+    br, bi = _site(re, im, c + 1, chi)
+    b2r, b2i = _ce("ac,csb->asb", absr, absi, br, bi)
+    re, im = _put(re, im, c, uur.reshape(chi, 2, chi),
+                  uui.reshape(chi, 2, chi))
+    return _put(re, im, c + 1, b2r, b2i)
 
 
 @jax.jit
 def _k_shift_left(re, im, c):
-    """LQ at site c (QR of the dagger); absorb L into site c-1."""
+    """Mirror of _k_shift_right: SVD of A^H gives A = V diag(s) U^H;
+    site c becomes the row-isometry U^H, V diag(s) absorbs left."""
     chi = re.shape[1]
-    a = _site(re, im, c, chi)
-    qm, r = jnp.linalg.qr(a.reshape(chi, 2 * chi).conj().T)
-    lmat = r.conj().T                     # (chi, chi); a = lmat @ qm^H
-    b = _site(re, im, c - 1, chi)
-    b2 = jnp.einsum("asb,bc->asc", b, lmat)
-    re, im = _put(re, im, c, qm.conj().T.reshape(chi, 2, chi))
-    return _put(re, im, c - 1, b2)
+    ar, ai = _site(re, im, c, chi)
+    # A is (chi, 2chi); Jacobi orthogonalizes columns, so run it on A^H.
+    uur, uui, s, vvr, vvi = jacobi_svd(ar.reshape(chi, 2 * chi).T,
+                                       -(ai.reshape(chi, 2 * chi).T))
+    q2r = uur.T.reshape(chi, 2, chi)    # U^H
+    q2i = -(uui.T.reshape(chi, 2, chi))
+    lr = vvr * s[None, :]               # L = V diag(s)
+    li = vvi * s[None, :]
+    br, bi = _site(re, im, c - 1, chi)
+    b2r, b2i = _ce("asb,bc->asc", br, bi, lr, li)
+    re, im = _put(re, im, c, q2r, q2i)
+    return _put(re, im, c - 1, b2r, b2i)
 
 
 @jax.jit
 def _k_norm2(re, im):
     """<psi|psi> by exact transfer contraction (e0 boundaries)."""
     chi = re.shape[1]
-    e0 = jnp.zeros((chi, chi), dtype=jnp.complex64).at[0, 0].set(1)
+    e0r = jnp.zeros((chi, chi), dtype=jnp.float32).at[0, 0].set(1)
+    e0i = jnp.zeros((chi, chi), dtype=jnp.float32)
 
     def step(env, planes):
-        a = _cplx(planes[0], planes[1])
-        env = jnp.einsum("asb,aA,Asc->bc", a.conj(), env, a)
-        return env, None
+        er, ei = env
+        ar, ai = planes
+        tr, ti = _ce("aA,Asc->asc", er, ei, ar, ai)
+        er, ei = _ce("asb,asc->bc", ar, -ai, tr, ti)   # a^H from the left
+        return (er, ei), None
 
-    env, _ = lax.scan(step, e0, (re, im))
-    return jnp.real(env[0, 0])
+    (er, _), _ = lax.scan(step, (e0r, e0i), (re, im))
+    return er[0, 0]
 
 
 @jax.jit
 def _k_scale_site(re, im, q, s):
     chi = re.shape[1]
-    return _put(re, im, q, _site(re, im, q, chi) * s.astype(jnp.complex64))
+    ar, ai = _site(re, im, q, chi)
+    return _put(re, im, q, ar * s, ai * s)
 
 
 @jax.jit
 def _k_expect(re, im, opr, opi):
-    """<psi| prod_i O_i |psi> for per-site 2x2 ops stacked (n, 2, 2)."""
+    """<psi| prod_i O_i |psi> for per-site 2x2 ops stacked (n, 2, 2).
+    Returns the (re, im) pair of the scalar."""
     chi = re.shape[1]
-    e0 = jnp.zeros((chi, chi), dtype=jnp.complex64).at[0, 0].set(1)
+    e0r = jnp.zeros((chi, chi), dtype=jnp.float32).at[0, 0].set(1)
+    e0i = jnp.zeros((chi, chi), dtype=jnp.float32)
 
     def step(env, inp):
+        er, ei = env
         ar, ai, o_r, o_i = inp
-        a = _cplx(ar, ai)
-        o = _cplx(o_r, o_i)
-        env = jnp.einsum("asb,st,aA,Atc->bc", a.conj(), o, env, a)
-        return env, None
+        tr, ti = _ce("aA,Atc->atc", er, ei, ar, ai)
+        tr, ti = _ce("st,atc->asc", o_r, o_i, tr, ti)
+        er, ei = _ce("asb,asc->bc", ar, -ai, tr, ti)
+        return (er, ei), None
 
-    env, _ = lax.scan(step, e0, (re, im, opr, opi))
-    return env[0, 0]
+    (er, ei), _ = lax.scan(step, (e0r, e0i), (re, im, opr, opi))
+    return er[0, 0], ei[0, 0]
 
 
 @jax.jit
 def _k_amplitude(re, im, bits):
-    """<bits|psi> (bits (n,) int32, site order = qubit order)."""
+    """<bits|psi> (bits (n,) int32, site order = qubit order).
+    Returns the (re, im) pair of the scalar."""
     chi = re.shape[1]
-    v = jnp.zeros(chi, dtype=jnp.complex64).at[0].set(1)
+    v0r = jnp.zeros(chi, dtype=jnp.float32).at[0].set(1)
+    v0i = jnp.zeros(chi, dtype=jnp.float32)
 
     def step(v, inp):
+        vr, vi = v
         ar, ai, s = inp
-        a = _cplx(ar, ai)
-        return jnp.einsum("a,ab->b", v, a[:, s, :]), None
+        return _ce("a,ab->b", vr, vi, ar[:, s, :], ai[:, s, :]), None
 
-    v, _ = lax.scan(step, v, (re, im, bits))
-    return v[0]
+    (vr, vi), _ = lax.scan(step, (v0r, v0i), (re, im, bits))
+    return vr[0], vi[0]
 
 
 @jax.jit
 def _k_right_envs(re, im):
     """Stack of right environments: env[i] = contraction of sites
     i+1..n-1 with the e0 boundary — env[i][b,b'] so that
-    p(prefix) = v env v^H. (n, chi, chi) complex split planes."""
+    p(prefix) = v env v^H. (n, chi, chi) split planes."""
     chi = re.shape[1]
-    e0 = jnp.zeros((chi, chi), dtype=jnp.complex64).at[0, 0].set(1)
+    e0r = jnp.zeros((chi, chi), dtype=jnp.float32).at[0, 0].set(1)
+    e0i = jnp.zeros((chi, chi), dtype=jnp.float32)
 
     def step(env, planes):
-        a = _cplx(planes[0], planes[1])
-        new = jnp.einsum("asb,bB,AsB->aA", a, env, a.conj())
-        return new, env
+        er, ei = env
+        ar, ai = planes
+        tr, ti = _ce("asb,bB->asB", ar, ai, er, ei)
+        nr, ni = _ce("asB,AsB->aA", tr, ti, ar, -ai)   # x a^H on the right
+        return (nr, ni), (er, ei)
 
-    _, envs = lax.scan(step, e0, (re, im), reverse=True)
-    return _split(envs)
+    _, (envr, envi) = lax.scan(step, (e0r, e0i), (re, im), reverse=True)
+    return envr, envi
 
 
 @jax.jit
@@ -220,26 +257,31 @@ def _k_sample(re, im, envr, envi, keys):
     chi = re.shape[1]
 
     def one(key):
-        v0 = jnp.zeros(chi, dtype=jnp.complex64).at[0].set(1)
+        v0r = jnp.zeros(chi, dtype=jnp.float32).at[0].set(1)
+        v0i = jnp.zeros(chi, dtype=jnp.float32)
+
+        def prob(wr, wi, er, ei):
+            # Re( w^T env conj(w) )
+            tr, ti = _ce("b,bB->B", wr, wi, er, ei)
+            return jnp.sum(tr * wr + ti * wi)
 
         def step(carry, inp):
-            v, key = carry
+            vr, vi, key = carry
             ar, ai, er, ei = inp
-            a = _cplx(ar, ai)
-            env = _cplx(er, ei)
-            w0 = jnp.einsum("a,ab->b", v, a[:, 0, :])
-            w1 = jnp.einsum("a,ab->b", v, a[:, 1, :])
-            p0 = jnp.real(jnp.einsum("b,bB,B->", w0, env, w0.conj()))
-            p1 = jnp.real(jnp.einsum("b,bB,B->", w1, env, w1.conj()))
+            w0r, w0i = _ce("a,ab->b", vr, vi, ar[:, 0, :], ai[:, 0, :])
+            w1r, w1i = _ce("a,ab->b", vr, vi, ar[:, 1, :], ai[:, 1, :])
+            p0 = prob(w0r, w0i, er, ei)
+            p1 = prob(w1r, w1i, er, ei)
             key, sub = jax.random.split(key)
             u = jax.random.uniform(sub)
             bit = (u * (p0 + p1) >= p0).astype(jnp.uint8)
-            w = jnp.where(bit == 1, w1, w0)
+            wr = jnp.where(bit == 1, w1r, w0r)
+            wi = jnp.where(bit == 1, w1i, w0i)
             p = jnp.where(bit == 1, p1, p0)
-            v = w * lax.rsqrt(jnp.maximum(p, 1e-30))
-            return (v, key), bit
+            inv = lax.rsqrt(jnp.maximum(p, 1e-30))
+            return (wr * inv, wi * inv, key), bit
 
-        (_, _), bits = lax.scan(step, (v0, key), (re, im, envr, envi))
+        _, bits = lax.scan(step, (v0r, v0i, key), (re, im, envr, envi))
         return bits
 
     return jax.vmap(one)(keys)
@@ -353,11 +395,11 @@ class MPSSim:
         if len(pauli) != self.n or any(c not in _PAULI for c in pauli):
             raise ValueError(f"bad Pauli string for n={self.n}: {pauli!r}")
         ops = np.stack([_PAULI[c] for c in pauli])
-        val = _k_expect(self.re, self.im,
-                        jnp.asarray(ops.real, dtype=jnp.float32),
-                        jnp.asarray(ops.imag, dtype=jnp.float32))
+        val_re, _ = _k_expect(self.re, self.im,
+                              jnp.asarray(ops.real, dtype=jnp.float32),
+                              jnp.asarray(ops.imag, dtype=jnp.float32))
         n2 = float(_k_norm2(self.re, self.im))
-        return float(np.real(np.asarray(val))) / max(n2, 1e-30)
+        return float(np.asarray(val_re)) / max(n2, 1e-30)
 
     def expectation_sum(self, terms) -> float:
         """<H> for H = sum coef * P: ALL Pauli strings ride one vmapped
@@ -371,20 +413,20 @@ class MPSSim:
             coefs.append(float(coef))
             ops.append(np.stack([_PAULI[c] for c in pauli]))
         ops = np.stack(ops)                     # (k, n, 2, 2)
-        vals = jax.vmap(
+        vals_re, _ = jax.vmap(
             lambda opr, opi: _k_expect(self.re, self.im, opr, opi)
         )(jnp.asarray(ops.real, dtype=jnp.float32),
           jnp.asarray(ops.imag, dtype=jnp.float32))
         n2 = max(float(_k_norm2(self.re, self.im)), 1e-30)
-        return float(np.real(np.asarray(vals)) @ np.asarray(coefs)) / n2
+        return float(np.asarray(vals_re) @ np.asarray(coefs)) / n2
 
     def amplitude(self, bits) -> complex:
         """<bits|psi>; bits is an n-sequence of 0/1 (bits[0] = qubit 0)."""
         bits = np.asarray(list(bits), dtype=np.int32)
         if bits.shape != (self.n,):
             raise ValueError("amplitude wants one bit per qubit")
-        return complex(np.asarray(
-            _k_amplitude(self.re, self.im, jnp.asarray(bits))))
+        vr, vi = _k_amplitude(self.re, self.im, jnp.asarray(bits))
+        return complex(float(np.asarray(vr)), float(np.asarray(vi)))
 
     def to_statevec(self) -> np.ndarray:
         """Dense (2^n,) amplitudes (test oracle; n <= 14 guard)."""
