@@ -58,6 +58,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="MPS bond dimension cap (--backend mps): simulation "
                         "is exact while the circuit's entanglement fits "
                         "(default 32)")
+    p.add_argument("--noise", metavar="SPEC", default=None,
+                   help="circuit-level noise model, e.g. 'depolarizing:0.01' "
+                        "or 'ad:0.05,pd:0.02' (channels: depolarizing, "
+                        "amplitude-damping/ad, phase-damping/pd, bitflip/bf, "
+                        "phaseflip/pf) — applied to every qubit a gate "
+                        "touches; runs the program as vmapped quantum "
+                        "trajectories (one device program for ALL shots)")
+    p.add_argument("--trajectories", type=int, default=None, metavar="T",
+                   help="run the program as T independent trajectories in one "
+                        "vmapped device program (defaults to --shots; implies "
+                        "per-shot mid-circuit measurement re-runs, which "
+                        "plain --shots final-state sampling cannot give)")
     p.add_argument("--compile", action="store_true", dest="compile_mode",
                    help="lower the program to fused XLA segments (fast path; "
                         "registers are laid out in one state vector up front)")
@@ -122,7 +134,9 @@ def _apply_flags(args):
 def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
               shots: int | None = None, out=None, compile_mode: bool = False,
               fuse_width: int = 5, mesh: int | None = None,
-              backend: str = "statevector", chi: int = 32) -> int:
+              backend: str = "statevector", chi: int = 32,
+              noise: str | None = None,
+              trajectories: int | None = None) -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -137,7 +151,33 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         out.write(e.pretty())
         return 1
     try:
-        if backend == "stabilizer":
+        if noise is not None or trajectories is not None:
+            from .run.noisy import TrajectoryProgram
+
+            if backend != "statevector":
+                print("qubism: --noise/--trajectories use the state-vector "
+                      "trajectory executor (drop --backend)", file=out)
+                return 2
+            if mesh or compile_mode:
+                print("qubism: --noise/--trajectories is its own execution "
+                      "mode; drop --mesh/--compile", file=out)
+                return 2
+            try:
+                prog = TrajectoryProgram(ast, noise=noise)
+            except ValueError as e:
+                print(f"qubism: {e}", file=out)
+                return 2
+            ntraj = trajectories or shots or 512
+            if not prog.creg_names or not prog.n:
+                print("qubism: trajectory mode reports classical-register "
+                      "counts; the program declares none", file=out)
+                return 2
+            counts = prog.counts(ntraj, seed=seed)
+            print(f"Counts over classical registers "
+                  f"({ntraj} trajectories):", file=out)
+            for row in sorted(counts):
+                print(f"  {row}: {counts[row]}", file=out)
+        elif backend == "stabilizer":
             from .stabilizer import NotCliffordError, StabilizerProgram
 
             if mesh:
@@ -329,7 +369,8 @@ def main(argv=None) -> int:
         return eval_file(args.file, seed=args.seed, dump_state=args.dump_state,
                          shots=args.shots, compile_mode=args.compile_mode,
                          fuse_width=args.fuse_width, mesh=args.mesh,
-                         backend=args.backend, chi=args.chi)
+                         backend=args.backend, chi=args.chi,
+                         noise=args.noise, trajectories=args.trajectories)
     Repl(seed=args.seed).run()
     return 0
 

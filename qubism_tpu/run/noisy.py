@@ -1,0 +1,225 @@
+"""Whole-program quantum trajectories: noisy QASM in ONE device program.
+
+The reference runs a program once, statement by statement
+(src/Qubism/QASM/Simulation.hs:42-76), and has no noise story at all. This
+module executes a full OpenQASM program — gates, Kraus noise channels,
+mid-circuit measurement, classical feed-forward (``if (c==n)``), reset —
+as a single traced function of a PRNG key, then ``vmap``s it over any
+number of trajectories: S noisy shots (each with its OWN mid-circuit
+measurement outcomes and feed-forward path) cost one compiled dispatch.
+
+That is the TPU-native semantics the plain ``--shots`` sampler cannot
+give: final-state sampling draws S outcomes from ONE collapsed run, while
+a trajectory re-runs the program per shot — exactly what hardware does —
+at T x 2^n memory. Every stochastic site (channel branch, measurement
+draw) derives its uniform from ``fold_in(key, site_index)``, so a
+trajectory is reproducible from its key alone.
+
+Design notes:
+
+* Classical registers live in-trace as one int32 VALUE per creg with bit
+  k worth 2^k — the reference's LSB-first ``crToNatural`` pairing
+  (src/Qubism/CReg.hs:36-39) makes ``if (c==n)`` a scalar compare.
+* Feed-forward is branch-free: the conditioned op is applied
+  unconditionally and the result selected with ``jnp.where`` on the
+  predicate (one wasted state-sweep per untaken branch; under vmap the
+  lockstep trajectories take both sides anyway, so this is also the
+  fast shape).
+* ``reset`` is the reference's projection-to-|0> without a Born draw
+  (Simulation.hs:146-156); measurement honors
+  ``config.reference_sqrt_born``.
+* Noise is circuit-level: each 1-qubit Kraus channel in the model is
+  applied to every qubit a gate touches, after the gate.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..core import density as channels
+from ..core.creg import CReg
+from ..models.trajectories import _apply_channel_traced
+from ..models.variational import _apply_op
+from ..ops.apply import zero_state
+from ..ops.measure import collapse_traced, prob_one_traced
+
+__all__ = ["TrajectoryProgram", "parse_noise_spec", "NOISE_CHANNELS"]
+
+#: name (and aliases) -> 1-qubit Kraus-list factory taking one float param.
+NOISE_CHANNELS = {
+    "depolarizing": channels.depolarizing,
+    "dep": channels.depolarizing,
+    "amplitude-damping": channels.amplitude_damping,
+    "ad": channels.amplitude_damping,
+    "phase-damping": channels.phase_damping,
+    "pd": channels.phase_damping,
+    "bitflip": channels.bit_flip,
+    "bf": channels.bit_flip,
+    "phaseflip": channels.phase_flip,
+    "pf": channels.phase_flip,
+}
+
+
+def parse_noise_spec(spec: str):
+    """``"depolarizing:0.01,ad:0.05"`` -> [(label, kraus_list), ...]."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, sep, val = part.partition(":")
+        name = name.strip().lower()
+        if name not in NOISE_CHANNELS:
+            known = sorted(set(NOISE_CHANNELS) - {"dep", "ad", "pd", "bf",
+                                                  "pf"})
+            raise ValueError(
+                f"unknown noise channel {name!r}; known: {', '.join(known)}")
+        if not sep:
+            raise ValueError(f"noise channel {name!r} needs a parameter "
+                             f"(e.g. {name}:0.01)")
+        p = float(val)
+        out.append((f"{name}:{p}", NOISE_CHANNELS[name](p)))
+    return out
+
+
+class TrajectoryProgram:
+    """A QASM program compiled to one vmappable trajectory function.
+
+    ``noise`` is a spec string (see :func:`parse_noise_spec`) or an
+    already-parsed list; ``None`` runs noiseless trajectories (still
+    useful: independent mid-circuit re-runs per shot).
+    """
+
+    def __init__(self, ast, noise=None):
+        from .compiler import elaborate
+
+        (self.n, self.events, self.cregs0, self.layout,
+         self.qreg_sizes) = elaborate(ast)
+        if isinstance(noise, str):
+            noise = parse_noise_spec(noise)
+        self.noise = list(noise or [])
+        self.creg_names = sorted(self.cregs0)
+        self.creg_sizes = {c: len(self.cregs0[c].bits)
+                           for c in self.creg_names}
+        # Pre-split each channel's Kraus set once (host side).
+        self._kplanes = []
+        for _, ks in self.noise:
+            ksp = tuple(
+                (jnp.asarray(np.asarray(k).real, dtype=jnp.float32),
+                 jnp.asarray(np.asarray(k).imag, dtype=jnp.float32))
+                for k in ks)
+            self._kplanes.append(ksp)
+        self._site = 0  # stochastic-site counter (rebound per trace)
+
+    # -- traced execution ---------------------------------------------------
+
+    def _u(self, key):
+        """Next stochastic uniform (site-indexed, key-derived)."""
+        u = jax.random.uniform(jax.random.fold_in(key, self._site))
+        self._site += 1
+        return u
+
+    @staticmethod
+    def _sel(pred, new, old):
+        if pred is None:
+            return new
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(pred, a, b), new, old)
+
+    def _exec(self, events, planes, cregs, key, pred):
+        from .compiler import EvCond, EvDump, EvGates, EvMeasure, EvReset
+
+        for ev in events:
+            if isinstance(ev, EvGates):
+                for p in ev.prims:
+                    new = _apply_op(planes, p, None, self.n)
+                    for kp in self._kplanes:
+                        for q in p.targets:
+                            new = _apply_channel_traced(
+                                new, kp, (int(q),), self.n, self._u(key))
+                    planes = self._sel(pred, new, planes)
+            elif isinstance(ev, EvMeasure):
+                bits = []
+                new = planes
+                for q in ev.qubits:
+                    p1 = prob_one_traced(new, q, self.n)
+                    thr = jnp.sqrt(p1) if config.reference_sqrt_born else p1
+                    bit = (self._u(key) < thr).astype(jnp.int32)
+                    new = collapse_traced(new, bit, q, self.n)
+                    bits.append(bit)
+                planes = self._sel(pred, new, planes)
+                off = 0
+                for creg, bit_index, count in ev.writes:
+                    old = cregs[creg]
+                    if bit_index is None:
+                        val = jnp.int32(0)
+                        for k in range(count):
+                            val = val | (bits[off + k] << k)
+                    else:
+                        val = (old & ~jnp.int32(1 << bit_index)) | (
+                            bits[off] << bit_index)
+                    cregs[creg] = self._sel(pred, val, old)
+                    off += count
+            elif isinstance(ev, EvReset):
+                new = planes
+                for q in ev.qubits:
+                    new = collapse_traced(new, 0, q, self.n)
+                planes = self._sel(pred, new, planes)
+            elif isinstance(ev, EvCond):
+                hit = cregs[ev.creg] == ev.value
+                sub = hit if pred is None else jnp.logical_and(pred, hit)
+                planes, cregs = self._exec(ev.body, planes, cregs, key, sub)
+            elif isinstance(ev, EvDump):
+                pass  # no per-trajectory dump inside a vmapped program
+            else:  # pragma: no cover
+                raise TypeError(f"unknown event {type(ev).__name__}")
+        return planes, cregs
+
+    def _run_one(self, key):
+        self._site = 0
+        planes = zero_state(self.n) if self.n else None
+        cregs = {c: jnp.int32(0) for c in self.creg_names}
+        if self.n:
+            planes, cregs = self._exec(self.events, planes, cregs, key, None)
+        vals = tuple(cregs[c] for c in self.creg_names)
+        return vals, planes
+
+    # -- host API -----------------------------------------------------------
+
+    def run_vals(self, ntraj: int, seed: int | None = None, key=None,
+                 return_states: bool = False):
+        """Run ``ntraj`` trajectories in one dispatch. Returns a dict
+        creg name -> (ntraj,) int32 outcome values (LSB-first), plus the
+        stacked final (re, im) planes when ``return_states``."""
+        if key is None:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+        keys = jax.random.split(key, ntraj)
+
+        def one(k):
+            vals, planes = self._run_one(k)
+            return (vals, planes) if return_states else (vals, 0)
+
+        vals, states = jax.jit(jax.vmap(one))(keys)
+        out = {c: np.asarray(v) for c, v in zip(self.creg_names, vals)}
+        return (out, states) if return_states else out
+
+    def counts(self, ntraj: int, seed: int | None = None, key=None):
+        """Joint classical-register outcome histogram over trajectories:
+        {"c=0110 d=1": count}, bits rendered LSB-first like the
+        reference's CReg Show."""
+        vals = self.run_vals(ntraj, seed=seed, key=key)
+        rows = []
+        for t in range(ntraj):
+            parts = []
+            for c in self.creg_names:
+                size = self.creg_sizes[c]
+                v = int(vals[c][t])
+                bits = [(v >> k) & 1 for k in range(size)]
+                parts.append(f"{c}={CReg.of(bits)}")
+            rows.append(" ".join(parts))
+        return collections.Counter(rows)

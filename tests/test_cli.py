@@ -252,3 +252,47 @@ def test_large_n_programs_skip_dense_allocation(tmp_path, capsys):
         out = capsys.readouterr().out
         assert code == 0 and "Done." in out, (backend, out)
         assert ("|" + "0" * 64 + ">") in out or ("|" + "1" * 64 + ">") in out
+
+
+def test_noise_trajectories_flag(tmp_path, capsys):
+    f = tmp_path / "noisy.qasm"
+    f.write_text("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """)
+    code = eval_file(str(f), seed=0, noise="bitflip:0.25", trajectories=400)
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "Counts over classical registers (400 trajectories):" in out
+    assert "c=0:" in out and "c=1:" in out      # noise flips some shots
+    assert "Done." in out
+
+
+def test_trajectories_without_noise(tmp_path, capsys):
+    """Noiseless trajectories: per-shot mid-circuit re-runs."""
+    f = tmp_path / "mid.qasm"
+    f.write_text("""
+        qreg q[1]; creg c[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """)
+    code = eval_file(str(f), seed=1, trajectories=256)
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "c=0:" in out and "c=1:" in out
+
+
+def test_noise_flag_errors(tmp_path, capsys):
+    f = tmp_path / "p.qasm"
+    f.write_text("qreg q[1]; creg c[1]; measure q -> c;")
+    assert eval_file(str(f), noise="nope:0.1") == 2
+    assert "unknown noise channel" in capsys.readouterr().out
+    assert eval_file(str(f), noise="bitflip:0.1", mesh=1) == 2
+    assert "own execution mode" in capsys.readouterr().out
+    assert eval_file(str(f), noise="bitflip:0.1", backend="mps") == 2
+    assert "state-vector trajectory executor" in capsys.readouterr().out
+    g = tmp_path / "nocreg.qasm"
+    g.write_text("qreg q[1]; U(0,0,0) q[0];")
+    assert eval_file(str(g), trajectories=8) == 2
+    assert "declares none" in capsys.readouterr().out

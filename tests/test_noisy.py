@@ -1,0 +1,137 @@
+"""Whole-program trajectories (run/noisy.py): noisy QASM as one vmapped
+device program, pinned against analytic channel probabilities and the
+exact DensityMatrix."""
+
+import numpy as np
+import pytest
+
+from qubism_tpu.qasm.parser import parse_openqasm
+from qubism_tpu.run.noisy import (NOISE_CHANNELS, TrajectoryProgram,
+                                  parse_noise_spec)
+
+
+def _ast(src):
+    return parse_openqasm("<test>", src)
+
+
+def test_noiseless_deterministic():
+    prog = TrajectoryProgram(_ast("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];  // x
+        measure q -> c;
+    """))
+    vals = prog.run_vals(32, seed=0)
+    assert (vals["c"] == 1).all()
+
+
+def test_bitflip_probability():
+    """bitflip:p after the X flips the readout with probability p."""
+    p = 0.3
+    prog = TrajectoryProgram(_ast("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """), noise=f"bitflip:{p}")
+    ntraj = 4096
+    vals = prog.run_vals(ntraj, seed=1)
+    frac0 = float((vals["c"] == 0).mean())
+    sigma = np.sqrt(p * (1 - p) / ntraj)
+    assert abs(frac0 - p) < 5 * sigma
+
+
+def test_feed_forward_per_trajectory():
+    """if (c==1) x q[1]: every trajectory takes its OWN branch; the
+    corrected qubit always reads 1."""
+    prog = TrajectoryProgram(_ast("""
+        qreg q[2]; creg c[1]; creg d[1];
+        U(1.2, 0.3, 0.7) q[0];                              // superposition
+        measure q[0] -> c[0];
+        if (c == 0) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        if (c == 1) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        if (c == 1) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        measure q[1] -> d[0];
+    """))
+    # c==0 -> one X (|1>); c==1 -> two X (|0> then |1>... two X = identity)
+    vals = prog.run_vals(256, seed=2)
+    c, d = vals["c"], vals["d"]
+    assert set(np.unique(c)) <= {0, 1}
+    assert ((c == 0) <= (d == 1)).all()      # c=0 branch applied one X
+    assert ((c == 1) <= (d == 0)).all()      # c=1 branch applied two Xs
+    assert 0 < c.mean() < 1                  # both branches actually taken
+
+
+def test_reset_is_projection():
+    prog = TrajectoryProgram(_ast("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        reset q[0];
+        measure q -> c;
+    """))
+    vals = prog.run_vals(16, seed=3)
+    assert (vals["c"] == 0).all()
+
+
+def test_depolarizing_matches_density_matrix():
+    """GHZ-2 + depolarizing on every touched qubit: trajectory marginals
+    against the exact vectorized DensityMatrix."""
+    import qubism_tpu as qt
+    from qubism_tpu.core.density import DensityMatrix, depolarizing
+
+    p = 0.15
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];   // h
+        CX q[0], q[1];
+        measure q -> c;
+    """
+    prog = TrajectoryProgram(_ast(src), noise=f"depolarizing:{p}")
+
+    rho = DensityMatrix.from_statevec(qt.mk_state_vec(2))
+    ks = depolarizing(p)
+    rho = rho.apply(qt.on_just(0, qt.hadamard(), 2).prims)
+    rho = rho.apply_channel(ks, (0,))
+    rho = rho.apply(qt.cnot(0, 1, 2).prims)
+    rho = rho.apply_channel(ks, (0,)).apply_channel(ks, (1,))
+    exact = np.asarray(rho.probs())          # big-endian basis order
+
+    ntraj = 8192
+    vals = prog.run_vals(ntraj, seed=4)["c"]
+    # creg value is LSB-first: c = bit(q0) + 2*bit(q1); basis index is
+    # big-endian: idx = 2*bit(q0) + bit(q1)
+    got = np.zeros(4)
+    for v, cnt in zip(*np.unique(vals, return_counts=True)):
+        b0, b1 = v & 1, (v >> 1) & 1
+        got[2 * b0 + b1] = cnt / ntraj
+    assert np.all(np.abs(got - exact) < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3)
+
+
+def test_counts_rendering():
+    prog = TrajectoryProgram(_ast("""
+        qreg q[2]; creg c[2];
+        U(3.141592653589793, 0, 3.141592653589793) q[1];
+        measure q -> c;
+    """))
+    counts = prog.counts(8, seed=5)
+    assert counts == {"c=01": 8}             # LSB-first CReg rendering
+
+
+def test_parse_noise_spec():
+    spec = parse_noise_spec("depolarizing:0.01, ad:0.1")
+    assert [s[0] for s in spec] == ["depolarizing:0.01", "ad:0.1"]
+    with pytest.raises(ValueError, match="unknown noise channel"):
+        parse_noise_spec("nope:0.1")
+    with pytest.raises(ValueError, match="needs a parameter"):
+        parse_noise_spec("depolarizing")
+    assert "depolarizing" in NOISE_CHANNELS
+
+
+def test_final_states_returned():
+    prog = TrajectoryProgram(_ast("""
+        qreg q[1]; creg c[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+    """))
+    vals, states = prog.run_vals(4, seed=6, return_states=True)
+    re, im = states
+    amps = np.asarray(re) + 1j * np.asarray(im)
+    assert amps.shape == (4, 2)
+    assert np.allclose(np.abs(amps) ** 2, 0.5, atol=1e-5)
