@@ -90,16 +90,14 @@ def _ce(spec, ar, ai, br, bi):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def _k_apply_1q(re, im, ur, ui, q):
+def _apply_1q_body(re, im, ur, ui, q):
     chi = re.shape[1]
     ar, ai = _site(re, im, q, chi)
     or_, oi_ = _ce("ts,asb->atb", ur, ui, ar, ai)
     return _put(re, im, q, or_, oi_)
 
 
-@jax.jit
-def _k_apply_2q(re, im, ur, ui, q):
+def _apply_2q_body(re, im, ur, ui, q):
     """Dense 4x4 on adjacent sites (q, q+1); truncating SVD back to chi.
     Returns (re, im, discarded_weight). Renormalizes the kept spectrum
     so the state norm is preserved under truncation. The SVD is the
@@ -130,8 +128,7 @@ def _k_apply_2q(re, im, ur, ui, q):
     return re, im, disc
 
 
-@jax.jit
-def _k_shift_right(re, im, c):
+def _shift_right_body(re, im, c):
     """Canonicalize site c as an isometry via SVD (A = U diag(s) V^H);
     absorb diag(s) V^H into site c+1 (center c -> c+1)."""
     chi = re.shape[1]
@@ -147,9 +144,8 @@ def _k_shift_right(re, im, c):
     return _put(re, im, c + 1, b2r, b2i)
 
 
-@jax.jit
-def _k_shift_left(re, im, c):
-    """Mirror of _k_shift_right: SVD of A^H gives A = V diag(s) U^H;
+def _shift_left_body(re, im, c):
+    """Mirror of _shift_right_body: SVD of A^H gives A = V diag(s) U^H;
     site c becomes the row-isometry U^H, V diag(s) absorbs left."""
     chi = re.shape[1]
     ar, ai = _site(re, im, c, chi)
@@ -164,6 +160,56 @@ def _k_shift_left(re, im, c):
     b2r, b2i = _ce("asb,bc->asc", br, bi, lr, li)
     re, im = _put(re, im, c, q2r, q2i)
     return _put(re, im, c - 1, b2r, b2i)
+
+
+_k_apply_1q = jax.jit(_apply_1q_body)
+_k_apply_2q = jax.jit(_apply_2q_body)
+_k_shift_right = jax.jit(_shift_right_body)
+_k_shift_left = jax.jit(_shift_left_body)
+
+#: Tape opcodes for the one-dispatch chain executor (_k_chain): the host
+#: flattens a whole prim stream — SWAP routing and center shifts included —
+#: into (opcode, site, 4x4-u) rows; the device replays it as one lax.scan
+#: whose body switches between the kernel bodies above. Tapes are padded
+#: to power-of-two length buckets with NOPs so compiles are reused.
+_OP_2Q, _OP_SHIFT_R, _OP_SHIFT_L, _OP_1Q, _OP_NOP = range(5)
+
+
+@jax.jit
+def _k_chain(re, im, codes, qs, urs, uis):
+    """Replay an op tape: codes (L,) int32, qs (L,) int32, urs/uis
+    (L, 4, 4) float32 (1q gates live in the top-left 2x2 block).
+    Returns (re, im, total_discarded_weight)."""
+
+    def step(carry, inp):
+        re, im, acc = carry
+        code, q, ur, ui = inp
+
+        def do_2q(_):
+            return _apply_2q_body(re, im, ur, ui, q)
+
+        def do_shift_r(_):
+            r2, i2 = _shift_right_body(re, im, q)
+            return r2, i2, jnp.float32(0)
+
+        def do_shift_l(_):
+            r2, i2 = _shift_left_body(re, im, q)
+            return r2, i2, jnp.float32(0)
+
+        def do_1q(_):
+            r2, i2 = _apply_1q_body(re, im, ur[:2, :2], ui[:2, :2], q)
+            return r2, i2, jnp.float32(0)
+
+        def do_nop(_):
+            return re, im, jnp.float32(0)
+
+        re2, im2, d = lax.switch(
+            code, (do_2q, do_shift_r, do_shift_l, do_1q, do_nop), None)
+        return (re2, im2, acc + d), None
+
+    (re, im, acc), _ = lax.scan(step, (re, im, jnp.float32(0)),
+                                (codes, qs, urs, uis))
+    return re, im, acc
 
 
 @jax.jit
@@ -363,26 +409,80 @@ class MPSSim:
         for j in range(a + 1, b):              # walk it back
             self._apply_2q_adj(_SWAP, j)
 
-    def apply(self, gate_or_prims) -> "MPSSim":
+    @staticmethod
+    def _flatten(gate_or_prims):
         prims = getattr(gate_or_prims, "prims", gate_or_prims)
         if isinstance(prims, (Gate, Prim)):
             prims = (prims,)
         for p in prims:
             if isinstance(p, Gate):
-                self.apply(p.prims)
-                continue
+                yield from MPSSim._flatten(p.prims)
+            else:
+                yield p
+
+    def apply(self, gate_or_prims) -> "MPSSim":
+        """Apply a prim stream. The ENTIRE stream — SWAP routing and
+        orthogonality-center shifts included — is flattened host-side
+        into one opcode tape and replayed as a single ``_k_chain``
+        dispatch: a whole circuit costs one device program instead of
+        one per gate (the remote-dispatch tunnel charges ~30-100 ms per
+        jitted call; see utils/profiling notes). Tapes pad to power-of-
+        two buckets so recompiles stop once buckets repeat."""
+        tape = []                              # (code, site, 4x4 u or None)
+        center = self.center
+
+        def move(target):
+            nonlocal center
+            while center < target:
+                tape.append((_OP_SHIFT_R, center, None))
+                center += 1
+            while center > target:
+                tape.append((_OP_SHIFT_L, center, None))
+                center -= 1
+
+        def adj2(u, q):
+            nonlocal center
+            move(q if center <= q else q + 1)
+            tape.append((_OP_2Q, q, u))
+            center = q + 1
+
+        for p in self._flatten(gate_or_prims):
             u = np.diag(p.u) if p.diag else np.asarray(p.u)
             un, tgts = _sort_targets(np.asarray(u, dtype=np.complex128),
                                      p.targets)
             if len(tgts) == 1:
-                self._apply_1q(un, tgts[0])
+                tape.append((_OP_1Q, tgts[0], un))
             elif len(tgts) == 2:
-                self._apply_2q(un, tgts[0], tgts[1])
+                a, b = tgts
+                for j in range(b - 1, a, -1):  # route qubit b down to a+1
+                    adj2(_SWAP, j)
+                adj2(un, a)
+                for j in range(a + 1, b):      # walk it back
+                    adj2(_SWAP, j)
             else:
                 raise NotAdjacentError(
                     f"MPS backend applies 1- and 2-qubit prims; got a "
                     f"{len(tgts)}-qubit prim on {tgts}. Decompose it "
                     f"(qelib1-style) before running on --backend mps.")
+        if not tape:
+            return self
+        length = max(8, 1 << (len(tape) - 1).bit_length())
+        codes = np.full(length, _OP_NOP, dtype=np.int32)
+        qs = np.zeros(length, dtype=np.int32)
+        urs = np.zeros((length, 4, 4), dtype=np.float32)
+        uis = np.zeros((length, 4, 4), dtype=np.float32)
+        for k, (code, q, u) in enumerate(tape):
+            codes[k] = code
+            qs[k] = q
+            if u is not None:
+                d = u.shape[0]
+                urs[k, :d, :d] = u.real
+                uis[k, :d, :d] = u.imag
+        self.re, self.im, disc = _k_chain(
+            self.re, self.im, jnp.asarray(codes), jnp.asarray(qs),
+            jnp.asarray(urs), jnp.asarray(uis))
+        self.center = center
+        self.trunc_error += float(disc)
         return self
 
     # -- observables --------------------------------------------------------
