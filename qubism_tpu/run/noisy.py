@@ -191,11 +191,19 @@ class TrajectoryProgram:
 
     # -- host API -----------------------------------------------------------
 
+    #: Cap on simultaneously-live amplitudes (batch x 2^n x 2 planes):
+    #: 2^28 floats = 2 GiB of live trajectory state per dispatch.
+    _MAX_LIVE = 1 << 28
+
     def run_vals(self, ntraj: int, seed: int | None = None, key=None,
                  return_states: bool = False):
-        """Run ``ntraj`` trajectories in one dispatch. Returns a dict
-        creg name -> (ntraj,) int32 outcome values (LSB-first), plus the
-        stacked final (re, im) planes when ``return_states``."""
+        """Run ``ntraj`` trajectories. Returns a dict creg name ->
+        (ntraj,) int32 outcome values (LSB-first), plus the stacked
+        final (re, im) planes when ``return_states``.
+
+        Trajectories dispatch in vmapped batches sized so the live
+        state block (batch x 2 x 2^n floats) stays under ~2 GiB; small
+        runs are exactly one dispatch."""
         if key is None:
             key = jax.random.PRNGKey(0 if seed is None else seed)
         keys = jax.random.split(key, ntraj)
@@ -204,9 +212,20 @@ class TrajectoryProgram:
             vals, planes = self._run_one(k)
             return (vals, planes) if return_states else (vals, 0)
 
-        vals, states = jax.jit(jax.vmap(one))(keys)
-        out = {c: np.asarray(v) for c, v in zip(self.creg_names, vals)}
-        return (out, states) if return_states else out
+        batch = max(1, min(ntraj, self._MAX_LIVE // (2 << max(self.n, 1))))
+        fn = jax.jit(jax.vmap(one))            # per-shape jit cache: at most
+        chunks = []                            # one extra compile for a tail
+        for lo in range(0, ntraj, batch):
+            chunks.append(fn(keys[lo:min(lo + batch, ntraj)]))
+        vals = [np.concatenate([np.asarray(c[0][i]) for c in chunks])
+                for i in range(len(self.creg_names))]
+        out = {c: v for c, v in zip(self.creg_names, vals)}
+        if not return_states:
+            return out
+        states = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+            *[c[1] for c in chunks])
+        return out, states
 
     def counts(self, ntraj: int, seed: int | None = None, key=None):
         """Joint classical-register outcome histogram over trajectories:
