@@ -46,14 +46,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "amplitudes as float32 (re, im) planes (= complex64 "
                         "precision); complex128 is not available on TPU "
                         "backends and is rejected")
-    p.add_argument("--backend", choices=["statevector", "stabilizer", "mps"],
+    p.add_argument("--backend",
+                   choices=["statevector", "stabilizer", "mps", "density"],
                    default="statevector",
                    help="simulation engine: the dense state-vector engine "
                         "(default), the Clifford stabilizer-tableau engine "
                         "(O(n^2) bits — thousands of qubits — but Clifford "
-                        "gates only), or the matrix-product-state engine "
+                        "gates only), the matrix-product-state engine "
                         "(bounded-entanglement circuits at 100+ qubits, "
-                        "see --chi)")
+                        "see --chi), or the exact density-matrix engine "
+                        "(open-system: combine with --noise; 4^n amplitudes, "
+                        "n <= 14)")
     p.add_argument("--chi", type=int, default=32, metavar="X",
                    help="MPS bond dimension cap (--backend mps): simulation "
                         "is exact while the circuit's entanglement fits "
@@ -151,7 +154,32 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         out.write(e.pretty())
         return 1
     try:
-        if noise is not None or trajectories is not None:
+        if backend == "density":
+            from .run.noisy import DensityProgram
+
+            if mesh or compile_mode or trajectories:
+                print("qubism: --backend density is exact (no mesh/compile/"
+                      "trajectories)", file=out)
+                return 2
+            try:
+                prog = DensityProgram(ast, noise=noise)
+            except ValueError as e:
+                print(f"qubism: {e}", file=out)
+                return 2
+            rho, cregs = prog.run(seed=seed, dump_writer=out.write)
+            if dump_state:
+                out.write(prog._pretty(rho, cregs))
+            if shots and prog.n:
+                import jax as _jax
+
+                counts = rho.sample(
+                    shots, _jax.random.PRNGKey(0 if seed is None else seed))
+                name = "(x)".join(prog.layout)
+                print(f"Counts for state vector {name} ({shots} shots):",
+                      file=out)
+                for basis in sorted(counts):
+                    print(f"  |{basis}>: {counts[basis]}", file=out)
+        elif noise is not None or trajectories is not None:
             from .run.noisy import TrajectoryProgram
 
             if backend != "statevector":

@@ -223,6 +223,19 @@ class DensityMatrix:
         mask = (idx >> (self.n - 1 - q)) & 1
         return float(d[mask == 1].sum())
 
+    def reset(self, q: int) -> "DensityMatrix":
+        """Project qubit q onto |0> and renormalize by the trace — the
+        reference's reset semantics (projection WITHOUT a Born draw,
+        src/Qubism/QASM/Simulation.hs:146-156)."""
+        proj = np.array([1.0, 0.0], dtype=complex)
+        self.planes = A.apply_diag(self.planes, proj, (q,), 2 * self.n)
+        self.planes = A.apply_diag(self.planes, proj, (q + self.n,),
+                                   2 * self.n)
+        tr = self.trace()
+        self.planes = _scale(self.planes, np.float32(0.0 if tr == 0
+                                                     else 1.0 / tr))
+        return self
+
     def measure_qubit(self, q: int, key):
         """Sample qubit q, project rho, renormalize by the trace.
         Returns (outcome, key')."""

@@ -48,7 +48,8 @@ from ..models.variational import _apply_op
 from ..ops.apply import zero_state
 from ..ops.measure import collapse_traced, prob_one_traced
 
-__all__ = ["TrajectoryProgram", "parse_noise_spec", "NOISE_CHANNELS"]
+__all__ = ["TrajectoryProgram", "DensityProgram", "parse_noise_spec",
+           "NOISE_CHANNELS"]
 
 #: name (and aliases) -> 1-qubit Kraus-list factory taking one float param.
 NOISE_CHANNELS = {
@@ -242,3 +243,94 @@ class TrajectoryProgram:
                 parts.append(f"{c}={CReg.of(bits)}")
             rows.append(" ".join(parts))
         return collections.Counter(rows)
+
+
+class DensityProgram:
+    """Exact open-system execution of a QASM program: the state is a
+    vectorized density matrix on the SAME dense engine (2n-qubit planes,
+    core/density.py), with the --noise channels applied exactly
+    (rho -> sum K rho K^dag) instead of sampled. The exact counterpart
+    of :class:`TrajectoryProgram` — same noise model, same placement —
+    for n small enough that 4^n amplitudes fit (n <= ~14).
+
+    Mid-circuit measurement samples ONE outcome per measure and projects
+    rho (like hardware, one run); `--shots` then reads the exact final
+    diagonal.
+    """
+
+    #: 2*n qubits ride the dense engine; past this 4^n planes don't fit.
+    MAX_N = 14
+
+    def __init__(self, ast, noise=None):
+        from .compiler import elaborate
+
+        (self.n, self.events, self.cregs0, self.layout,
+         self.qreg_sizes) = elaborate(ast)
+        if self.n > self.MAX_N:
+            raise ValueError(
+                f"--backend density stores 4^n amplitudes; n={self.n} > "
+                f"{self.MAX_N}. Use --noise with --trajectories (sampled) "
+                f"instead.")
+        if isinstance(noise, str):
+            noise = parse_noise_spec(noise)
+        self.noise = list(noise or [])
+
+    def run(self, seed: int | None = None, dump_writer=None):
+        from ..core.density import DensityMatrix
+        from .compiler import EvCond, EvDump, EvGates, EvMeasure, EvReset
+
+        dump_writer = dump_writer or (lambda s: None)
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        rho = DensityMatrix(self.n) if self.n else None
+        cregs = dict(self.cregs0)
+
+        def exec_events(events):
+            nonlocal key
+            for ev in events:
+                if isinstance(ev, EvGates):
+                    for p in ev.prims:
+                        rho.apply([p])
+                        for _, ks in self.noise:
+                            for q in p.targets:
+                                rho.apply_channel(ks, (int(q),))
+                elif isinstance(ev, EvMeasure):
+                    bits = []
+                    for q in ev.qubits:
+                        out, key = rho.measure_qubit(q, key)
+                        bits.append(out)
+                    off = 0
+                    for creg, bit_index, count in ev.writes:
+                        if bit_index is None:
+                            cregs[creg] = CReg.of(bits[off:off + count])
+                        else:
+                            cregs[creg] = cregs[creg].set_bit(
+                                bit_index, bits[off])
+                        off += count
+                elif isinstance(ev, EvReset):
+                    for q in ev.qubits:
+                        rho.reset(q)
+                elif isinstance(ev, EvCond):
+                    if cregs[ev.creg].to_natural() == ev.value:
+                        exec_events(ev.body)
+                elif isinstance(ev, EvDump):
+                    dump_writer(self._pretty(rho, cregs))
+
+        exec_events(self.events)
+        return rho, cregs
+
+    def _pretty(self, rho, cregs) -> str:
+        out = ["Dump of the internal state (density backend): \n\n"]
+        if rho is not None:
+            name = "(x)".join(self.layout) if self.layout else ""
+            noise = ", ".join(lbl for lbl, _ in self.noise) or "none"
+            out.append(f"Density matrix of {name}: {rho.n} qubits, "
+                       f"trace={rho.trace():.6f}, purity={rho.purity():.6f}, "
+                       f"noise={noise}\n")
+            probs = rho.probs()
+            for i, p in enumerate(probs):
+                if p > 5e-7:
+                    out.append(f"  |{format(i, f'0{rho.n}b')}>  p={p:.6f}\n")
+        for reg in sorted(cregs):
+            out.append(f"{reg}: {cregs[reg]}\n")
+        out.append("\n")
+        return "".join(out)

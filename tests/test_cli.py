@@ -296,3 +296,31 @@ def test_noise_flag_errors(tmp_path, capsys):
     g.write_text("qreg q[1]; U(0,0,0) q[0];")
     assert eval_file(str(g), trajectories=8) == 2
     assert "declares none" in capsys.readouterr().out
+
+
+def test_density_backend_flag(tmp_path, capsys):
+    f = tmp_path / "open.qasm"
+    f.write_text("""
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+    """)
+    code = eval_file(str(f), seed=0, backend="density",
+                     noise="depolarizing:0.05", shots=512, dump_state=True)
+    out = capsys.readouterr().out
+    assert code == 0 and "Done." in out
+    assert "purity=" in out and "noise=depolarizing:0.05" in out
+    assert "|00>:" in out and "|11>:" in out
+    # depolarizing leaks weight onto the anti-correlated strings
+    assert "|01>:" in out or "|10>:" in out
+
+
+def test_density_backend_errors(tmp_path, capsys):
+    f = tmp_path / "p.qasm"
+    f.write_text("qreg q[1]; creg c[1]; measure q -> c;")
+    assert eval_file(str(f), backend="density", mesh=2) == 2
+    assert "exact" in capsys.readouterr().out
+    g = tmp_path / "big.qasm"
+    g.write_text("qreg q[20]; creg c[1];")
+    assert eval_file(str(g), backend="density") == 2
+    assert "4^n" in capsys.readouterr().out

@@ -135,3 +135,67 @@ def test_final_states_returned():
     amps = np.asarray(re) + 1j * np.asarray(im)
     assert amps.shape == (4, 2)
     assert np.allclose(np.abs(amps) ** 2, 0.5, atol=1e-5)
+
+
+def test_density_program_matches_trajectories():
+    """DensityProgram is the exact counterpart of TrajectoryProgram:
+    same noise model, same placement — sampled counts converge to the
+    exact diagonal."""
+    from qubism_tpu.run.noisy import DensityProgram
+
+    p = 0.1
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        measure q -> c;
+    """
+    dprog = DensityProgram(_ast(src), noise=f"depolarizing:{p}")
+    # exact diagonal BEFORE measurement: rebuild without the measure stmt
+    dprog2 = DensityProgram(_ast(src.replace("measure q -> c;", "")),
+                            noise=f"depolarizing:{p}")
+    rho, _ = dprog2.run(seed=0)
+    exact = np.asarray(rho.probs())
+
+    ntraj = 8192
+    vals = TrajectoryProgram(_ast(src), noise=f"depolarizing:{p}").run_vals(
+        ntraj, seed=1)["c"]
+    got = np.zeros(4)
+    for v, cnt in zip(*np.unique(vals, return_counts=True)):
+        got[2 * (v & 1) + ((v >> 1) & 1)] = cnt / ntraj
+    assert np.all(np.abs(got - exact)
+                  < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3)
+    # and the measured run writes cregs consistent with one sampled path
+    _, cregs = dprog.run(seed=2)
+    assert str(cregs["c"]) in {"00", "11", "01", "10"}
+
+
+def test_density_program_feed_forward():
+    from qubism_tpu.run.noisy import DensityProgram
+
+    prog = DensityProgram(_ast("""
+        qreg q[2]; creg c[1]; creg d[1];
+        U(1.2, 0.3, 0.7) q[0];
+        measure q[0] -> c[0];
+        if (c == 0) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        measure q[1] -> d[0];
+    """))
+    for seed in range(4):
+        _, cregs = prog.run(seed=seed)
+        c, d = cregs["c"].to_natural(), cregs["d"].to_natural()
+        assert d == (1 - c)
+
+
+def test_density_program_reset_and_guard():
+    from qubism_tpu.run.noisy import DensityProgram
+
+    prog = DensityProgram(_ast("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        reset q[0];
+        measure q -> c;
+    """), noise="ad:0.3")
+    _, cregs = prog.run(seed=0)
+    assert cregs["c"].to_natural() == 0
+    with pytest.raises(ValueError, match="4\\^n"):
+        DensityProgram(_ast("qreg q[15];"))
