@@ -52,5 +52,10 @@ from .core import algebra  # noqa: F401
 from .session import Session  # noqa: F401
 from .stabilizer import StabilizerSim  # noqa: F401
 from .mps import MPSSim  # noqa: F401
+from .run.noisy import (  # noqa: F401
+    DensityProgram,
+    TrajectoryProgram,
+    parse_noise_spec,
+)
 
 __version__ = "0.1.0"
