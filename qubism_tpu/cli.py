@@ -182,16 +182,22 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         elif noise is not None or trajectories is not None:
             from .run.noisy import TrajectoryProgram
 
-            if backend != "statevector":
-                print("qubism: --noise/--trajectories use the state-vector "
-                      "trajectory executor (drop --backend)", file=out)
+            if backend == "mps":
+                print("qubism: --noise/--trajectories run on the dense or "
+                      "stabilizer trajectory executors (not --backend mps)",
+                      file=out)
                 return 2
             if mesh or compile_mode:
                 print("qubism: --noise/--trajectories is its own execution "
                       "mode; drop --mesh/--compile", file=out)
                 return 2
             try:
-                prog = TrajectoryProgram(ast, noise=noise)
+                if backend == "stabilizer":
+                    from .stabilizer.noise import StabilizerTrajectoryProgram
+
+                    prog = StabilizerTrajectoryProgram(ast, noise=noise)
+                else:
+                    prog = TrajectoryProgram(ast, noise=noise)
             except ValueError as e:
                 print(f"qubism: {e}", file=out)
                 return 2
@@ -200,7 +206,16 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 print("qubism: trajectory mode reports classical-register "
                       "counts; the program declares none", file=out)
                 return 2
-            counts = prog.counts(ntraj, seed=seed)
+            try:
+                counts = prog.counts(ntraj, seed=seed)
+            except Exception:
+                from .stabilizer import NotCliffordError
+
+                e = sys.exc_info()[1]
+                if isinstance(e, NotCliffordError):
+                    print(f"qubism: stabilizer trajectories: {e}", file=out)
+                    return 1
+                raise
             print(f"Counts over classical registers "
                   f"({ntraj} trajectories):", file=out)
             for row in sorted(counts):

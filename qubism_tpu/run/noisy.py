@@ -17,9 +17,11 @@ trajectory is reproducible from its key alone.
 
 Design notes:
 
-* Classical registers live in-trace as one int32 VALUE per creg with bit
-  k worth 2^k — the reference's LSB-first ``crToNatural`` pairing
-  (src/Qubism/CReg.hs:36-39) makes ``if (c==n)`` a scalar compare.
+* Classical registers live in-trace as int32 BIT VECTORS (entry k =
+  bit k, the reference's LSB-first ``crToNatural`` pairing,
+  src/Qubism/CReg.hs:36-39); ``if (c==n)`` compares against the
+  constant's bit pattern, so kilobit registers (stabilizer-scale
+  programs) are exact — no packed-integer overflow.
 * Feed-forward is branch-free: the conditioned op is applied
   unconditionally and the result selected with ``jnp.where`` on the
   predicate (one wasted state-sweep per untaken branch; under vmap the
@@ -132,6 +134,30 @@ class TrajectoryProgram:
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(pred, a, b), new, old)
 
+    def _write_creg_bits(self, cregs, writes, bits, pred):
+        """Store measured bits into the traced creg bit vectors:
+        ``writes`` = per statement (creg, bit_index_or_None, count)."""
+        off = 0
+        for creg, bit_index, count in writes:
+            old = cregs[creg]
+            if bit_index is None:
+                val = jnp.stack([b.astype(jnp.int32)
+                                 for b in bits[off:off + count]])
+            else:
+                val = old.at[bit_index].set(bits[off])
+            cregs[creg] = self._sel(pred, val, old)
+            off += count
+
+    def _cond_hit(self, cregs, ev):
+        """`if (creg == value)` on a bit vector: compare against the
+        constant's LSB-first bit pattern (exact at ANY register width)."""
+        size = self.creg_sizes[ev.creg]
+        if ev.value >> size:           # value cannot fit: never true
+            return jnp.bool_(False)
+        want = jnp.asarray([(ev.value >> k) & 1 for k in range(size)],
+                           dtype=jnp.int32)
+        return jnp.all(cregs[ev.creg] == want)
+
     def _exec(self, events, planes, cregs, key, pred):
         from .compiler import EvCond, EvDump, EvGates, EvMeasure, EvReset
 
@@ -154,25 +180,14 @@ class TrajectoryProgram:
                     new = collapse_traced(new, bit, q, self.n)
                     bits.append(bit)
                 planes = self._sel(pred, new, planes)
-                off = 0
-                for creg, bit_index, count in ev.writes:
-                    old = cregs[creg]
-                    if bit_index is None:
-                        val = jnp.int32(0)
-                        for k in range(count):
-                            val = val | (bits[off + k] << k)
-                    else:
-                        val = (old & ~jnp.int32(1 << bit_index)) | (
-                            bits[off] << bit_index)
-                    cregs[creg] = self._sel(pred, val, old)
-                    off += count
+                self._write_creg_bits(cregs, ev.writes, bits, pred)
             elif isinstance(ev, EvReset):
                 new = planes
                 for q in ev.qubits:
                     new = collapse_traced(new, 0, q, self.n)
                 planes = self._sel(pred, new, planes)
             elif isinstance(ev, EvCond):
-                hit = cregs[ev.creg] == ev.value
+                hit = self._cond_hit(cregs, ev)
                 sub = hit if pred is None else jnp.logical_and(pred, hit)
                 planes, cregs = self._exec(ev.body, planes, cregs, key, sub)
             elif isinstance(ev, EvDump):
@@ -184,7 +199,8 @@ class TrajectoryProgram:
     def _run_one(self, key):
         self._site = 0
         planes = zero_state(self.n) if self.n else None
-        cregs = {c: jnp.int32(0) for c in self.creg_names}
+        cregs = {c: jnp.zeros(self.creg_sizes[c], dtype=jnp.int32)
+                 for c in self.creg_names}
         if self.n:
             planes, cregs = self._exec(self.events, planes, cregs, key, None)
         vals = tuple(cregs[c] for c in self.creg_names)
@@ -192,14 +208,19 @@ class TrajectoryProgram:
 
     # -- host API -----------------------------------------------------------
 
-    #: Cap on simultaneously-live amplitudes (batch x 2^n x 2 planes):
-    #: 2^28 floats = 2 GiB of live trajectory state per dispatch.
+    #: Cap on simultaneously-live state words (batch x per-trajectory
+    #: cost): 2^28 x 4 B = 2 GiB of live trajectory state per dispatch.
     _MAX_LIVE = 1 << 28
+
+    def _traj_live_cost(self) -> int:
+        """Per-trajectory live state in 4-byte words (dense planes)."""
+        return 2 << max(self.n, 1)
 
     def run_vals(self, ntraj: int, seed: int | None = None, key=None,
                  return_states: bool = False):
         """Run ``ntraj`` trajectories. Returns a dict creg name ->
-        (ntraj,) int32 outcome values (LSB-first), plus the stacked
+        (ntraj, size) int32 outcome BIT arrays (column k = creg bit k,
+        LSB-first — exact at any register width), plus the stacked
         final (re, im) planes when ``return_states``.
 
         Trajectories dispatch in vmapped batches sized so the live
@@ -213,7 +234,7 @@ class TrajectoryProgram:
             vals, planes = self._run_one(k)
             return (vals, planes) if return_states else (vals, 0)
 
-        batch = max(1, min(ntraj, self._MAX_LIVE // (2 << max(self.n, 1))))
+        batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
         fn = jax.jit(jax.vmap(one))            # per-shape jit cache: at most
         chunks = []                            # one extra compile for a tail
         for lo in range(0, ntraj, batch):
@@ -235,12 +256,7 @@ class TrajectoryProgram:
         vals = self.run_vals(ntraj, seed=seed, key=key)
         rows = []
         for t in range(ntraj):
-            parts = []
-            for c in self.creg_names:
-                size = self.creg_sizes[c]
-                v = int(vals[c][t])
-                bits = [(v >> k) & 1 for k in range(size)]
-                parts.append(f"{c}={CReg.of(bits)}")
+            parts = [f"{c}={CReg.of(vals[c][t])}" for c in self.creg_names]
             rows.append(" ".join(parts))
         return collections.Counter(rows)
 

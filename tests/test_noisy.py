@@ -95,13 +95,10 @@ def test_depolarizing_matches_density_matrix():
     exact = np.asarray(rho.probs())          # big-endian basis order
 
     ntraj = 8192
-    vals = prog.run_vals(ntraj, seed=4)["c"]
-    # creg value is LSB-first: c = bit(q0) + 2*bit(q1); basis index is
-    # big-endian: idx = 2*bit(q0) + bit(q1)
-    got = np.zeros(4)
-    for v, cnt in zip(*np.unique(vals, return_counts=True)):
-        b0, b1 = v & 1, (v >> 1) & 1
-        got[2 * b0 + b1] = cnt / ntraj
+    bits = prog.run_vals(ntraj, seed=4)["c"]      # (T, 2) bit columns
+    # creg bit k comes from qubit k; basis index is big-endian
+    idx = 2 * bits[:, 0] + bits[:, 1]
+    got = np.bincount(idx, minlength=4) / ntraj
     assert np.all(np.abs(got - exact) < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3)
 
 
@@ -158,11 +155,10 @@ def test_density_program_matches_trajectories():
     exact = np.asarray(rho.probs())
 
     ntraj = 8192
-    vals = TrajectoryProgram(_ast(src), noise=f"depolarizing:{p}").run_vals(
+    bits = TrajectoryProgram(_ast(src), noise=f"depolarizing:{p}").run_vals(
         ntraj, seed=1)["c"]
-    got = np.zeros(4)
-    for v, cnt in zip(*np.unique(vals, return_counts=True)):
-        got[2 * (v & 1) + ((v >> 1) & 1)] = cnt / ntraj
+    idx = 2 * bits[:, 0] + bits[:, 1]
+    got = np.bincount(idx, minlength=4) / ntraj
     assert np.all(np.abs(got - exact)
                   < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3)
     # and the measured run writes cregs consistent with one sampled path

@@ -303,3 +303,117 @@ def test_seeded_runs_reproducible():
         return [sim.measure_qubit(q) for q in range(5)]
 
     assert run() == run()
+
+
+# -- noisy Clifford trajectories (stabilizer/noise.py) ------------------------
+
+
+def _traj_ast(src):
+    from qubism_tpu.qasm.parser import parse_openqasm
+
+    return parse_openqasm("<t>", src)
+
+
+def test_stab_trajectories_deterministic():
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    prog = StabilizerTrajectoryProgram(_traj_ast("""
+        qreg q[2]; creg c[2];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """))
+    bits = prog.run_vals(16, seed=0)["c"]
+    assert (bits[:, 0] == 1).all() and (bits[:, 1] == 0).all()
+
+
+def test_stab_trajectories_bitflip_rate():
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    p = 0.25
+    prog = StabilizerTrajectoryProgram(_traj_ast("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """), noise=f"bitflip:{p}")
+    bits = prog.run_vals(4096, seed=1)["c"][:, 0]
+    sigma = np.sqrt(p * (1 - p) / 4096)
+    assert abs(float((bits == 0).mean()) - p) < 5 * sigma
+
+
+def test_stab_trajectories_match_exact_density():
+    """GHZ-2 + depolarizing: tableau-trajectory marginals against the
+    exact vectorized DensityMatrix (same noise model and placement)."""
+    from qubism_tpu.run.noisy import DensityProgram
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    p = 0.15
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        measure q -> c;
+    """
+    rho, _ = DensityProgram(_traj_ast(src.replace("measure q -> c;", "")),
+                            noise=f"depolarizing:{p}").run(seed=0)
+    exact = np.asarray(rho.probs())
+    ntraj = 8192
+    bits = StabilizerTrajectoryProgram(_traj_ast(src),
+                                       noise=f"depolarizing:{p}").run_vals(
+        ntraj, seed=2)["c"]
+    idx = 2 * bits[:, 0] + bits[:, 1]
+    got = np.bincount(idx, minlength=4) / ntraj
+    assert np.all(np.abs(got - exact)
+                  < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3)
+
+
+def test_stab_trajectories_feed_forward_and_reset():
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    prog = StabilizerTrajectoryProgram(_traj_ast("""
+        qreg q[2]; creg c[1]; creg d[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        measure q[0] -> c[0];
+        if (c == 0) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        measure q[1] -> d[0];
+    """))
+    vals = prog.run_vals(128, seed=3)
+    c, d = vals["c"][:, 0], vals["d"][:, 0]
+    assert (d == 1 - c).all()
+    assert 0 < c.mean() < 1
+    prog2 = StabilizerTrajectoryProgram(_traj_ast("""
+        qreg q[1]; creg c[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        reset q[0];
+        measure q -> c;
+    """))
+    assert (prog2.run_vals(64, seed=4)["c"] == 0).all()
+
+
+def test_stab_trajectories_wide_creg_ghz():
+    """60-qubit noisy GHZ: creg bits stay exact past any packed-integer
+    width; every noiseless trajectory is perfectly correlated."""
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    n = 60
+    lines = [f"qreg q[{n}]; creg c[{n}];",
+             "U(1.5707963267948966, 0, 3.141592653589793) q[0];"]
+    lines += [f"CX q[{q}], q[{q + 1}];" for q in range(n - 1)]
+    lines += ["measure q -> c;"]
+    prog = StabilizerTrajectoryProgram(_traj_ast("\n".join(lines)))
+    bits = prog.run_vals(32, seed=5)["c"]
+    assert bits.shape == (32, n)
+    assert (bits == bits[:, :1]).all()
+    assert 0 < bits[:, 0].mean() < 1
+
+
+def test_stab_trajectories_reject_non_pauli():
+    import pytest as _pytest
+
+    from qubism_tpu.stabilizer.noise import (NotPauliChannelError,
+                                             pauli_channel_cdfs)
+
+    with _pytest.raises(NotPauliChannelError, match="not a Pauli channel"):
+        pauli_channel_cdfs("ad:0.1")
+    cdfs = pauli_channel_cdfs("depolarizing:0.3,bitflip:0.1")
+    assert cdfs.shape == (2, 4)
+    assert np.allclose(cdfs[:, -1], 1.0)
