@@ -523,6 +523,31 @@ def main():
     except Exception as e:
         log(f"mps probe failed: {type(e).__name__}: {str(e)[:200]}")
         extra["mps40q_ghz_sample_s"] = None
+    try:
+        # noisy trajectories: 16q GHZ + depolarizing, 512 per-shot re-runs
+        # (gates, channels, measurement) as vmapped device programs
+        from qubism_tpu.qasm.parser import parse_openqasm
+        from qubism_tpu.run.noisy import TrajectoryProgram
+
+        lines = ["qreg q[16]; creg c[16];",
+                 "U(1.5707963267948966, 0, 3.141592653589793) q[0];"]
+        lines += [f"CX q[{q}], q[{q + 1}];" for q in range(15)]
+        lines += ["measure q -> c;"]
+        tprog = TrajectoryProgram(parse_openqasm("<bench>", "\n".join(lines)),
+                                  noise="depolarizing:0.002")
+        tprog.run_vals(512, seed=0)  # warm (same-width vmap compile)
+        t0 = time.time()
+        bits = tprog.run_vals(512, seed=1)["c"]
+        dt = time.time() - t0
+        clean = (bits == bits[:, :1]).all(axis=1).mean()
+        extra["traj16q_512shots_s"] = round(dt, 3)
+        # 31 noise sites; Z errors are invisible in the Z basis, so
+        # clean GHZ fraction ~ (1 - 2p/3)^31 ~ 0.96
+        extra["traj16q_clean_frac"] = round(float(clean), 3)
+        extra["traj16q_ok"] = bool(0.90 < clean < 0.995)
+    except Exception as e:
+        log(f"trajectory probe failed: {type(e).__name__}: {str(e)[:200]}")
+        extra["traj16q_512shots_s"] = None
 
     if extra.get("qft30_actual_s"):
         value = extra["qft30_actual_s"]

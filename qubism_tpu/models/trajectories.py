@@ -111,9 +111,13 @@ def _apply_channel_traced(planes, kraus_planes, targets, n, u):
     cdf = jnp.cumsum(norms)
     j = jnp.searchsorted(cdf, u * cdf[-1], side="right")
     j = jnp.minimum(j, len(branches) - 1)
-    re = jnp.stack([b[0].reshape(-1) for b in branches])[j]
-    im = jnp.stack([b[1].reshape(-1) for b in branches])[j]
-    scale = lax.rsqrt(jnp.maximum(norms[j], jnp.float32(1e-30)))
+    # select via a one-hot weighted sum, NOT a stack+gather: a gather of
+    # freshly-computed branch arrays blocks XLA fusion and (on CPU)
+    # triggers rematerialization blowups in composed programs
+    w = (jnp.arange(len(branches)) == j).astype(planes[0].dtype)
+    re = sum(w[k] * b[0].reshape(-1) for k, b in enumerate(branches))
+    im = sum(w[k] * b[1].reshape(-1) for k, b in enumerate(branches))
+    scale = lax.rsqrt(jnp.maximum(jnp.sum(w * norms), jnp.float32(1e-30)))
     return re * scale, im * scale
 
 

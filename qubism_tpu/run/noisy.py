@@ -230,14 +230,21 @@ class TrajectoryProgram:
             key = jax.random.PRNGKey(0 if seed is None else seed)
         keys = jax.random.split(key, ntraj)
 
-        def one(k):
-            vals, planes = self._run_one(k)
-            return (vals, planes) if return_states else (vals, 0)
+        fn = getattr(self, "_fn_cache", {}).get(return_states)
+        if fn is None:
+            def one(k, _rs=return_states):
+                vals, planes = self._run_one(k)
+                return (vals, planes) if _rs else (vals, 0)
 
+            fn = jax.jit(jax.vmap(one))
+            if not hasattr(self, "_fn_cache"):
+                self._fn_cache = {}
+            # cache the jitted callable: rebuilding it per call would
+            # retrace + recompile the WHOLE program every run_vals
+            self._fn_cache[return_states] = fn
         batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
-        fn = jax.jit(jax.vmap(one))            # per-shape jit cache: at most
-        chunks = []                            # one extra compile for a tail
-        for lo in range(0, ntraj, batch):
+        chunks = []                            # per-shape jit cache: at most
+        for lo in range(0, ntraj, batch):      # one extra compile for a tail
             chunks.append(fn(keys[lo:min(lo + batch, ntraj)]))
         vals = [np.concatenate([np.asarray(c[0][i]) for c in chunks])
                 for i in range(len(self.creg_names))]
