@@ -182,11 +182,6 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         elif noise is not None or trajectories is not None:
             from .run.noisy import TrajectoryProgram
 
-            if backend == "mps":
-                print("qubism: --noise/--trajectories run on the dense or "
-                      "stabilizer trajectory executors (not --backend mps)",
-                      file=out)
-                return 2
             if mesh or compile_mode:
                 print("qubism: --noise/--trajectories is its own execution "
                       "mode; drop --mesh/--compile", file=out)
@@ -196,6 +191,10 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                     from .stabilizer.noise import StabilizerTrajectoryProgram
 
                     prog = StabilizerTrajectoryProgram(ast, noise=noise)
+                elif backend == "mps":
+                    from .mps.noise import MPSTrajectoryProgram
+
+                    prog = MPSTrajectoryProgram(ast, noise=noise, chi=chi)
                 else:
                     prog = TrajectoryProgram(ast, noise=noise)
             except ValueError as e:
@@ -209,11 +208,15 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
             try:
                 counts = prog.counts(ntraj, seed=seed)
             except Exception:
+                from .mps import NotAdjacentError
                 from .stabilizer import NotCliffordError
 
                 e = sys.exc_info()[1]
                 if isinstance(e, NotCliffordError):
                     print(f"qubism: stabilizer trajectories: {e}", file=out)
+                    return 1
+                if isinstance(e, NotAdjacentError):
+                    print(f"qubism: mps trajectories: {e}", file=out)
                     return 1
                 raise
             print(f"Counts over classical registers "

@@ -1,0 +1,248 @@
+"""Noisy MPS trajectories: Pauli channels on bounded-entanglement circuits.
+
+The third leg of the trajectory family (dense ``run/noisy.py`` <= ~26
+qubits, Clifford-only ``stabilizer/noise.py`` at 1000+): NON-Clifford
+noisy circuits at 50-100+ qubits, as long as each trajectory's
+entanglement fits the bond cap ``chi``.
+
+The trick mirrors the stabilizer unraveling: mixed-unitary Pauli channels
+(depolarizing / bit-flip / phase-flip) have branch probabilities
+INDEPENDENT of the state, so a sampled noise event needs no Kraus norm
+computation — it is one more 1q row in the MPS replay tape
+(engine.py:_k_chain) whose 2x2 block each trajectory overwrites with its
+sampled Pauli (a traced gather from a (4, 2, 2) table). The whole noisy
+circuit still replays as a single ``lax.scan``; trajectories ``vmap``
+over the stacked site planes at T x 4*n*chi^2 floats. Amplitude/phase
+damping change branch weights with the state and are rejected with a
+pointer to the dense trajectory mode (``pauli_channel_cdfs``).
+
+Measurement, feed-forward and reset are fully traced (unlike MPSSim's
+host-control-flow ``measure_qubit``): Born probabilities come from exact
+transfer contractions (``_k_expect`` / ``_k_norm2`` — correct in ANY
+canonical form, so no orthogonality-center bookkeeping is needed for
+readout), projection is a 1q contraction plus a global renormalize.
+
+The reference has no noise story at all (SURVEY §5); this extends its
+interpreter semantics (src/Qubism/QASM/Simulation.hs:55-76) to open
+systems at scales its O(4^n) engine (src/Qubism/QGate.hs:80) could never
+reach.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import config
+from ..ops.apply import _sort_targets
+from ..run.noisy import TrajectoryProgram
+from ..stabilizer.noise import NotPauliChannelError, pauli_channel_cdfs
+from .engine import (_OP_1Q, _OP_2Q, _OP_NOP, _OP_SHIFT_L, _OP_SHIFT_R,
+                     _PAULI, _SWAP, NotAdjacentError, _apply_1q_body,
+                     _k_chain, _k_expect, _k_norm2, _k_scale_site)
+
+__all__ = ["MPSTrajectoryProgram"]
+
+#: (4, 2, 2) split planes of (I, X, Y, Z) — the traced sample gathers here.
+_PAULI_R = jnp.asarray(np.stack([
+    _PAULI[c].real for c in "IXYZ"]).astype(np.float32))
+_PAULI_I = jnp.asarray(np.stack([
+    _PAULI[c].imag for c in "IXYZ"]).astype(np.float32))
+
+
+class MPSTrajectoryProgram(TrajectoryProgram):
+    """Noisy QASM as vmapped matrix-product-state trajectories.
+
+    Inherits the creg/feed-forward machinery and the host sampling API
+    from :class:`~qubism_tpu.run.noisy.TrajectoryProgram`; the quantum
+    state is a (n, chi, 2, chi) split-plane MPS instead of 2^n
+    amplitudes. ``trunc_error`` observability: per-trajectory discarded
+    weight accumulates in-trace and is returned by ``run_vals(...,
+    return_states=True)`` as the third state leaf.
+    """
+
+    def __init__(self, ast, noise=None, chi: int = 32):
+        from ..run.compiler import elaborate
+
+        (self.n, self.events, self.cregs0, self.layout,
+         self.qreg_sizes) = elaborate(ast)
+        self.chi = chi
+        self.cdfs = (pauli_channel_cdfs(noise, backend="mps")
+                     if isinstance(noise, str)
+                     else np.asarray(noise if noise is not None
+                                     else np.zeros((0, 4), np.float32)))
+        self.noise = [("pauli", None)] if len(self.cdfs) else []
+        self.creg_names = sorted(self.cregs0)
+        self.creg_sizes = {c: len(self.cregs0[c].bits)
+                           for c in self.creg_names}
+        self._site = 0
+        self._center = 0
+
+    def _traj_live_cost(self) -> int:
+        return max(1, 4 * self.n * self.chi * self.chi + 2 * self.n)
+
+    # -- tape construction (host side, runs once per trace) -----------------
+
+    def _tape(self, prims):
+        """Flatten a prim stream into one op tape, with an extra identity
+        1q row after each gate per (channel, target) — the noise slots a
+        trajectory overwrites with its sampled Paulis. Returns host
+        arrays plus (noise row indices, per-row channel CDFs)."""
+        tape = []                    # (code, site, 2x2/4x4 u or None)
+        rows = []                    # tape indices of noise slots
+        cdf_rows = []                # the slot's channel CDF (4,)
+        center = self._center
+
+        def move(target):
+            nonlocal center
+            while center < target:
+                tape.append((_OP_SHIFT_R, center, None))
+                center += 1
+            while center > target:
+                tape.append((_OP_SHIFT_L, center, None))
+                center -= 1
+
+        def adj2(u, q):
+            nonlocal center
+            move(q if center <= q else q + 1)
+            tape.append((_OP_2Q, q, u))
+            center = q + 1
+
+        def noise_slots(sites):
+            for ci in range(len(self.cdfs)):
+                for t in sites:
+                    rows.append(len(tape))
+                    cdf_rows.append(self.cdfs[ci])
+                    tape.append((_OP_1Q, t, np.eye(2, dtype=complex)))
+
+        for p in prims:
+            u = np.diag(p.u) if p.diag else np.asarray(p.u)
+            un, tgts = _sort_targets(np.asarray(u, dtype=np.complex128),
+                                     p.targets)
+            if len(tgts) == 1:
+                tape.append((_OP_1Q, tgts[0], un))
+                noise_slots((tgts[0],))
+            elif len(tgts) == 2:
+                a, b = tgts
+                for j in range(b - 1, a, -1):   # route qubit b down to a+1
+                    adj2(_SWAP, j)
+                adj2(un, a)
+                noise_slots((a, a + 1))         # noise on BOTH gate qubits
+                for j in range(a + 1, b):       # walk it back
+                    adj2(_SWAP, j)
+            else:
+                raise NotAdjacentError(
+                    f"MPS trajectories apply 1- and 2-qubit prims; got a "
+                    f"{len(tgts)}-qubit prim on {tgts}. Decompose it "
+                    f"(qelib1-style) first.")
+        self._center = center
+        length = max(1, len(tape))
+        codes = np.full(length, _OP_NOP, dtype=np.int32)
+        qs = np.zeros(length, dtype=np.int32)
+        urs = np.zeros((length, 4, 4), dtype=np.float32)
+        uis = np.zeros((length, 4, 4), dtype=np.float32)
+        for k, (code, q, u) in enumerate(tape):
+            codes[k] = code
+            qs[k] = q
+            if u is not None:
+                d = u.shape[0]
+                urs[k, :d, :d] = u.real
+                uis[k, :d, :d] = u.imag
+        return (codes, qs, urs, uis, np.asarray(rows, dtype=np.int32),
+                np.asarray(cdf_rows, dtype=np.float32).reshape(-1, 4))
+
+    # -- traced execution ---------------------------------------------------
+
+    def _gates(self, state, prims, key):
+        re, im, disc = state
+        codes, qs, urs, uis, rows, cdf_rows = self._tape(prims)
+        urs = jnp.asarray(urs)
+        uis = jnp.asarray(uis)
+        if len(rows):
+            us = jax.random.uniform(jax.random.fold_in(key, self._site),
+                                    (len(rows),))
+            self._site += 1
+            # c = #(cdf[j] <= u, j < 3) in 0..3 — the searchsorted of each
+            # row's own CDF, vectorized over slots
+            c = jnp.sum((jnp.asarray(cdf_rows)[:, :3] <= us[:, None])
+                        .astype(jnp.int32), axis=1)
+            urs = urs.at[rows, :2, :2].set(_PAULI_R[c])
+            uis = uis.at[rows, :2, :2].set(_PAULI_I[c])
+        re, im, d = _k_chain(re, im, jnp.asarray(codes), jnp.asarray(qs),
+                             urs, uis)
+        return re, im, disc + d
+
+    def _renorm(self, re, im, q):
+        n2 = _k_norm2(re, im)
+        s = lax.rsqrt(jnp.maximum(n2, jnp.float32(1e-30)))
+        return _k_scale_site(re, im, q, s)
+
+    def _measure(self, state, qubits, key):
+        re, im, disc = state
+        n = self.n
+        z2 = jnp.zeros((2, 2), dtype=jnp.float32)
+        bits = []
+        for q in qubits:
+            opr = np.tile(np.eye(2, dtype=np.float32), (n, 1, 1))
+            opr[q] = np.diag([0.0, 1.0]).astype(np.float32)
+            vr, _ = _k_expect(re, im, jnp.asarray(opr),
+                              jnp.zeros((n, 2, 2), dtype=jnp.float32))
+            n2 = _k_norm2(re, im)
+            p1 = jnp.clip(vr / jnp.maximum(n2, jnp.float32(1e-30)), 0.0, 1.0)
+            thr = jnp.sqrt(p1) if config.reference_sqrt_born else p1
+            bit = (self._u(key) < thr).astype(jnp.int32)
+            proj = jnp.diag((jnp.arange(2) == bit).astype(jnp.float32))
+            re, im = _apply_1q_body(re, im, proj, z2, q)
+            re, im = self._renorm(re, im, q)
+            bits.append(bit)
+        return bits, (re, im, disc)
+
+    def _exec(self, events, state, cregs, key, pred):
+        from ..run.compiler import (EvCond, EvDump, EvGates, EvMeasure,
+                                    EvReset)
+
+        z2 = jnp.zeros((2, 2), dtype=jnp.float32)
+        proj0 = jnp.asarray(np.diag([1.0, 0.0]).astype(np.float32))
+        for ev in events:
+            if isinstance(ev, EvGates):
+                new = self._gates(state, ev.prims, key)
+                state = self._sel(pred, new, state)
+            elif isinstance(ev, EvMeasure):
+                bits, new = self._measure(state, ev.qubits, key)
+                state = self._sel(pred, new, state)
+                self._write_creg_bits(cregs, ev.writes, bits, pred)
+            elif isinstance(ev, EvReset):
+                # the reference's reset: projection to |0> without a Born
+                # draw (Simulation.hs:146-156), matching the dense path
+                re, im, disc = state
+                for q in ev.qubits:
+                    re, im = _apply_1q_body(re, im, proj0, z2, q)
+                    re, im = self._renorm(re, im, q)
+                state = self._sel(pred, (re, im, disc), state)
+            elif isinstance(ev, EvCond):
+                hit = self._cond_hit(cregs, ev)
+                sub = hit if pred is None else jnp.logical_and(pred, hit)
+                state, cregs = self._exec(ev.body, state, cregs, key, sub)
+            elif isinstance(ev, EvDump):
+                pass
+            else:  # pragma: no cover
+                raise TypeError(f"unknown event {type(ev).__name__}")
+        return state, cregs
+
+    def _run_one(self, key):
+        self._site = 0
+        self._center = 0
+        cregs = {c: jnp.zeros(self.creg_sizes[c], dtype=jnp.int32)
+                 for c in self.creg_names}
+        if self.n:
+            re = np.zeros((self.n, self.chi, 2, self.chi), dtype=np.float32)
+            re[:, 0, 0, 0] = 1.0
+            state = (jnp.asarray(re), jnp.zeros_like(jnp.asarray(re)),
+                     jnp.float32(0))
+            state, cregs = self._exec(self.events, state, cregs, key, None)
+        else:
+            state = None
+        vals = tuple(cregs[c] for c in self.creg_names)
+        return vals, state

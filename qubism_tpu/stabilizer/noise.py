@@ -53,10 +53,11 @@ _PAULI_CHANNELS = {
 }
 
 
-def pauli_channel_cdfs(spec: str) -> np.ndarray:
+def pauli_channel_cdfs(spec: str, backend: str = "stabilizer") -> np.ndarray:
     """Parse a --noise spec into stacked Pauli-channel CDFs (C, 4):
     row c = cumulative (pI, pX, pY, pZ) of channel c. Non-Pauli channels
-    (amplitude/phase damping) raise :class:`NotPauliChannelError`."""
+    (amplitude/phase damping) raise :class:`NotPauliChannelError`;
+    ``backend`` only labels that error (stabilizer / mps)."""
     cdfs = []
     for part in spec.split(","):
         part = part.strip()
@@ -68,7 +69,7 @@ def pauli_channel_cdfs(spec: str) -> np.ndarray:
         if fac is None:
             raise NotPauliChannelError(
                 f"noise channel {name!r} is not a Pauli channel; the "
-                f"stabilizer backend unravels depolarizing/bitflip/"
+                f"{backend} backend unravels depolarizing/bitflip/"
                 f"phaseflip only (use the dense trajectory mode for "
                 f"amplitude/phase damping)")
         if not sep:

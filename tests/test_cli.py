@@ -290,8 +290,6 @@ def test_noise_flag_errors(tmp_path, capsys):
     assert "unknown noise channel" in capsys.readouterr().out
     assert eval_file(str(f), noise="bitflip:0.1", mesh=1) == 2
     assert "own execution mode" in capsys.readouterr().out
-    assert eval_file(str(f), noise="bitflip:0.1", backend="mps") == 2
-    assert "not --backend mps" in capsys.readouterr().out
     g = tmp_path / "nocreg.qasm"
     g.write_text("qreg q[1]; U(0,0,0) q[0];")
     assert eval_file(str(g), trajectories=8) == 2
@@ -343,6 +341,25 @@ def test_stabilizer_noise_flag(tmp_path, capsys):
     # non-Pauli channel on the tableau is rejected with a pointer
     assert eval_file(str(f), backend="stabilizer", noise="ad:0.1") == 2
     assert "not a Pauli channel" in capsys.readouterr().out
+
+
+def test_mps_noise_flag(tmp_path, capsys):
+    f = tmp_path / "mn.qasm"
+    f.write_text("""
+        qreg q[3]; creg c[3];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        CX q[1], q[2];
+        measure q -> c;
+    """)
+    code = eval_file(str(f), seed=0, backend="mps", chi=4,
+                     noise="bitflip:0.05", trajectories=256)
+    out = capsys.readouterr().out
+    assert code == 0 and "256 trajectories" in out
+    assert "c=000:" in out and "c=111:" in out
+    # non-Pauli channel is rejected with the mps-labelled pointer
+    assert eval_file(str(f), backend="mps", noise="pd:0.1") == 2
+    assert "mps backend" in capsys.readouterr().out
 
 
 def test_stabilizer_noise_non_clifford(tmp_path, capsys):

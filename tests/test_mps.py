@@ -238,3 +238,159 @@ def test_jacobi_svd_rank_deficient():
     v = vr + 1j * vi
     assert np.all(np.asarray(s)[3:] < 1e-5)
     assert np.linalg.norm(u @ np.diag(s) @ v.conj().T - a) < 1e-4
+
+
+# -- noisy MPS trajectories (mps/noise.py) ------------------------------------
+
+
+def _traj_ast(src):
+    from qubism_tpu.qasm.parser import parse_openqasm
+
+    return parse_openqasm("<test>", src)
+
+
+def test_mps_trajectories_deterministic():
+    from qubism_tpu.mps import MPSTrajectoryProgram
+
+    prog = MPSTrajectoryProgram(_traj_ast("""
+        qreg q[2]; creg c[2];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """), chi=4)
+    bits = prog.run_vals(16, seed=0)["c"]
+    assert (bits[:, 0] == 1).all() and (bits[:, 1] == 0).all()
+
+
+def test_mps_trajectories_bitflip_rate():
+    from qubism_tpu.mps import MPSTrajectoryProgram
+
+    p = 0.25
+    prog = MPSTrajectoryProgram(_traj_ast("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """), noise=f"bitflip:{p}", chi=2)
+    bits = prog.run_vals(4096, seed=1)["c"][:, 0]
+    sigma = np.sqrt(p * (1 - p) / 4096)
+    assert abs(float((bits == 0).mean()) - p) < 5 * sigma
+
+
+def test_mps_trajectories_match_exact_density():
+    """GHZ-2 + depolarizing: MPS-trajectory marginals against the exact
+    vectorized DensityMatrix (same noise model and placement)."""
+    from qubism_tpu.mps import MPSTrajectoryProgram
+    from qubism_tpu.run.noisy import DensityProgram
+
+    p = 0.15
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        measure q -> c;
+    """
+    rho, _ = DensityProgram(_traj_ast(src.replace("measure q -> c;", "")),
+                            noise=f"depolarizing:{p}").run(seed=0)
+    exact = np.asarray(rho.probs())
+    ntraj = 8192
+    bits = MPSTrajectoryProgram(_traj_ast(src), noise=f"depolarizing:{p}",
+                                chi=4).run_vals(ntraj, seed=2)["c"]
+    idx = 2 * bits[:, 0] + bits[:, 1]
+    got = np.bincount(idx, minlength=4) / ntraj
+    assert np.all(np.abs(got - exact)
+                  < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3)
+
+
+def test_mps_trajectories_nonclifford_noise_match_density():
+    """The regime only THIS engine covers for large n: non-Clifford gates
+    (T rotations — rejected by the stabilizer unraveling) with Pauli
+    noise. Pinned exactly at small n against the density backend."""
+    from qubism_tpu.mps import MPSTrajectoryProgram
+    from qubism_tpu.run.noisy import DensityProgram
+
+    src = """
+        qreg q[1]; creg c[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        U(0, 0, 0.7853981633974483) q[0];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """
+    p = 0.1
+    rho, _ = DensityProgram(_traj_ast(src.replace("measure q -> c;", "")),
+                            noise=f"depolarizing:{p}").run(seed=0)
+    exact_p1 = float(np.asarray(rho.probs())[1])
+    ntraj = 8192
+    bits = MPSTrajectoryProgram(_traj_ast(src), noise=f"depolarizing:{p}",
+                                chi=2).run_vals(ntraj, seed=4)["c"][:, 0]
+    sigma = np.sqrt(exact_p1 * (1 - exact_p1) / ntraj)
+    assert abs(float(bits.mean()) - exact_p1) < 5 * sigma
+
+
+def test_mps_trajectories_feed_forward_and_reset():
+    from qubism_tpu.mps import MPSTrajectoryProgram
+
+    prog = MPSTrajectoryProgram(_traj_ast("""
+        qreg q[2]; creg c[1]; creg d[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        measure q[0] -> c[0];
+        if (c == 0) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        measure q[1] -> d[0];
+    """), chi=4)
+    vals = prog.run_vals(128, seed=3)
+    c, d = vals["c"][:, 0], vals["d"][:, 0]
+    assert (d == 1 - c).all()
+    assert 0 < c.mean() < 1
+    prog2 = MPSTrajectoryProgram(_traj_ast("""
+        qreg q[1]; creg c[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        reset q[0];
+        measure q -> c;
+    """), chi=2)
+    assert (prog2.run_vals(64, seed=4)["c"] == 0).all()
+
+
+def test_mps_trajectories_routed_cx_and_trunc_error():
+    """Non-adjacent CX rides SWAP routing inside the tape; noiseless GHZ
+    across the routing stays exactly correlated and discards nothing."""
+    from qubism_tpu.mps import MPSTrajectoryProgram
+
+    prog = MPSTrajectoryProgram(_traj_ast("""
+        qreg q[4]; creg c[4];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[3];
+        measure q -> c;
+    """), chi=4)
+    vals, states = prog.run_vals(256, seed=5, return_states=True)
+    bits = vals["c"]
+    assert (bits[:, 0] == bits[:, 3]).all()
+    assert (bits[:, 1:3] == 0).all()
+    assert 0 < bits[:, 0].mean() < 1
+    disc = np.asarray(states[2])          # per-trajectory discarded weight
+    assert disc.shape == (256,) and np.all(disc < 1e-6)
+
+
+def test_mps_trajectories_forty_qubits():
+    """40-qubit noisy GHZ at chi=4: the bounded-entanglement regime no
+    dense trajectory program can reach (2^40 amplitudes per shot)."""
+    from qubism_tpu.mps import MPSTrajectoryProgram
+
+    n = 40
+    lines = [f"qreg q[{n}]; creg c[{n}];",
+             "U(1.5707963267948966, 0, 3.141592653589793) q[0];"]
+    lines += [f"CX q[{q}], q[{q + 1}];" for q in range(n - 1)]
+    lines += ["measure q -> c;"]
+    prog = MPSTrajectoryProgram(_traj_ast("\n".join(lines)),
+                                noise="depolarizing:0.002", chi=4)
+    bits = prog.run_vals(32, seed=6)["c"]
+    clean = float((bits == bits[:, :1]).all(axis=1).mean())
+    # 79 noise sites; Z errors invisible in the Z basis -> clean fraction
+    # ~ (1 - 2p/3)^79 ~ 0.90
+    assert 0.6 < clean <= 1.0
+    assert 0 < bits[:, 0].mean() < 1
+
+
+def test_mps_trajectories_reject_non_pauli():
+    from qubism_tpu.mps import MPSTrajectoryProgram
+    from qubism_tpu.stabilizer.noise import NotPauliChannelError
+
+    with pytest.raises(NotPauliChannelError, match="mps backend"):
+        MPSTrajectoryProgram(_traj_ast("qreg q[1];"), noise="ad:0.05")
