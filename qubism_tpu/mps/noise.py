@@ -231,6 +231,15 @@ class MPSTrajectoryProgram(TrajectoryProgram):
                 raise TypeError(f"unknown event {type(ev).__name__}")
         return state, cregs
 
+    def _expect_final(self, state, pauli: str):
+        re, im, _ = state
+        ops = np.stack([_PAULI[c] for c in pauli])
+        vr, _ = _k_expect(re, im,
+                          jnp.asarray(ops.real.astype(np.float32)),
+                          jnp.asarray(ops.imag.astype(np.float32)))
+        n2 = _k_norm2(re, im)
+        return vr / jnp.maximum(n2, jnp.float32(1e-30))
+
     def _run_one(self, key):
         self._site = 0
         self._center = 0

@@ -256,6 +256,48 @@ class TrajectoryProgram:
             *[c[1] for c in chunks])
         return out, states
 
+    # -- Monte-Carlo observables --------------------------------------------
+
+    def _expect_final(self, state, pauli: str):
+        """Per-trajectory <P> on the final state (traced; engine hook)."""
+        from ..ops.measure import _expectation_pair_body
+
+        tr, ti = _expectation_pair_body(pauli, self.n, state, state)
+        k = pauli.count("Y") % 4          # real part of (tr + i*ti) * i^k
+        return (tr, -ti, -tr, ti)[k]
+
+    def expectation(self, pauli: str, ntraj: int, seed: int | None = None,
+                    key=None):
+        """Monte-Carlo ``<P>`` over ``ntraj`` noisy trajectories:
+        returns ``(mean, stderr)``. The estimator is the trajectory
+        average of the FINAL-state expectation — mid-circuit
+        measurement and feed-forward run per trajectory exactly as in
+        :meth:`run_vals`, so this is the physical noisy observable a
+        hardware run would estimate (shot noise = stderr)."""
+        from ..ops.measure import _check_pauli
+
+        pauli = _check_pauli(pauli, self.n)
+        if key is None:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+        keys = jax.random.split(key, ntraj)
+        cache = getattr(self, "_efn_cache", None)
+        if cache is None:
+            cache = self._efn_cache = {}
+        fn = cache.get(pauli)
+        if fn is None:
+            def one(k, _p=pauli):
+                _, state = self._run_one(k)
+                return self._expect_final(state, _p)
+
+            fn = cache[pauli] = jax.jit(jax.vmap(one))
+        batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
+        vals = np.concatenate([
+            np.asarray(fn(keys[lo:min(lo + batch, ntraj)]))
+            for lo in range(0, ntraj, batch)])
+        mean = float(vals.mean())
+        stderr = float(vals.std(ddof=1) / np.sqrt(ntraj)) if ntraj > 1 else 0.0
+        return mean, stderr
+
     def counts(self, ntraj: int, seed: int | None = None, key=None):
         """Joint classical-register outcome histogram over trajectories:
         {"c=0110 d=1": count}, bits rendered LSB-first like the

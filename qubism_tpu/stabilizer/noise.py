@@ -244,6 +244,14 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
                 raise TypeError(f"unknown event {type(ev).__name__}")
         return tab, cregs
 
+    def _expect_final(self, state, pauli: str):
+        from .tableau import _expect_impl, _pack_pauli
+
+        x, z, s = state
+        px, pz = _pack_pauli(pauli)
+        return _expect_impl(x, z, s, jnp.asarray(px), jnp.asarray(pz),
+                            self.n)
+
     def _run_one(self, key):
         self._site = 0
         cregs = {c: jnp.zeros(self.creg_sizes[c], dtype=jnp.int32)

@@ -195,3 +195,63 @@ def test_density_program_reset_and_guard():
     assert cregs["c"].to_natural() == 0
     with pytest.raises(ValueError, match="4\\^n"):
         DensityProgram(_ast("qreg q[15];"))
+
+
+# -- Monte-Carlo observables over trajectories --------------------------------
+
+
+@pytest.mark.parametrize("engine", ["dense", "stabilizer", "mps"])
+def test_trajectory_expectation_matches_density(engine):
+    """<ZZ>/<XX> on noisy GHZ-2: every trajectory engine's Monte-Carlo
+    estimator agrees with the exact density matrix within its stderr."""
+    from qubism_tpu.mps.noise import MPSTrajectoryProgram
+    from qubism_tpu.run.noisy import DensityProgram
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    p = 0.1
+    ast = _ast("""
+        qreg q[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+    """)
+    rho, _ = DensityProgram(ast, noise=f"depolarizing:{p}").run(seed=0)
+    prog = {
+        "dense": lambda: TrajectoryProgram(ast, noise=f"depolarizing:{p}"),
+        "stabilizer": lambda: StabilizerTrajectoryProgram(ast,
+                                                          noise=f"dep:{p}"),
+        "mps": lambda: MPSTrajectoryProgram(ast, noise=f"dep:{p}", chi=4),
+    }[engine]()
+    for pauli, ntraj in [("ZZ", 4096), ("XX", 2048)]:
+        mean, stderr = prog.expectation(pauli, ntraj, seed=7)
+        exact = rho.expectation(pauli)
+        assert abs(mean - exact) < 5 * stderr + 1e-3, (pauli, mean, exact)
+        assert stderr < 0.05
+
+
+def test_trajectory_expectation_noiseless_exact():
+    """Noiseless trajectories with no measurement are deterministic:
+    stderr collapses and the mean is the pure-state value."""
+    prog = TrajectoryProgram(_ast("""
+        qreg q[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+    """))
+    mean, stderr = prog.expectation("ZZ", 64, seed=0)
+    assert abs(mean - 1.0) < 1e-5 and stderr < 1e-5
+    mean, stderr = prog.expectation("ZI", 64, seed=0)
+    assert abs(mean) < 1e-5
+
+
+def test_trajectory_expectation_feed_forward():
+    """Mid-circuit measurement + feed-forward participate in the
+    estimator: deterministic teleport-style correction leaves q[1]
+    in |1> regardless of the measured branch."""
+    prog = TrajectoryProgram(_ast("""
+        qreg q[2]; creg c[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        measure q[0] -> c[0];
+        if (c == 0) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        if (c == 1) CX q[0], q[1];
+    """))
+    mean, stderr = prog.expectation("IZ", 256, seed=1)
+    assert abs(mean - (-1.0)) < 1e-5     # q[1] is |1>: <Z> = -1
