@@ -82,6 +82,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--fuse-width", type=int, default=5, metavar="K",
                    help="max qubits per fused dense block in --compile mode "
                         "(default 5; the TPU backend may cap lower)")
+    p.add_argument("--observable", action="append", default=[],
+                   metavar="PAULI",
+                   help="print <P> for a Pauli string over the declared "
+                        "qubits (e.g. ZZI; repeatable). Works on every "
+                        "backend; in trajectory mode reports the "
+                        "Monte-Carlo mean +- stderr")
     p.add_argument("--reference-compat", action="store_true",
                    help="replicate the reference's numerical quirks "
                         "(buggy u3, sqrt-Born sampling, truncated pi)")
@@ -139,7 +145,8 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
               fuse_width: int = 5, mesh: int | None = None,
               backend: str = "statevector", chi: int = 32,
               noise: str | None = None,
-              trajectories: int | None = None) -> int:
+              trajectories: int | None = None,
+              observables=()) -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -179,6 +186,9 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                       file=out)
                 for basis in sorted(counts):
                     print(f"  |{basis}>: {counts[basis]}", file=out)
+            if observables and prog.n:
+                if not _print_observables(observables, rho.expectation, out):
+                    return 2
         elif noise is not None or trajectories is not None:
             from .run.noisy import TrajectoryProgram
 
@@ -201,12 +211,14 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 print(f"qubism: {e}", file=out)
                 return 2
             ntraj = trajectories or shots or 512
-            if not prog.creg_names or not prog.n:
+            if not prog.n or (not prog.creg_names and not observables):
                 print("qubism: trajectory mode reports classical-register "
-                      "counts; the program declares none", file=out)
+                      "counts; the program declares none (add a creg or "
+                      "--observable)", file=out)
                 return 2
             try:
-                counts = prog.counts(ntraj, seed=seed)
+                counts = (prog.counts(ntraj, seed=seed)
+                          if prog.creg_names else {})
             except Exception:
                 from .mps import NotAdjacentError
                 from .stabilizer import NotCliffordError
@@ -219,10 +231,17 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                     print(f"qubism: mps trajectories: {e}", file=out)
                     return 1
                 raise
-            print(f"Counts over classical registers "
-                  f"({ntraj} trajectories):", file=out)
-            for row in sorted(counts):
-                print(f"  {row}: {counts[row]}", file=out)
+            if prog.creg_names:
+                print(f"Counts over classical registers "
+                      f"({ntraj} trajectories):", file=out)
+                for row in sorted(counts):
+                    print(f"  {row}: {counts[row]}", file=out)
+            if observables:
+                if not _print_observables(
+                        observables,
+                        lambda p_: prog.expectation(p_, ntraj, seed=seed),
+                        out):
+                    return 2
         elif backend == "stabilizer":
             from .stabilizer import NotCliffordError, StabilizerProgram
 
@@ -249,6 +268,9 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                       file=out)
                 for basis in sorted(counts):
                     print(f"  |{basis}>: {counts[basis]}", file=out)
+            if observables and prog.n:
+                if not _print_observables(observables, sim.expectation, out):
+                    return 2
         elif backend == "mps":
             from .mps import MPSProgram, NotAdjacentError
 
@@ -275,6 +297,9 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                       file=out)
                 for basis in sorted(counts):
                     print(f"  |{basis}>: {counts[basis]}", file=out)
+            if observables and prog.n:
+                if not _print_observables(observables, sim.expectation, out):
+                    return 2
         elif compile_mode or mesh:
             from .run.compiler import CompiledProgram
 
@@ -302,6 +327,10 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                     print(f"Counts for state vector {name} ({shots} shots):", file=out)
                     for v_, c_ in zip(vals, counts):
                         print(f"  |{format(int(v_), f'0{prog.n}b')}>: {int(c_)}", file=out)
+                if observables and prog.n:
+                    if not _print_observables(observables, sim.expectation,
+                                              out):
+                        return 2
             else:
                 state, cregs, key = prog.run(seed=seed, dump_writer=out.write)
                 if dump_state:
@@ -309,12 +338,29 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 if shots and prog.n:
                     _print_counts_for(state, prog.n, "(x)".join(prog.layout),
                                       shots, key, out, v=prog.v)
+                if observables and prog.n:
+                    from .ops.measure import (expectation_pauli,
+                                              expectation_pauli_virtual)
+
+                    def _exp(p_, _s=state):
+                        if prog.v:
+                            return expectation_pauli_virtual(
+                                _s, prog.n, prog.v, p_)
+                        return expectation_pauli(_s, prog.n, p_)
+
+                    if not _print_observables(observables, _exp, out):
+                        return 2
         else:
             ps = run_program(ast, seed=seed)
             if dump_state:
                 out.write(ps.pretty())
             if shots:
                 _print_shot_counts(ps, shots, out)
+            if observables and ps.qregs:
+                if not _print_observables(
+                        observables, lambda p_: _interp_expectation(ps, p_),
+                        out):
+                    return 2
     except QasmRuntimeError as e:
         print(e, file=out)
         return 1
@@ -335,6 +381,46 @@ def _print_counts_for(planes, n, name, shots, key, out, v: int = 0):
     print(f"Counts for state vector {name} ({shots} shots):", file=out)
     for basis, c in sorted(counts.items()):
         print(f"  |{basis}>: {c}", file=out)
+
+
+def _print_observables(observables, compute, out) -> bool:
+    """Print one ``<P> = value`` line per --observable; ``compute(pauli)``
+    returns a float or a (mean, stderr) pair. Returns False (after
+    printing the error) when a Pauli string is rejected."""
+    for pauli in observables:
+        try:
+            val = compute(pauli.upper())
+        except ValueError as e:
+            print(f"qubism: --observable: {e}", file=out)
+            return False
+        if isinstance(val, tuple):
+            print(f"<{pauli.upper()}> = {val[0]:.6f} +- {val[1]:.6f}",
+                  file=out)
+        else:
+            print(f"<{pauli.upper()}> = {float(val):.6f}", file=out)
+    return True
+
+
+def _interp_expectation(ps: ProgState, pauli: str) -> float:
+    """<P> on the interpreter's lazily-fused state: the global state is a
+    tensor product of clusters (ProgState.stvecs), so <P> factorizes into
+    the product of per-cluster expectations. Qubit order = qreg
+    declaration order, matching the compiled layout."""
+    from .ops.measure import _check_pauli
+
+    slots = [(qr.target, qr.start + k)
+             for qr in ps.qregs.values() for k in range(qr.size)]
+    pauli = _check_pauli(pauli, len(slots))
+    per: dict = {}
+    for (tgt, local), c in zip(slots, pauli):
+        per.setdefault(tgt, {})[local] = c
+    val = 1.0
+    for tgt, assign in per.items():
+        sv = ps.stvecs[tgt]
+        s = "".join(assign.get(i, "I") for i in range(sv.n))
+        if set(s) != {"I"}:
+            val *= sv.expectation(s)
+    return val
 
 
 class Repl:
@@ -416,7 +502,8 @@ def main(argv=None) -> int:
                          shots=args.shots, compile_mode=args.compile_mode,
                          fuse_width=args.fuse_width, mesh=args.mesh,
                          backend=args.backend, chi=args.chi,
-                         noise=args.noise, trajectories=args.trajectories)
+                         noise=args.noise, trajectories=args.trajectories,
+                         observables=args.observable)
     Repl(seed=args.seed).run()
     return 0
 

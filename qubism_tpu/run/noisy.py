@@ -298,6 +298,37 @@ class TrajectoryProgram:
         stderr = float(vals.std(ddof=1) / np.sqrt(ntraj)) if ntraj > 1 else 0.0
         return mean, stderr
 
+    def expectation_sum(self, terms, ntraj: int, seed: int | None = None,
+                        key=None):
+        """Monte-Carlo ``<H>`` for a Pauli-sum ``terms = [(coef, pauli),
+        ...]`` over noisy trajectories: returns ``(mean, stderr)``. ALL
+        terms reduce inside one traced program per trajectory (the
+        per-trajectory energy), so the stderr is the shot noise of the
+        energy itself — correlations between terms included."""
+        from ..ops.measure import _check_pauli
+
+        terms = tuple((float(c), _check_pauli(p, self.n)) for c, p in terms)
+        if key is None:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+        keys = jax.random.split(key, ntraj)
+        cache = getattr(self, "_efn_cache", None)
+        if cache is None:
+            cache = self._efn_cache = {}
+        fn = cache.get(terms)
+        if fn is None:
+            def one(k, _t=terms):
+                _, state = self._run_one(k)
+                return sum(c * self._expect_final(state, p) for c, p in _t)
+
+            fn = cache[terms] = jax.jit(jax.vmap(one))
+        batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
+        vals = np.concatenate([
+            np.asarray(fn(keys[lo:min(lo + batch, ntraj)]))
+            for lo in range(0, ntraj, batch)])
+        mean = float(vals.mean())
+        stderr = float(vals.std(ddof=1) / np.sqrt(ntraj)) if ntraj > 1 else 0.0
+        return mean, stderr
+
     def counts(self, ntraj: int, seed: int | None = None, key=None):
         """Joint classical-register outcome histogram over trajectories:
         {"c=0110 d=1": count}, bits rendered LSB-first like the

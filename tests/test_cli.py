@@ -373,3 +373,61 @@ def test_stabilizer_noise_non_clifford(tmp_path, capsys):
                      trajectories=8)
     assert code == 1
     assert "stabilizer trajectories:" in capsys.readouterr().out
+
+
+def test_observable_flag_all_backends(tmp_path, capsys):
+    """--observable prints <P> on every backend; Bell <ZZ> = <XX> = 1."""
+    f = tmp_path / "bell.qasm"
+    f.write_text("qreg q[2];\n"
+                 "U(1.5707963267948966, 0, 3.141592653589793) q[0];\n"
+                 "CX q[0], q[1];\n")
+    import re
+
+    for kw in ({}, {"compile_mode": True}, {"mesh": 2},
+               {"backend": "stabilizer"}, {"backend": "mps", "chi": 4}):
+        assert eval_file(str(f), seed=0,
+                         observables=["ZZ", "XX", "ZI"], **kw) == 0
+        out = capsys.readouterr().out
+        vals = dict(re.findall(r"<(\w+)> = (-?\d+\.\d+)", out))
+        assert abs(float(vals["ZZ"]) - 1.0) < 1e-5, (kw, out)
+        assert abs(float(vals["XX"]) - 1.0) < 1e-5, (kw, out)
+        assert abs(float(vals["ZI"])) < 1e-5, (kw, out)
+
+
+def test_observable_flag_trajectories_and_density(tmp_path, capsys):
+    f = tmp_path / "bell.qasm"
+    f.write_text("qreg q[2];\n"
+                 "U(1.5707963267948966, 0, 3.141592653589793) q[0];\n"
+                 "CX q[0], q[1];\n")
+    import re
+
+    assert eval_file(str(f), seed=0, backend="density", noise="dep:0.1",
+                     observables=["ZZ"]) == 0
+    exact = float(re.search(r"<ZZ> = (-?\d+\.\d+)",
+                            capsys.readouterr().out).group(1))
+    # trajectory estimator (no cregs: observables only) within 5 sigma
+    assert eval_file(str(f), seed=0, noise="dep:0.1", trajectories=2048,
+                     observables=["ZZ"]) == 0
+    m = re.search(r"<ZZ> = (-?\d+\.\d+) \+- (\d+\.\d+)",
+                  capsys.readouterr().out)
+    mean, se = float(m.group(1)), float(m.group(2))
+    assert abs(mean - exact) < 5 * se + 1e-3
+    # bad string: clear error, rc 2
+    assert eval_file(str(f), observables=["ZZZ"]) == 2
+    assert "I/X/Y/Z" in capsys.readouterr().out
+
+
+def test_observable_flag_unfused_registers(tmp_path, capsys):
+    """Interpreter path: <P> factorizes over lazily-fused clusters —
+    two never-entangled registers each contribute their own factor."""
+    f = tmp_path / "two.qasm"
+    f.write_text("qreg a[1]; qreg b[1];\n"
+                 "U(3.141592653589793, 0, 3.141592653589793) a[0];\n")
+    import re
+
+    assert eval_file(str(f), seed=0, observables=["ZZ", "ZI", "IZ"]) == 0
+    out = capsys.readouterr().out
+    vals = dict(re.findall(r"<(\w+)> = (-?\d+\.\d+)", out))
+    assert abs(float(vals["ZZ"]) - (-1.0)) < 1e-5   # (-1) * (+1)
+    assert abs(float(vals["ZI"]) - (-1.0)) < 1e-5
+    assert abs(float(vals["IZ"]) - 1.0) < 1e-5

@@ -255,3 +255,16 @@ def test_trajectory_expectation_feed_forward():
     """))
     mean, stderr = prog.expectation("IZ", 256, seed=1)
     assert abs(mean - (-1.0)) < 1e-5     # q[1] is |1>: <Z> = -1
+
+
+def test_trajectory_expectation_sum():
+    """<H> for a Pauli sum reduces per trajectory (term correlations in
+    the stderr); noiseless GHZ-2: <ZZ + 0.5 XX - II> = 0.5."""
+    prog = TrajectoryProgram(_ast("""
+        qreg q[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+    """))
+    mean, stderr = prog.expectation_sum(
+        [(1.0, "ZZ"), (0.5, "XX"), (-1.0, "II")], 64, seed=0)
+    assert abs(mean - 0.5) < 1e-5 and stderr < 1e-5
