@@ -440,6 +440,15 @@ class Repl:
             return False
         if stripped.startswith(":save ") or stripped.startswith(":load "):
             return self._checkpoint_cmd(stripped)
+        if stripped.startswith(":observable ") or stripped.startswith(":obs "):
+            pauli = stripped.split(None, 1)[1].rstrip(";").strip()
+            try:
+                val = _interp_expectation(self.prog, pauli.upper())
+            except ValueError as e:
+                print(f"qubism: :observable: {e}", file=self.out)
+                return True
+            print(f"<{pauli.upper()}> = {val:.6f}", file=self.out)
+            return True
         try:
             ast, pstate2 = parse_openqasm_incremental(self.pstate, text)
         except QasmParseError as e:

@@ -431,3 +431,17 @@ def test_observable_flag_unfused_registers(tmp_path, capsys):
     assert abs(float(vals["ZZ"]) - (-1.0)) < 1e-5   # (-1) * (+1)
     assert abs(float(vals["ZI"]) - (-1.0)) < 1e-5
     assert abs(float(vals["IZ"]) - 1.0) < 1e-5
+
+
+def test_repl_observable_command():
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    r.line("qreg q[2];")
+    r.line("U(pi/2,0,pi) q[0]; CX q[0],q[1];")
+    r.line(":obs ZZ;")
+    r.line(":observable XX")
+    r.line(":obs WAT;")
+    text = out.getvalue()
+    assert "<ZZ> = 1.000000" in text
+    assert "<XX> = 1.000000" in text
+    assert "qubism: :observable:" in text
