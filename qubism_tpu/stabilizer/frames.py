@@ -1,0 +1,139 @@
+"""Pauli-frame fast path for noisy Clifford sampling (Stim-style).
+
+For a Clifford circuit whose only observation is a FINAL measurement,
+noisy trajectories do not need one tableau per shot: conjugating a Pauli
+error through the rest of the circuit is the same table lookup that
+evolves tableau rows, so it suffices to propagate each trajectory's
+accumulated ERROR FRAME — one Pauli, (x, z) bit pair per qubit — and
+flip the clean outcomes where the final frame has an X component
+(the frame technique of Gidney's Stim, arXiv:2103.02202, rebuilt here
+on the engine's bit-plane scan machinery).
+
+Cost per trajectory collapses from a full (2n, n/32)-word tableau to a
+(2n)-BIT frame row: the frames of ALL trajectories form one (T, n/32)
+word matrix per plane, the whole circuit is ONE ``lax.scan`` whose step
+does a handful of word-column ops (the same ``_row_bit``/``_set_col_bit``
+used on tableau rows — frames are rows here), and the clean outcomes are
+one affine GF(2) matmul (``tableau.py:sample_bits``). 8192 noisy
+1000-qubit trajectories cost megabytes instead of the ~4 GiB the vmapped
+tableaux would need. Phases are irrelevant (a frame flips an outcome iff
+it anticommutes with the measured Z — its sign never matters), so the
+phase plane is dropped entirely.
+
+Mid-circuit measurement / feed-forward / reset fall back to the exact
+vmapped-tableau path (``stabilizer/noise.py``): a frame cannot steer a
+data-dependent branch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .tableau import (_apply_scan, _pack_chain, _row_bit, _set_col_bit,
+                      affine_support, identity_tableau, sample_bits)
+
+__all__ = ["frame_run_vals"]
+
+
+def _xor_col_bit(mat, w, off, bits):
+    """XOR per-row ``bits`` into bit ``off`` of word column ``w``."""
+    col = jnp.take(mat, w, axis=1)
+    return mat.at[:, w].set(col ^ (bits << off))
+
+
+@jax.jit
+def _frame_scan_impl(fx, fz, t0, t1, txs, tzs, flags, cdfs, keys):
+    """Propagate (T, W)-bit error frames through a packed gate chain,
+    XOR-injecting per-step sampled Pauli noise on the flagged targets.
+    Same step mechanics as tableau.py:_apply_scan_impl, with frames as
+    the rows and no phase plane."""
+    n_ch = cdfs.shape[0]
+    ntraj = fx.shape[0]
+
+    def step(carry, inp):
+        fx, fz = carry
+        q0, q1, tx, tz, fl, k = inp
+        w0, o0 = (q0 >> 5).astype(jnp.int32), q0 & 31
+        w1, o1 = (q1 >> 5).astype(jnp.int32), q1 & 31
+        xb0 = _row_bit(fx, w0, o0)
+        zb0 = _row_bit(fz, w0, o0)
+        xb1 = _row_bit(fx, w1, o1)
+        zb1 = _row_bit(fz, w1, o1)
+        idx = (xb0 | (zb0 << 1) | (xb1 << 2) | (zb1 << 3)).astype(jnp.int32)
+        nx = tx[idx]
+        nz = tz[idx]
+        fx = _set_col_bit(fx, w0, o0, nx & 1)
+        fx = _set_col_bit(fx, w1, o1, (nx >> 1) & 1)
+        fz = _set_col_bit(fz, w0, o0, nz & 1)
+        fz = _set_col_bit(fz, w1, o1, (nz >> 1) & 1)
+        if n_ch:
+            u = jax.random.uniform(k, (2, n_ch, ntraj))
+            for ci in range(n_ch):
+                for j, (w, o) in enumerate(((w0, o0), (w1, o1))):
+                    # c = #(cdf <= u) in 0..3 (I X Y Z), masked by whether
+                    # this slot is a real circuit qubit
+                    c = (jnp.sum((cdfs[ci, :3, None] <= u[j, ci][None, :])
+                                 .astype(jnp.uint32), axis=0) * fl[j])
+                    fx = _xor_col_bit(fx, w, o, (c ^ (c >> 1)) & 1)  # X, Y
+                    fz = _xor_col_bit(fz, w, o, (c >> 1) & 1)        # Y, Z
+        return (fx, fz), None
+
+    (fx, fz), _ = lax.scan(step, (fx, fz), (t0, t1, txs, tzs, flags, keys))
+    return fx, fz
+
+
+def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
+    """Run ``ntraj`` noisy trajectories of (Clifford prims -> final
+    measurement) via Pauli frames. ``prog`` supplies n / cdfs / creg
+    metadata (a StabilizerTrajectoryProgram). Returns the same
+    creg-name -> (ntraj, size) int32 dict as ``run_vals``, or None when
+    the chain cannot be packed (arity > 2: caller falls back)."""
+    n = prog.n
+    packed = _pack_chain(prims, n)
+    if packed is None:
+        return None
+    length = packed[0].shape[0]
+    flags = np.zeros((length, 2), dtype=np.uint32)
+    for k_, p in enumerate(prims):
+        if len(p.targets) == 1:
+            flags[k_, 1] = 1              # 1q prims promote to (fake, q)
+        else:
+            flags[k_] = 1
+
+    # clean reference state + its measurement distribution (one GF(2)
+    # elimination + one matmul for ANY number of shots)
+    tab = identity_tableau(n)
+    if prims:
+        tab = _apply_scan(tab, packed)
+    support = affine_support(tab, n)
+    kf, ks = jax.random.split(key)
+    clean = sample_bits(tab, ntraj, ks, n, support=support)  # (T, n) uint8
+
+    words = (n + 31) // 32
+    fx = jnp.zeros((ntraj, words), dtype=jnp.uint32)
+    fz = jnp.zeros_like(fx)
+    cdfs = jnp.asarray(np.asarray(prog.cdfs, dtype=np.float32)
+                       .reshape(-1, 4))
+    step_keys = jax.random.split(kf, length)
+    fx, _ = _frame_scan_impl(fx, fz, *(jnp.asarray(a) for a in packed[:4]),
+                             jnp.asarray(flags), cdfs, step_keys)
+
+    fxn = np.asarray(fx)
+    qs = np.arange(n)
+    flips = ((fxn[:, qs >> 5] >> (qs & 31)) & 1).astype(np.uint8)
+    bits = clean ^ flips                                     # (T, n)
+
+    vals = {c: np.zeros((ntraj, prog.creg_sizes[c]), dtype=np.int32)
+            for c in prog.creg_names}
+    off = 0
+    for creg, bit_index, count in measure_event.writes:
+        if bit_index is None:
+            for k_, q in enumerate(measure_event.qubits[off:off + count]):
+                vals[creg][:, k_] = bits[:, q]
+        else:
+            vals[creg][:, bit_index] = bits[:, measure_event.qubits[off]]
+        off += count
+    return vals

@@ -244,6 +244,45 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
                 raise TypeError(f"unknown event {type(ev).__name__}")
         return tab, cregs
 
+    # -- Pauli-frame fast path ---------------------------------------------
+
+    def _frame_plan(self):
+        """(prims, final_measure_event) when the program is
+        frame-eligible: Clifford gates followed by ONE final measurement
+        — no mid-circuit observation, feed-forward, or reset (those need
+        the exact per-trajectory tableaux)."""
+        from ..run.compiler import EvGates, EvMeasure
+
+        evs = list(self.events)
+        if not evs or not isinstance(evs[-1], EvMeasure):
+            return None
+        if any(not isinstance(e, EvGates) for e in evs[:-1]):
+            return None
+        return [p for e in evs[:-1] for p in e.prims], evs[-1]
+
+    def run_vals(self, ntraj: int, seed: int | None = None, key=None,
+                 return_states: bool = False):
+        """Trajectory outcomes; final-measurement-only programs ride the
+        Pauli-frame executor (stabilizer/frames.py — (2n)-BIT frames per
+        trajectory instead of full tableaux), everything else the exact
+        vmapped-tableau path. ``self.used_frames`` records which ran.
+        The two paths draw randomness differently, so a given seed's
+        outcomes (not distributions) differ between them."""
+        from .frames import frame_run_vals
+
+        self.used_frames = False
+        if not return_states and self.n:
+            plan = self._frame_plan()
+            if plan is not None:
+                if key is None:
+                    key = jax.random.PRNGKey(0 if seed is None else seed)
+                out = frame_run_vals(self, plan[0], plan[1], ntraj, key)
+                if out is not None:
+                    self.used_frames = True
+                    return out
+        return super().run_vals(ntraj, seed=seed, key=key,
+                                return_states=return_states)
+
     def _expect_final(self, state, pauli: str):
         from .tableau import _expect_impl, _pack_pauli
 

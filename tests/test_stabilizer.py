@@ -417,3 +417,98 @@ def test_stab_trajectories_reject_non_pauli():
     cdfs = pauli_channel_cdfs("depolarizing:0.3,bitflip:0.1")
     assert cdfs.shape == (2, 4)
     assert np.allclose(cdfs[:, -1], 1.0)
+
+
+# -- Pauli-frame fast path (stabilizer/frames.py) -----------------------------
+
+
+def test_frames_used_for_final_measure_only():
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    prog = StabilizerTrajectoryProgram(_traj_ast("""
+        qreg q[2]; creg c[2];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """), noise="bitflip:0.0")
+    bits = prog.run_vals(32, seed=0)["c"]
+    assert prog.used_frames
+    assert (bits[:, 0] == 1).all() and (bits[:, 1] == 0).all()
+
+
+def test_frames_bitflip_rate():
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    p = 0.25
+    prog = StabilizerTrajectoryProgram(_traj_ast("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """), noise=f"bitflip:{p}")
+    bits = prog.run_vals(8192, seed=1)["c"][:, 0]
+    assert prog.used_frames
+    sigma = np.sqrt(p * (1 - p) / 8192)
+    assert abs(float((bits == 0).mean()) - p) < 5 * sigma
+
+
+def test_frames_match_tableau_distribution():
+    """Frames and exact vmapped tableaux sample the same distribution
+    (GHZ-3 + depolarizing): compare 8-bin histograms."""
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    src = """
+        qreg q[3]; creg c[3];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1]; CX q[1], q[2];
+        measure q -> c;
+    """
+    p = 0.1
+    ntraj = 8192
+    fr = StabilizerTrajectoryProgram(_traj_ast(src), noise=f"dep:{p}")
+    fb = fr.run_vals(ntraj, seed=2)["c"]
+    assert fr.used_frames
+    tb = StabilizerTrajectoryProgram(_traj_ast(src), noise=f"dep:{p}")
+    tb._frame_plan = lambda: None         # force the exact tableau path
+    tbits = tb.run_vals(ntraj, seed=3)["c"]
+    assert not tb.used_frames
+    fi = (fb * (1 << np.arange(3))).sum(axis=1)
+    ti = (tbits * (1 << np.arange(3))).sum(axis=1)
+    fh = np.bincount(fi, minlength=8) / ntraj
+    th = np.bincount(ti, minlength=8) / ntraj
+    assert np.all(np.abs(fh - th)
+                  < 5 * np.sqrt(np.maximum(th * (1 - th), 1e-4) / ntraj)
+                  + 2e-2)
+
+
+def test_frames_fall_back_on_mid_circuit():
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    prog = StabilizerTrajectoryProgram(_traj_ast("""
+        qreg q[2]; creg c[1]; creg d[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        measure q[0] -> c[0];
+        if (c == 0) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        measure q[1] -> d[0];
+    """))
+    vals = prog.run_vals(64, seed=4)
+    assert not prog.used_frames
+    assert (vals["d"][:, 0] == 1 - vals["c"][:, 0]).all()
+
+
+def test_frames_scale_smoke():
+    """300-qubit noisy GHZ, 2048 trajectories: the regime where vmapped
+    tableaux (~n^2 bits each) stop being practical."""
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    n = 300
+    lines = [f"qreg q[{n}]; creg c[{n}];",
+             "U(1.5707963267948966, 0, 3.141592653589793) q[0];"]
+    lines += [f"CX q[{q}], q[{q + 1}];" for q in range(n - 1)]
+    lines += ["measure q -> c;"]
+    prog = StabilizerTrajectoryProgram(_traj_ast("\n".join(lines)),
+                                       noise="depolarizing:0.001")
+    bits = prog.run_vals(2048, seed=5)["c"]
+    assert prog.used_frames
+    clean = float((bits == bits[:, :1]).all(axis=1).mean())
+    # 599 sites; Z invisible in Z basis: clean ~ (1 - 2p/3)^599 ~ 0.67
+    assert 0.5 < clean < 0.85
+    assert 0 < bits[:, 0].mean() < 1
