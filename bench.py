@@ -548,6 +548,32 @@ def main():
     except Exception as e:
         log(f"trajectory probe failed: {type(e).__name__}: {str(e)[:200]}")
         extra["traj16q_512shots_s"] = None
+    try:
+        # Pauli-frame executor: 300-qubit noisy Clifford GHZ, 8192
+        # trajectories as (T, n/32)-bit frames + one affine matmul
+        from qubism_tpu.qasm.parser import parse_openqasm
+        from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+        n_f = 300
+        lines = [f"qreg q[{n_f}]; creg c[{n_f}];",
+                 "U(1.5707963267948966, 0, 3.141592653589793) q[0];"]
+        lines += [f"CX q[{q}], q[{q + 1}];" for q in range(n_f - 1)]
+        lines += ["measure q -> c;"]
+        fprog = StabilizerTrajectoryProgram(
+            parse_openqasm("<bench>", "\n".join(lines)),
+            noise="depolarizing:0.001")
+        fprog.run_vals(8192, seed=0)   # warm
+        t0 = time.time()
+        fbits = fprog.run_vals(8192, seed=1)["c"]
+        dt = time.time() - t0
+        clean = (fbits == fbits[:, :1]).all(axis=1).mean()
+        extra["frames300q_8192shots_s"] = round(dt, 3)
+        # 599 sites; Z errors invisible in Z basis: clean ~ (1-2p/3)^599
+        extra["frames300q_ok"] = bool(fprog.used_frames
+                                      and 0.5 < clean < 0.85)
+    except Exception as e:
+        log(f"frame probe failed: {type(e).__name__}: {str(e)[:200]}")
+        extra["frames300q_8192shots_s"] = None
 
     if extra.get("qft30_actual_s"):
         value = extra["qft30_actual_s"]

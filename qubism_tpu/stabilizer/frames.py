@@ -85,6 +85,51 @@ def _frame_scan_impl(fx, fz, t0, t1, txs, tzs, flags, cdfs, keys):
     return fx, fz
 
 
+def frame_expectation(prog, prims, pauli: str, ntraj: int, key):
+    """Monte-Carlo ``<P>`` over noisy trajectories of a gates-only
+    Clifford program via frames: the clean value is ±1/0 from ONE
+    tableau, and each trajectory's frame flips its sign iff the frame
+    anticommutes with P (popcount parity of the bit planes). Returns
+    (mean, stderr), or None when the chain cannot be packed."""
+    from .tableau import _pack_pauli, _pc_rows, expectation
+
+    n = prog.n
+    packed = _pack_chain(prims, n)
+    if packed is None:
+        return None
+    length = packed[0].shape[0]
+    flags = np.zeros((length, 2), dtype=np.uint32)
+    for k_, p in enumerate(prims):
+        if len(p.targets) == 1:
+            flags[k_, 1] = 1
+        else:
+            flags[k_] = 1
+    tab = identity_tableau(n)
+    if prims:
+        tab = _apply_scan(tab, packed)
+    clean = expectation(tab, pauli, n)
+    if clean == 0.0:
+        # <P> of F|psi> is ±<P> of |psi> for any Pauli frame F: still 0
+        return 0.0, 0.0
+    words = (n + 31) // 32
+    fx = jnp.zeros((ntraj, words), dtype=jnp.uint32)
+    fz = jnp.zeros_like(fx)
+    cdfs = jnp.asarray(np.asarray(prog.cdfs, dtype=np.float32)
+                       .reshape(-1, 4))
+    step_keys = jax.random.split(key, length)
+    fx, fz = _frame_scan_impl(fx, fz,
+                              *(jnp.asarray(a) for a in packed[:4]),
+                              jnp.asarray(flags), cdfs, step_keys)
+    px, pz = _pack_pauli(pauli)
+    anti = np.asarray((_pc_rows(fx & jnp.asarray(pz)[None, :])
+                       + _pc_rows(fz & jnp.asarray(px)[None, :])) & 1)
+    signs = clean * (1.0 - 2.0 * anti.astype(np.float64))
+    mean = float(signs.mean())
+    stderr = (float(signs.std(ddof=1) / np.sqrt(ntraj))
+              if ntraj > 1 else 0.0)
+    return mean, stderr
+
+
 def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
     """Run ``ntraj`` noisy trajectories of (Clifford prims -> final
     measurement) via Pauli frames. ``prog`` supplies n / cdfs / creg

@@ -283,6 +283,28 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
         return super().run_vals(ntraj, seed=seed, key=key,
                                 return_states=return_states)
 
+    def expectation(self, pauli: str, ntraj: int, seed: int | None = None,
+                    key=None):
+        """Monte-Carlo <P>; gates-only programs (no measurement anywhere
+        — a frame cannot reproduce post-collapse expectations) ride the
+        frame executor: one clean tableau + (T, n/32)-bit frames instead
+        of T tableaux. ``self.used_frames`` records which ran."""
+        from ..ops.measure import _check_pauli
+        from ..run.compiler import EvGates
+        from .frames import frame_expectation
+
+        pauli = _check_pauli(pauli, self.n)
+        self.used_frames = False
+        if self.n and all(isinstance(e, EvGates) for e in self.events):
+            if key is None:
+                key = jax.random.PRNGKey(0 if seed is None else seed)
+            prims = [p for e in self.events for p in e.prims]
+            out = frame_expectation(self, prims, pauli, ntraj, key)
+            if out is not None:
+                self.used_frames = True
+                return out
+        return super().expectation(pauli, ntraj, seed=seed, key=key)
+
     def _expect_final(self, state, pauli: str):
         from .tableau import _expect_impl, _pack_pauli
 

@@ -512,3 +512,29 @@ def test_frames_scale_smoke():
     # 599 sites; Z invisible in Z basis: clean ~ (1 - 2p/3)^599 ~ 0.67
     assert 0.5 < clean < 0.85
     assert 0 < bits[:, 0].mean() < 1
+
+
+def test_frames_expectation_matches_density():
+    from qubism_tpu.run.noisy import DensityProgram
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    p = 0.1
+    src = """
+        qreg q[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+    """
+    rho, _ = DensityProgram(_traj_ast(src), noise=f"depolarizing:{p}").run(
+        seed=0)
+    prog = StabilizerTrajectoryProgram(_traj_ast(src), noise=f"dep:{p}")
+    for pauli in ("ZZ", "XX", "ZI"):
+        mean, se = prog.expectation(pauli, 8192, seed=7)
+        assert prog.used_frames
+        exact = rho.expectation(pauli)
+        assert abs(mean - exact) < 5 * se + 1e-3, (pauli, mean, exact)
+    # a measuring program cannot use frames for expectation (post-collapse)
+    prog2 = StabilizerTrajectoryProgram(_traj_ast(
+        src + "creg c[2]; measure q -> c;"), noise=f"dep:{p}")
+    mean, se = prog2.expectation("ZZ", 256, seed=8)
+    assert not prog2.used_frames
+    assert abs(mean) <= 1.0
