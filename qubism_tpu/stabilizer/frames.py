@@ -130,6 +130,53 @@ def frame_expectation(prog, prims, pauli: str, ntraj: int, key):
     return mean, stderr
 
 
+def frame_expectation_sum(prog, prims, terms, ntraj: int, key):
+    """Monte-Carlo ``<H>`` for ``terms = [(coef, pauli), ...]`` via ONE
+    frame propagation: every term's per-trajectory sign is a popcount
+    parity against the same (T, n/32) frame planes, so the whole
+    Pauli-sum energy (term correlations included in the stderr) costs
+    one scan regardless of the term count. Returns (mean, stderr) or
+    None when the chain cannot be packed."""
+    from .tableau import _pack_pauli, _pc_rows, expectation
+
+    n = prog.n
+    packed = _pack_chain(prims, n)
+    if packed is None:
+        return None
+    length = packed[0].shape[0]
+    flags = np.zeros((length, 2), dtype=np.uint32)
+    for k_, p in enumerate(prims):
+        if len(p.targets) == 1:
+            flags[k_, 1] = 1
+        else:
+            flags[k_] = 1
+    tab = identity_tableau(n)
+    if prims:
+        tab = _apply_scan(tab, packed)
+    cleans = [expectation(tab, pauli, n) for _, pauli in terms]
+    words = (n + 31) // 32
+    fx = jnp.zeros((ntraj, words), dtype=jnp.uint32)
+    fz = jnp.zeros_like(fx)
+    cdfs = jnp.asarray(np.asarray(prog.cdfs, dtype=np.float32)
+                       .reshape(-1, 4))
+    step_keys = jax.random.split(key, length)
+    fx, fz = _frame_scan_impl(fx, fz,
+                              *(jnp.asarray(a) for a in packed[:4]),
+                              jnp.asarray(flags), cdfs, step_keys)
+    energies = np.zeros(ntraj, dtype=np.float64)
+    for (coef, pauli), clean in zip(terms, cleans):
+        if clean == 0.0:
+            continue
+        px, pz = _pack_pauli(pauli)
+        anti = np.asarray((_pc_rows(fx & jnp.asarray(pz)[None, :])
+                           + _pc_rows(fz & jnp.asarray(px)[None, :])) & 1)
+        energies += coef * clean * (1.0 - 2.0 * anti.astype(np.float64))
+    mean = float(energies.mean())
+    stderr = (float(energies.std(ddof=1) / np.sqrt(ntraj))
+              if ntraj > 1 else 0.0)
+    return mean, stderr
+
+
 def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
     """Run ``ntraj`` noisy trajectories of (Clifford prims -> final
     measurement) via Pauli frames. ``prog`` supplies n / cdfs / creg

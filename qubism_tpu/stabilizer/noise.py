@@ -305,6 +305,26 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
                 return out
         return super().expectation(pauli, ntraj, seed=seed, key=key)
 
+    def expectation_sum(self, terms, ntraj: int, seed: int | None = None,
+                        key=None):
+        """Monte-Carlo <H> for a Pauli sum; gates-only programs ride ONE
+        frame propagation for ALL terms (see frames.py)."""
+        from ..ops.measure import _check_pauli
+        from ..run.compiler import EvGates
+        from .frames import frame_expectation_sum
+
+        terms = tuple((float(c), _check_pauli(p, self.n)) for c, p in terms)
+        self.used_frames = False
+        if self.n and all(isinstance(e, EvGates) for e in self.events):
+            if key is None:
+                key = jax.random.PRNGKey(0 if seed is None else seed)
+            prims = [p for e in self.events for p in e.prims]
+            out = frame_expectation_sum(self, prims, terms, ntraj, key)
+            if out is not None:
+                self.used_frames = True
+                return out
+        return super().expectation_sum(terms, ntraj, seed=seed, key=key)
+
     def _expect_final(self, state, pauli: str):
         from .tableau import _expect_impl, _pack_pauli
 

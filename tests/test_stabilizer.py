@@ -538,3 +538,23 @@ def test_frames_expectation_matches_density():
     mean, se = prog2.expectation("ZZ", 256, seed=8)
     assert not prog2.used_frames
     assert abs(mean) <= 1.0
+
+
+def test_frames_expectation_sum_matches_density():
+    from qubism_tpu.run.noisy import DensityProgram
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    p = 0.1
+    src = """
+        qreg q[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+    """
+    terms = [(1.0, "ZZ"), (0.5, "XX"), (-0.25, "II")]
+    rho, _ = DensityProgram(_traj_ast(src), noise=f"depolarizing:{p}").run(
+        seed=0)
+    exact = rho.expectation_sum(terms)
+    prog = StabilizerTrajectoryProgram(_traj_ast(src), noise=f"dep:{p}")
+    mean, se = prog.expectation_sum(terms, 8192, seed=9)
+    assert prog.used_frames
+    assert abs(mean - exact) < 5 * se + 1e-3, (mean, exact)
