@@ -51,7 +51,9 @@ from .core.density import (  # noqa: F401
 from .core import algebra  # noqa: F401
 from .session import Session  # noqa: F401
 from .stabilizer import StabilizerSim  # noqa: F401
+from .stabilizer.noise import StabilizerTrajectoryProgram  # noqa: F401
 from .mps import MPSSim  # noqa: F401
+from .mps.noise import MPSTrajectoryProgram  # noqa: F401
 from .run.noisy import (  # noqa: F401
     DensityProgram,
     TrajectoryProgram,
