@@ -558,3 +558,37 @@ def test_frames_expectation_sum_matches_density():
     mean, se = prog.expectation_sum(terms, 8192, seed=9)
     assert prog.used_frames
     assert abs(mean - exact) < 5 * se + 1e-3, (mean, exact)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_frames_fuzz_random_clifford_vs_tableau(seed):
+    """Random Clifford circuit + depolarizing noise: the frame executor
+    and the exact vmapped-tableau path must sample the same joint
+    distribution (chi^2-style bound per bin)."""
+    from qubism_tpu.core.gates import Gate
+    from qubism_tpu.models.circuits import prims_qasm
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    import os
+
+    rng = np.random.default_rng(seed)
+    n = 4
+    prims = _random_clifford_prims(n, 30, rng)
+    src = prims_qasm(n, prims)
+    src += "creg c[4];\nmeasure q -> c;\n"
+    examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+    ast = parse_openqasm(os.path.join(examples, "<fuzz>"), src)
+    ntraj = 4096
+    fr = StabilizerTrajectoryProgram(ast, noise="dep:0.08")
+    fbits = fr.run_vals(ntraj, seed=seed)["c"]
+    assert fr.used_frames
+    tb = StabilizerTrajectoryProgram(ast, noise="dep:0.08")
+    tb._frame_plan = lambda: None
+    tbits = tb.run_vals(ntraj, seed=seed + 100)["c"]
+    fh = np.bincount((fbits * (1 << np.arange(n))).sum(axis=1),
+                     minlength=1 << n) / ntraj
+    th = np.bincount((tbits * (1 << np.arange(n))).sum(axis=1),
+                     minlength=1 << n) / ntraj
+    assert np.all(np.abs(fh - th)
+                  < 5 * np.sqrt(np.maximum(th * (1 - th), 1e-4) / ntraj)
+                  + 2e-2)
