@@ -65,7 +65,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="circuit-level noise model, e.g. 'depolarizing:0.01' "
                         "or 'ad:0.05,pd:0.02' (channels: depolarizing, "
                         "amplitude-damping/ad, phase-damping/pd, bitflip/bf, "
-                        "phaseflip/pf) — applied to every qubit a gate "
+                        "phaseflip/pf, readout/ro — a reporting flip at "
+                        "measurement) — gate channels apply to every qubit a gate "
                         "touches; runs the program as vmapped quantum "
                         "trajectories (one device program for ALL shots)")
     p.add_argument("--trajectories", type=int, default=None, metavar="T",

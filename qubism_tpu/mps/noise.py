@@ -65,10 +65,14 @@ class MPSTrajectoryProgram(TrajectoryProgram):
 
     def __init__(self, ast, noise=None, chi: int = 32):
         from ..run.compiler import elaborate
+        from ..run.noisy import split_readout_spec
 
         (self.n, self.events, self.cregs0, self.layout,
          self.qreg_sizes) = elaborate(ast)
         self.chi = chi
+        self.readout_p = None
+        if isinstance(noise, str):
+            noise, self.readout_p = split_readout_spec(noise)
         self.cdfs = (pauli_channel_cdfs(noise, backend="mps")
                      if isinstance(noise, str)
                      else np.asarray(noise if noise is not None
@@ -212,7 +216,8 @@ class MPSTrajectoryProgram(TrajectoryProgram):
             elif isinstance(ev, EvMeasure):
                 bits, new = self._measure(state, ev.qubits, key)
                 state = self._sel(pred, new, state)
-                self._write_creg_bits(cregs, ev.writes, bits, pred)
+                self._write_creg_bits(cregs, ev.writes,
+                                      self._readout(bits, key), pred)
             elif isinstance(ev, EvReset):
                 # the reference's reset: projection to |0> without a Born
                 # draw (Simulation.hs:146-156), matching the dense path

@@ -68,6 +68,29 @@ NOISE_CHANNELS = {
 }
 
 
+def split_readout_spec(spec: str | None):
+    """Extract a classical readout-error term (``ro:p`` / ``readout:p``)
+    from a --noise spec. Returns (remaining_spec, p_or_None). Readout
+    error is a REPORTING flip: each measured bit is written to the creg
+    flipped with probability p, while the state collapses on the true
+    outcome — the standard assignment-error model, applied identically
+    by every trajectory engine (dense / stabilizer / frames / mps)."""
+    rest, p = [], None
+    for part in (spec or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, sep, val = part.partition(":")
+        if name.strip().lower() in ("ro", "readout"):
+            if not sep:
+                raise ValueError(
+                    "readout channel needs a parameter (e.g. ro:0.01)")
+            p = float(val)
+        else:
+            rest.append(part)
+    return ",".join(rest), p
+
+
 def parse_noise_spec(spec: str):
     """``"depolarizing:0.01,ad:0.05"`` -> [(label, kraus_list), ...]."""
     out = []
@@ -103,7 +126,9 @@ class TrajectoryProgram:
 
         (self.n, self.events, self.cregs0, self.layout,
          self.qreg_sizes) = elaborate(ast)
+        self.readout_p = None
         if isinstance(noise, str):
+            noise, self.readout_p = split_readout_spec(noise)
             noise = parse_noise_spec(noise)
         self.noise = list(noise or [])
         self.creg_names = sorted(self.cregs0)
@@ -133,6 +158,14 @@ class TrajectoryProgram:
             return new
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(pred, a, b), new, old)
+
+    def _readout(self, bits, key):
+        """Apply the readout-error reporting flip (state already
+        collapsed on the true bits)."""
+        if not self.readout_p:
+            return bits
+        p = jnp.float32(self.readout_p)
+        return [b ^ (self._u(key) < p).astype(jnp.int32) for b in bits]
 
     def _write_creg_bits(self, cregs, writes, bits, pred):
         """Store measured bits into the traced creg bit vectors:
@@ -180,7 +213,8 @@ class TrajectoryProgram:
                     new = collapse_traced(new, bit, q, self.n)
                     bits.append(bit)
                 planes = self._sel(pred, new, planes)
-                self._write_creg_bits(cregs, ev.writes, bits, pred)
+                self._write_creg_bits(cregs, ev.writes,
+                                      self._readout(bits, key), pred)
             elif isinstance(ev, EvReset):
                 new = planes
                 for q in ev.qubits:
@@ -368,6 +402,12 @@ class DensityProgram:
                 f"{self.MAX_N}. Use --noise with --trajectories (sampled) "
                 f"instead.")
         if isinstance(noise, str):
+            noise, ro = split_readout_spec(noise)
+            if ro is not None:
+                raise ValueError(
+                    "readout error (ro:p) is a per-shot reporting flip; "
+                    "the exact density backend has no shots to flip — "
+                    "use trajectory mode")
             noise = parse_noise_spec(noise)
         self.noise = list(noise or [])
 

@@ -217,6 +217,11 @@ def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
     qs = np.arange(n)
     flips = ((fxn[:, qs >> 5] >> (qs & 31)) & 1).astype(np.uint8)
     bits = clean ^ flips                                     # (T, n)
+    if getattr(prog, "readout_p", None):
+        kr = jax.random.fold_in(key, 0x0FE0)
+        ro = np.asarray(jax.random.bernoulli(kr, prog.readout_p,
+                                             (ntraj, n))).astype(np.uint8)
+        bits = bits ^ ro
 
     vals = {c: np.zeros((ntraj, prog.creg_sizes[c]), dtype=np.int32)
             for c in prog.creg_names}

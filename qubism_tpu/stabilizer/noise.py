@@ -154,9 +154,13 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
 
     def __init__(self, ast, noise=None):
         from ..run.compiler import elaborate
+        from ..run.noisy import split_readout_spec
 
         (self.n, self.events, self.cregs0, self.layout,
          self.qreg_sizes) = elaborate(ast)
+        self.readout_p = None
+        if isinstance(noise, str):
+            noise, self.readout_p = split_readout_spec(noise)
         self.cdfs = (pauli_channel_cdfs(noise) if isinstance(noise, str)
                      else np.asarray(noise if noise is not None
                                      else np.zeros((0, 4), np.float32)))
@@ -222,7 +226,8 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
             elif isinstance(ev, EvMeasure):
                 bits, new = self._measure(tab, ev.qubits, key)
                 tab = self._sel(pred, new, tab)
-                self._write_creg_bits(cregs, ev.writes, bits, pred)
+                self._write_creg_bits(cregs, ev.writes,
+                                      self._readout(bits, key), pred)
             elif isinstance(ev, EvReset):
                 # measure, then flip with X (tableau X = phase flip on
                 # rows with the z-bit set) when the outcome was 1

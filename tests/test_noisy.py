@@ -268,3 +268,45 @@ def test_trajectory_expectation_sum():
     mean, stderr = prog.expectation_sum(
         [(1.0, "ZZ"), (0.5, "XX"), (-1.0, "II")], 64, seed=0)
     assert abs(mean - 0.5) < 1e-5 and stderr < 1e-5
+
+
+def test_readout_error_all_engines():
+    """ro:p flips each REPORTED bit with probability p while the state
+    collapses on the true outcome — identical semantics on the dense,
+    stabilizer (frames + tableau) and MPS trajectory engines."""
+    from qubism_tpu import (MPSTrajectoryProgram,
+                            StabilizerTrajectoryProgram, TrajectoryProgram)
+
+    p = 0.25
+    ast = _ast("qreg q[2]; creg c[2];\nmeasure q -> c;")   # state stays |00>
+    sigma = np.sqrt(p * (1 - p) / 4096)
+    for prog in (TrajectoryProgram(ast, noise=f"ro:{p}"),
+                 MPSTrajectoryProgram(ast, noise=f"ro:{p}", chi=2),
+                 StabilizerTrajectoryProgram(ast, noise=f"readout:{p}")):
+        bits = prog.run_vals(4096, seed=1)["c"]
+        assert np.all(np.abs(bits.mean(axis=0) - p) < 5 * sigma), type(prog)
+    # mid-circuit (tableau fallback): feed-forward keys off the REPORTED bit
+    mid = _ast("""
+        qreg q[1]; creg c[1]; creg d[1];
+        measure q[0] -> c[0];
+        if (c == 1) U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q[0] -> d[0];
+    """)
+    prog = StabilizerTrajectoryProgram(mid, noise=f"ro:{p}")
+    v = prog.run_vals(4096, seed=3)
+    assert not prog.used_frames
+    # true outcome of the 2nd measure = c (X applied iff c reported 1),
+    # then reported d flips again with p: P(d=1) = c*(1-p) + (1-c)*p ...
+    c, d = v["c"][:, 0], v["d"][:, 0]
+    agree = float((d == c).mean())           # = (1-p) in expectation
+    assert abs(agree - (1 - p)) < 5 * sigma
+    # spec composes with quantum channels and strips cleanly
+    tp = TrajectoryProgram(ast, noise=f"dep:0.1,ro:{p}")
+    assert len(tp.noise) == 1 and tp.readout_p == p
+
+
+def test_readout_error_density_rejected():
+    from qubism_tpu.run.noisy import DensityProgram
+
+    with pytest.raises(ValueError, match="readout"):
+        DensityProgram(_ast("qreg q[1];"), noise="ro:0.1")
