@@ -169,6 +169,7 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
         self.creg_sizes = {c: len(self.cregs0[c].bits)
                            for c in self.creg_names}
         self._site = 0
+        self.used_frames = False
 
     def _traj_live_cost(self) -> int:
         words = (self.n + 31) // 32
