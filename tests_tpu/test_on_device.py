@@ -330,3 +330,27 @@ def test_mps_engine_on_device():
     assert g.trunc_error == 0.0
     bits = g.sample(128)
     assert (bits == bits[:, :1]).all()
+
+
+def test_noisy_trajectory_engines_on_device():
+    """The session-4 noise executors compiled on the live chip: Pauli
+    frames (scan + affine matmul), and MPS trajectories (per-trajectory
+    tape overwrites) — clean-fraction windows on small noisy GHZ."""
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+    from qubism_tpu.mps.noise import MPSTrajectoryProgram
+
+    src = ("qreg q[8]; creg c[8];\n"
+           "U(1.5707963267948966, 0, 3.141592653589793) q[0];\n"
+           + "".join(f"CX q[{q}], q[{q + 1}];\n" for q in range(7))
+           + "measure q -> c;\n")
+    ast = parse_openqasm("<tpu>", src)
+    fr = StabilizerTrajectoryProgram(ast, noise="dep:0.01")
+    fbits = fr.run_vals(512, seed=0)["c"]
+    assert fr.used_frames
+    clean = float((fbits == fbits[:, :1]).all(axis=1).mean())
+    assert 0.8 < clean <= 1.0          # 15 sites, (1-2p/3)^15 ~ 0.905
+    mp = MPSTrajectoryProgram(ast, noise="dep:0.01", chi=4)
+    mbits = mp.run_vals(128, seed=1)["c"]
+    mclean = float((mbits == mbits[:, :1]).all(axis=1).mean())
+    assert 0.75 < mclean <= 1.0
