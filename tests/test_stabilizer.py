@@ -592,3 +592,15 @@ def test_frames_fuzz_random_clifford_vs_tableau(seed):
     assert np.all(np.abs(fh - th)
                   < 5 * np.sqrt(np.maximum(th * (1 - th), 1e-4) / ntraj)
                   + 2e-2)
+
+
+def test_repetition_code_example_scaling():
+    """examples/repetition_code_frames.py: the d=3 logical rate at
+    p=0.05 must match the ~3p^2 code-capacity prediction and beat d=5."""
+    import runpy
+
+    mod = runpy.run_path("examples/repetition_code_frames.py")
+    r3 = mod["logical_error_rate"](3, 0.05, shots=40000)
+    r5 = mod["logical_error_rate"](5, 0.05, shots=40000)
+    assert abs(r3 - 3 * 0.05 ** 2) < 0.003
+    assert r5 < r3
