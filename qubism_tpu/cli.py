@@ -188,8 +188,9 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 for basis in sorted(counts):
                     print(f"  |{basis}>: {counts[basis]}", file=out)
             if observables and prog.n:
-                if not _print_observables(observables, rho.expectation, out):
-                    return 2
+                rc_obs = _print_observables(observables, rho.expectation, out)
+                if rc_obs:
+                    return rc_obs
         elif noise is not None or trajectories is not None:
             from .run.noisy import TrajectoryProgram
 
@@ -238,11 +239,20 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 for row in sorted(counts):
                     print(f"  {row}: {counts[row]}", file=out)
             if observables:
-                if not _print_observables(
-                        observables,
-                        lambda p_: prog.expectation(p_, ntraj, seed=seed),
-                        out):
-                    return 2
+                # ALL observables reduce on one trajectory run (the
+                # per-pauli estimator would re-simulate k times)
+                memo = {}
+
+                def _compute(p_, _m=memo):
+                    if not _m:
+                        ups = [o.upper() for o in observables]
+                        _m.update(zip(ups, prog.expectations(
+                            ups, ntraj, seed=seed)))
+                    return _m[p_]
+
+                rc_obs = _print_observables(observables, _compute, out)
+                if rc_obs:
+                    return rc_obs
         elif backend == "stabilizer":
             from .stabilizer import NotCliffordError, StabilizerProgram
 
@@ -270,8 +280,9 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 for basis in sorted(counts):
                     print(f"  |{basis}>: {counts[basis]}", file=out)
             if observables and prog.n:
-                if not _print_observables(observables, sim.expectation, out):
-                    return 2
+                rc_obs = _print_observables(observables, sim.expectation, out)
+                if rc_obs:
+                    return rc_obs
         elif backend == "mps":
             from .mps import MPSProgram, NotAdjacentError
 
@@ -299,8 +310,9 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 for basis in sorted(counts):
                     print(f"  |{basis}>: {counts[basis]}", file=out)
             if observables and prog.n:
-                if not _print_observables(observables, sim.expectation, out):
-                    return 2
+                rc_obs = _print_observables(observables, sim.expectation, out)
+                if rc_obs:
+                    return rc_obs
         elif compile_mode or mesh:
             from .run.compiler import CompiledProgram
 
@@ -329,9 +341,10 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                     for v_, c_ in zip(vals, counts):
                         print(f"  |{format(int(v_), f'0{prog.n}b')}>: {int(c_)}", file=out)
                 if observables and prog.n:
-                    if not _print_observables(observables, sim.expectation,
-                                              out):
-                        return 2
+                    rc_obs = _print_observables(observables, sim.expectation,
+                                                out)
+                    if rc_obs:
+                        return rc_obs
             else:
                 state, cregs, key = prog.run(seed=seed, dump_writer=out.write)
                 if dump_state:
@@ -349,8 +362,9 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                                 _s, prog.n, prog.v, p_)
                         return expectation_pauli(_s, prog.n, p_)
 
-                    if not _print_observables(observables, _exp, out):
-                        return 2
+                    rc_obs = _print_observables(observables, _exp, out)
+                    if rc_obs:
+                        return rc_obs
         else:
             ps = run_program(ast, seed=seed)
             if dump_state:
@@ -358,10 +372,10 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
             if shots:
                 _print_shot_counts(ps, shots, out)
             if observables and ps.qregs:
-                if not _print_observables(
-                        observables, lambda p_: _interp_expectation(ps, p_),
-                        out):
-                    return 2
+                rc_obs = _print_observables(
+                    observables, lambda p_: _interp_expectation(ps, p_), out)
+                if rc_obs:
+                    return rc_obs
     except QasmRuntimeError as e:
         print(e, file=out)
         return 1
@@ -384,22 +398,32 @@ def _print_counts_for(planes, n, name, shots, key, out, v: int = 0):
         print(f"  |{basis}>: {c}", file=out)
 
 
-def _print_observables(observables, compute, out) -> bool:
+def _print_observables(observables, compute, out) -> int:
     """Print one ``<P> = value`` line per --observable; ``compute(pauli)``
-    returns a float or a (mean, stderr) pair. Returns False (after
-    printing the error) when a Pauli string is rejected."""
+    returns a float or a (mean, stderr) pair. Returns 0 on success, 2 on
+    a rejected Pauli string, 1 on an engine-capability error (matching
+    the rc the counts path gives for the same circuit)."""
     for pauli in observables:
         try:
             val = compute(pauli.upper())
         except ValueError as e:
+            from .mps import NotAdjacentError
+            from .stabilizer import NotCliffordError
+
+            if isinstance(e, NotCliffordError):
+                print(f"qubism: stabilizer trajectories: {e}", file=out)
+                return 1
+            if isinstance(e, NotAdjacentError):
+                print(f"qubism: mps trajectories: {e}", file=out)
+                return 1
             print(f"qubism: --observable: {e}", file=out)
-            return False
+            return 2
         if isinstance(val, tuple):
             print(f"<{pauli.upper()}> = {val[0]:.6f} +- {val[1]:.6f}",
                   file=out)
         else:
             print(f"<{pauli.upper()}> = {float(val):.6f}", file=out)
-    return True
+    return 0
 
 
 def _interp_expectation(ps: ProgState, pauli: str) -> float:

@@ -337,6 +337,74 @@ def _k_sample(re, im, envr, envi, keys):
 # Host-side simulator
 # ---------------------------------------------------------------------------
 
+def build_tape(prims, center: int, on_gate=None):
+    """Flatten a prim iterable into the op-tape representation (SWAP
+    routing and orthogonality-center shifts included). ``on_gate(tape,
+    sites)`` — if given — runs right after each CIRCUIT gate's rows land
+    (before any SWAP walk-back), with the physical site(s) the gate's
+    logical qubits occupy at that moment: the noise-slot insertion hook
+    of mps/noise.py. Returns (tape, final_center); the single source of
+    truth for tape construction (MPSSim.apply and the noisy trajectory
+    executor both build here)."""
+    tape = []                              # (code, site, 2x2/4x4 u or None)
+
+    def move(target):
+        nonlocal center
+        while center < target:
+            tape.append((_OP_SHIFT_R, center, None))
+            center += 1
+        while center > target:
+            tape.append((_OP_SHIFT_L, center, None))
+            center -= 1
+
+    def adj2(u, q):
+        nonlocal center
+        move(q if center <= q else q + 1)
+        tape.append((_OP_2Q, q, u))
+        center = q + 1
+
+    for p in prims:
+        u = np.diag(p.u) if p.diag else np.asarray(p.u)
+        un, tgts = _sort_targets(np.asarray(u, dtype=np.complex128),
+                                 p.targets)
+        if len(tgts) == 1:
+            tape.append((_OP_1Q, tgts[0], un))
+            if on_gate is not None:
+                on_gate(tape, (tgts[0],))
+        elif len(tgts) == 2:
+            a, b = tgts
+            for j in range(b - 1, a, -1):  # route qubit b down to a+1
+                adj2(_SWAP, j)
+            adj2(un, a)
+            if on_gate is not None:
+                on_gate(tape, (a, a + 1))
+            for j in range(a + 1, b):      # walk it back
+                adj2(_SWAP, j)
+        else:
+            raise NotAdjacentError(
+                f"the MPS backend applies 1- and 2-qubit prims; got a "
+                f"{len(tgts)}-qubit prim on {tgts}. Decompose it "
+                f"(qelib1-style) first.")
+    return tape, center
+
+
+def pack_tape(tape, length: int):
+    """Pack (code, site, u) rows into the _k_chain scan arrays, padded
+    with NOPs to ``length``."""
+    codes = np.full(length, _OP_NOP, dtype=np.int32)
+    qs = np.zeros(length, dtype=np.int32)
+    urs = np.zeros((length, 4, 4), dtype=np.float32)
+    uis = np.zeros((length, 4, 4), dtype=np.float32)
+    for k, (code, q, u) in enumerate(tape):
+        codes[k] = code
+        qs[k] = q
+        if u is not None:
+            d = u.shape[0]
+            urs[k, :d, :d] = u.real
+            uis[k, :d, :d] = u.imag
+    return codes, qs, urs, uis
+
+
 _PAULI = {
     "I": np.eye(2, dtype=complex),
     "X": np.array([[0, 1], [1, 0]], dtype=complex),
@@ -428,59 +496,13 @@ class MPSSim:
         one per gate (the remote-dispatch tunnel charges ~30-100 ms per
         jitted call; see utils/profiling notes). Tapes pad to power-of-
         two buckets so recompiles stop once buckets repeat."""
-        tape = []                              # (code, site, 4x4 u or None)
-        center = self.center
-
-        def move(target):
-            nonlocal center
-            while center < target:
-                tape.append((_OP_SHIFT_R, center, None))
-                center += 1
-            while center > target:
-                tape.append((_OP_SHIFT_L, center, None))
-                center -= 1
-
-        def adj2(u, q):
-            nonlocal center
-            move(q if center <= q else q + 1)
-            tape.append((_OP_2Q, q, u))
-            center = q + 1
-
-        for p in self._flatten(gate_or_prims):
-            u = np.diag(p.u) if p.diag else np.asarray(p.u)
-            un, tgts = _sort_targets(np.asarray(u, dtype=np.complex128),
-                                     p.targets)
-            if len(tgts) == 1:
-                tape.append((_OP_1Q, tgts[0], un))
-            elif len(tgts) == 2:
-                a, b = tgts
-                for j in range(b - 1, a, -1):  # route qubit b down to a+1
-                    adj2(_SWAP, j)
-                adj2(un, a)
-                for j in range(a + 1, b):      # walk it back
-                    adj2(_SWAP, j)
-            else:
-                raise NotAdjacentError(
-                    f"MPS backend applies 1- and 2-qubit prims; got a "
-                    f"{len(tgts)}-qubit prim on {tgts}. Decompose it "
-                    f"(qelib1-style) before running on --backend mps.")
+        tape, center = build_tape(self._flatten(gate_or_prims), self.center)
         if not tape:
             return self
         length = max(8, 1 << (len(tape) - 1).bit_length())
-        codes = np.full(length, _OP_NOP, dtype=np.int32)
-        qs = np.zeros(length, dtype=np.int32)
-        urs = np.zeros((length, 4, 4), dtype=np.float32)
-        uis = np.zeros((length, 4, 4), dtype=np.float32)
-        for k, (code, q, u) in enumerate(tape):
-            codes[k] = code
-            qs[k] = q
-            if u is not None:
-                d = u.shape[0]
-                urs[k, :d, :d] = u.real
-                uis[k, :d, :d] = u.imag
         self.re, self.im, disc = _k_chain(
-            self.re, self.im, jnp.asarray(codes), jnp.asarray(qs),
-            jnp.asarray(urs), jnp.asarray(uis))
+            self.re, self.im,
+            *(jnp.asarray(a) for a in pack_tape(tape, length)))
         self.center = center
         self.trunc_error += float(disc)
         return self

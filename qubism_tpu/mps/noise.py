@@ -36,12 +36,11 @@ import numpy as np
 from jax import lax
 
 from ..config import config
-from ..ops.apply import _sort_targets
 from ..run.noisy import TrajectoryProgram
 from ..stabilizer.noise import NotPauliChannelError, pauli_channel_cdfs
-from .engine import (_OP_1Q, _OP_2Q, _OP_NOP, _OP_SHIFT_L, _OP_SHIFT_R,
-                     _PAULI, _SWAP, NotAdjacentError, _apply_1q_body,
-                     _k_chain, _k_expect, _k_norm2, _k_scale_site)
+from .engine import (_OP_1Q, _PAULI, NotAdjacentError, _apply_1q_body,
+                     _k_chain, _k_expect, _k_norm2, _k_scale_site,
+                     build_tape, pack_tape)
 
 __all__ = ["MPSTrajectoryProgram"]
 
@@ -90,72 +89,27 @@ class MPSTrajectoryProgram(TrajectoryProgram):
     # -- tape construction (host side, runs once per trace) -----------------
 
     def _tape(self, prims):
-        """Flatten a prim stream into one op tape, with an extra identity
-        1q row after each gate per (channel, target) — the noise slots a
-        trajectory overwrites with its sampled Paulis. Returns host
+        """Flatten a prim stream into one op tape via the engine's shared
+        builder, inserting an identity 1q row after each gate per
+        (channel, physical site) — the noise slots a trajectory
+        overwrites with its sampled Paulis. Returns the packed host
         arrays plus (noise row indices, per-row channel CDFs)."""
-        tape = []                    # (code, site, 2x2/4x4 u or None)
         rows = []                    # tape indices of noise slots
         cdf_rows = []                # the slot's channel CDF (4,)
-        center = self._center
 
-        def move(target):
-            nonlocal center
-            while center < target:
-                tape.append((_OP_SHIFT_R, center, None))
-                center += 1
-            while center > target:
-                tape.append((_OP_SHIFT_L, center, None))
-                center -= 1
-
-        def adj2(u, q):
-            nonlocal center
-            move(q if center <= q else q + 1)
-            tape.append((_OP_2Q, q, u))
-            center = q + 1
-
-        def noise_slots(sites):
+        def noise_slots(tape, sites):
             for ci in range(len(self.cdfs)):
                 for t in sites:
                     rows.append(len(tape))
                     cdf_rows.append(self.cdfs[ci])
                     tape.append((_OP_1Q, t, np.eye(2, dtype=complex)))
 
-        for p in prims:
-            u = np.diag(p.u) if p.diag else np.asarray(p.u)
-            un, tgts = _sort_targets(np.asarray(u, dtype=np.complex128),
-                                     p.targets)
-            if len(tgts) == 1:
-                tape.append((_OP_1Q, tgts[0], un))
-                noise_slots((tgts[0],))
-            elif len(tgts) == 2:
-                a, b = tgts
-                for j in range(b - 1, a, -1):   # route qubit b down to a+1
-                    adj2(_SWAP, j)
-                adj2(un, a)
-                noise_slots((a, a + 1))         # noise on BOTH gate qubits
-                for j in range(a + 1, b):       # walk it back
-                    adj2(_SWAP, j)
-            else:
-                raise NotAdjacentError(
-                    f"MPS trajectories apply 1- and 2-qubit prims; got a "
-                    f"{len(tgts)}-qubit prim on {tgts}. Decompose it "
-                    f"(qelib1-style) first.")
-        self._center = center
-        length = max(1, len(tape))
-        codes = np.full(length, _OP_NOP, dtype=np.int32)
-        qs = np.zeros(length, dtype=np.int32)
-        urs = np.zeros((length, 4, 4), dtype=np.float32)
-        uis = np.zeros((length, 4, 4), dtype=np.float32)
-        for k, (code, q, u) in enumerate(tape):
-            codes[k] = code
-            qs[k] = q
-            if u is not None:
-                d = u.shape[0]
-                urs[k, :d, :d] = u.real
-                uis[k, :d, :d] = u.imag
-        return (codes, qs, urs, uis, np.asarray(rows, dtype=np.int32),
-                np.asarray(cdf_rows, dtype=np.float32).reshape(-1, 4))
+        tape, self._center = build_tape(prims, self._center,
+                                        on_gate=noise_slots)
+        packed = pack_tape(tape, max(1, len(tape)))
+        return packed + (np.asarray(rows, dtype=np.int32),
+                         np.asarray(cdf_rows, dtype=np.float32)
+                         .reshape(-1, 4))
 
     # -- traced execution ---------------------------------------------------
 

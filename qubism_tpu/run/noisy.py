@@ -300,6 +300,27 @@ class TrajectoryProgram:
         k = pauli.count("Y") % 4          # real part of (tr + i*ti) * i^k
         return (tr, -ti, -tr, ti)[k]
 
+    def _mc_estimate(self, cache_key, one, ntraj: int, key):
+        """Shared Monte-Carlo scaffolding: cached vmapped jit of
+        ``one(key) -> scalar | (k,) vector`` of per-trajectory values,
+        live-state batching, (mean, stderr) over trajectories — arrays
+        when ``one`` is vector-valued."""
+        keys = jax.random.split(key, ntraj)
+        cache = getattr(self, "_efn_cache", None)
+        if cache is None:
+            cache = self._efn_cache = {}
+        fn = cache.get(cache_key)
+        if fn is None:
+            fn = cache[cache_key] = jax.jit(jax.vmap(one))
+        batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
+        vals = np.concatenate([
+            np.asarray(fn(keys[lo:min(lo + batch, ntraj)]))
+            for lo in range(0, ntraj, batch)])
+        mean = vals.mean(axis=0)
+        stderr = (vals.std(axis=0, ddof=1) / np.sqrt(ntraj) if ntraj > 1
+                  else np.zeros_like(mean))
+        return mean, stderr
+
     def expectation(self, pauli: str, ntraj: int, seed: int | None = None,
                     key=None):
         """Monte-Carlo ``<P>`` over ``ntraj`` noisy trajectories:
@@ -313,24 +334,32 @@ class TrajectoryProgram:
         pauli = _check_pauli(pauli, self.n)
         if key is None:
             key = jax.random.PRNGKey(0 if seed is None else seed)
-        keys = jax.random.split(key, ntraj)
-        cache = getattr(self, "_efn_cache", None)
-        if cache is None:
-            cache = self._efn_cache = {}
-        fn = cache.get(pauli)
-        if fn is None:
-            def one(k, _p=pauli):
-                _, state = self._run_one(k)
-                return self._expect_final(state, _p)
 
-            fn = cache[pauli] = jax.jit(jax.vmap(one))
-        batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
-        vals = np.concatenate([
-            np.asarray(fn(keys[lo:min(lo + batch, ntraj)]))
-            for lo in range(0, ntraj, batch)])
-        mean = float(vals.mean())
-        stderr = float(vals.std(ddof=1) / np.sqrt(ntraj)) if ntraj > 1 else 0.0
-        return mean, stderr
+        def one(k, _p=pauli):
+            _, state = self._run_one(k)
+            return self._expect_final(state, _p)
+
+        mean, stderr = self._mc_estimate(pauli, one, ntraj, key)
+        return float(mean), float(stderr)
+
+    def expectations(self, paulis, ntraj: int, seed: int | None = None,
+                     key=None):
+        """Monte-Carlo ``<P>`` for MANY Pauli strings in ONE program:
+        all strings reduce on each trajectory's final state, so k
+        observables cost one simulation instead of k. Returns a list of
+        (mean, stderr) pairs in input order."""
+        from ..ops.measure import _check_pauli
+
+        paulis = tuple(_check_pauli(p, self.n) for p in paulis)
+        if key is None:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+
+        def one(k, _ps=paulis):
+            _, state = self._run_one(k)
+            return jnp.stack([self._expect_final(state, p) for p in _ps])
+
+        mean, stderr = self._mc_estimate(paulis, one, ntraj, key)
+        return [(float(m), float(s)) for m, s in zip(mean, stderr)]
 
     def expectation_sum(self, terms, ntraj: int, seed: int | None = None,
                         key=None):
@@ -344,24 +373,13 @@ class TrajectoryProgram:
         terms = tuple((float(c), _check_pauli(p, self.n)) for c, p in terms)
         if key is None:
             key = jax.random.PRNGKey(0 if seed is None else seed)
-        keys = jax.random.split(key, ntraj)
-        cache = getattr(self, "_efn_cache", None)
-        if cache is None:
-            cache = self._efn_cache = {}
-        fn = cache.get(terms)
-        if fn is None:
-            def one(k, _t=terms):
-                _, state = self._run_one(k)
-                return sum(c * self._expect_final(state, p) for c, p in _t)
 
-            fn = cache[terms] = jax.jit(jax.vmap(one))
-        batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
-        vals = np.concatenate([
-            np.asarray(fn(keys[lo:min(lo + batch, ntraj)]))
-            for lo in range(0, ntraj, batch)])
-        mean = float(vals.mean())
-        stderr = float(vals.std(ddof=1) / np.sqrt(ntraj)) if ntraj > 1 else 0.0
-        return mean, stderr
+        def one(k, _t=terms):
+            _, state = self._run_one(k)
+            return sum(c * self._expect_final(state, p) for c, p in _t)
+
+        mean, stderr = self._mc_estimate(terms, one, ntraj, key)
+        return float(mean), float(stderr)
 
     def counts(self, ntraj: int, seed: int | None = None, key=None):
         """Joint classical-register outcome histogram over trajectories:

@@ -33,9 +33,10 @@ import numpy as np
 from jax import lax
 
 from .tableau import (_apply_scan, _pack_chain, _row_bit, _set_col_bit,
-                      affine_support, identity_tableau, sample_bits)
+                      affine_support, expectation, identity_tableau,
+                      sample_bits)
 
-__all__ = ["frame_run_vals"]
+__all__ = ["frame_run_vals", "frame_expectation", "frame_expectation_sum"]
 
 
 def _xor_col_bit(mat, w, off, bits):
@@ -85,49 +86,36 @@ def _frame_scan_impl(fx, fz, t0, t1, txs, tzs, flags, cdfs, keys):
     return fx, fz
 
 
-def frame_expectation(prog, prims, pauli: str, ntraj: int, key):
-    """Monte-Carlo ``<P>`` over noisy trajectories of a gates-only
-    Clifford program via frames: the clean value is ±1/0 from ONE
-    tableau, and each trajectory's frame flips its sign iff the frame
-    anticommutes with P (popcount parity of the bit planes). Returns
-    (mean, stderr), or None when the chain cannot be packed."""
-    from .tableau import _pack_pauli, _pc_rows, expectation
-
-    n = prog.n
-    packed = _pack_chain(prims, n)
-    if packed is None:
-        return None
-    length = packed[0].shape[0]
+def _noise_flags(prims, length: int) -> np.ndarray:
+    """Which of each packed row's (t0, t1) slots is a real circuit qubit
+    (1q prims promote to a (fake, q) pair in _pack_chain; padding rows
+    get none) — the mask that gates noise injection."""
     flags = np.zeros((length, 2), dtype=np.uint32)
-    for k_, p in enumerate(prims):
+    for k, p in enumerate(prims):
         if len(p.targets) == 1:
-            flags[k_, 1] = 1
+            flags[k, 1] = 1
         else:
-            flags[k_] = 1
-    tab = identity_tableau(n)
-    if prims:
-        tab = _apply_scan(tab, packed)
-    clean = expectation(tab, pauli, n)
-    if clean == 0.0:
-        # <P> of F|psi> is ±<P> of |psi> for any Pauli frame F: still 0
-        return 0.0, 0.0
-    words = (n + 31) // 32
+            flags[k] = 1
+    return flags
+
+
+def _propagate(prog, prims, packed, ntraj: int, key):
+    """Run the noisy frame scan: (T, W) fx/fz planes after the chain."""
+    length = packed[0].shape[0]
+    words = (prog.n + 31) // 32
     fx = jnp.zeros((ntraj, words), dtype=jnp.uint32)
     fz = jnp.zeros_like(fx)
     cdfs = jnp.asarray(np.asarray(prog.cdfs, dtype=np.float32)
                        .reshape(-1, 4))
     step_keys = jax.random.split(key, length)
-    fx, fz = _frame_scan_impl(fx, fz,
-                              *(jnp.asarray(a) for a in packed[:4]),
-                              jnp.asarray(flags), cdfs, step_keys)
-    px, pz = _pack_pauli(pauli)
-    anti = np.asarray((_pc_rows(fx & jnp.asarray(pz)[None, :])
-                       + _pc_rows(fz & jnp.asarray(px)[None, :])) & 1)
-    signs = clean * (1.0 - 2.0 * anti.astype(np.float64))
-    mean = float(signs.mean())
-    stderr = (float(signs.std(ddof=1) / np.sqrt(ntraj))
-              if ntraj > 1 else 0.0)
-    return mean, stderr
+    return _frame_scan_impl(fx, fz, *(jnp.asarray(a) for a in packed[:4]),
+                            jnp.asarray(_noise_flags(prims, length)),
+                            cdfs, step_keys)
+
+
+def _clean_tableau(prog, prims, packed):
+    tab = identity_tableau(prog.n)
+    return _apply_scan(tab, packed) if prims else tab
 
 
 def frame_expectation_sum(prog, prims, terms, ntraj: int, key):
@@ -137,32 +125,18 @@ def frame_expectation_sum(prog, prims, terms, ntraj: int, key):
     Pauli-sum energy (term correlations included in the stderr) costs
     one scan regardless of the term count. Returns (mean, stderr) or
     None when the chain cannot be packed."""
-    from .tableau import _pack_pauli, _pc_rows, expectation
+    from .tableau import _pack_pauli, _pc_rows
 
     n = prog.n
     packed = _pack_chain(prims, n)
     if packed is None:
         return None
-    length = packed[0].shape[0]
-    flags = np.zeros((length, 2), dtype=np.uint32)
-    for k_, p in enumerate(prims):
-        if len(p.targets) == 1:
-            flags[k_, 1] = 1
-        else:
-            flags[k_] = 1
-    tab = identity_tableau(n)
-    if prims:
-        tab = _apply_scan(tab, packed)
+    tab = _clean_tableau(prog, prims, packed)
     cleans = [expectation(tab, pauli, n) for _, pauli in terms]
-    words = (n + 31) // 32
-    fx = jnp.zeros((ntraj, words), dtype=jnp.uint32)
-    fz = jnp.zeros_like(fx)
-    cdfs = jnp.asarray(np.asarray(prog.cdfs, dtype=np.float32)
-                       .reshape(-1, 4))
-    step_keys = jax.random.split(key, length)
-    fx, fz = _frame_scan_impl(fx, fz,
-                              *(jnp.asarray(a) for a in packed[:4]),
-                              jnp.asarray(flags), cdfs, step_keys)
+    if all(c == 0.0 for c in cleans):
+        # <P> of F|psi> is +-<P> of |psi> for any Pauli frame F: still 0
+        return 0.0, 0.0
+    fx, fz = _propagate(prog, prims, packed, ntraj, key)
     energies = np.zeros(ntraj, dtype=np.float64)
     for (coef, pauli), clean in zip(terms, cleans):
         if clean == 0.0:
@@ -177,6 +151,12 @@ def frame_expectation_sum(prog, prims, terms, ntraj: int, key):
     return mean, stderr
 
 
+def frame_expectation(prog, prims, pauli: str, ntraj: int, key):
+    """Monte-Carlo ``<P>``: the one-term case of
+    :func:`frame_expectation_sum`."""
+    return frame_expectation_sum(prog, prims, ((1.0, pauli),), ntraj, key)
+
+
 def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
     """Run ``ntraj`` noisy trajectories of (Clifford prims -> final
     measurement) via Pauli frames. ``prog`` supplies n / cdfs / creg
@@ -187,50 +167,40 @@ def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
     packed = _pack_chain(prims, n)
     if packed is None:
         return None
-    length = packed[0].shape[0]
-    flags = np.zeros((length, 2), dtype=np.uint32)
-    for k_, p in enumerate(prims):
-        if len(p.targets) == 1:
-            flags[k_, 1] = 1              # 1q prims promote to (fake, q)
-        else:
-            flags[k_] = 1
 
     # clean reference state + its measurement distribution (one GF(2)
     # elimination + one matmul for ANY number of shots)
-    tab = identity_tableau(n)
-    if prims:
-        tab = _apply_scan(tab, packed)
+    tab = _clean_tableau(prog, prims, packed)
     support = affine_support(tab, n)
     kf, ks = jax.random.split(key)
     clean = sample_bits(tab, ntraj, ks, n, support=support)  # (T, n) uint8
 
-    words = (n + 31) // 32
-    fx = jnp.zeros((ntraj, words), dtype=jnp.uint32)
-    fz = jnp.zeros_like(fx)
-    cdfs = jnp.asarray(np.asarray(prog.cdfs, dtype=np.float32)
-                       .reshape(-1, 4))
-    step_keys = jax.random.split(kf, length)
-    fx, _ = _frame_scan_impl(fx, fz, *(jnp.asarray(a) for a in packed[:4]),
-                             jnp.asarray(flags), cdfs, step_keys)
-
+    fx, _ = _propagate(prog, prims, packed, ntraj, kf)
     fxn = np.asarray(fx)
     qs = np.arange(n)
     flips = ((fxn[:, qs >> 5] >> (qs & 31)) & 1).astype(np.uint8)
     bits = clean ^ flips                                     # (T, n)
+    # readout error flips per WRITE, not per qubit: a qubit measured by
+    # several merged statements gets independent reported flips (matching
+    # the tableau/dense engines)
+    ro = None
     if getattr(prog, "readout_p", None):
         kr = jax.random.fold_in(key, 0x0FE0)
-        ro = np.asarray(jax.random.bernoulli(kr, prog.readout_p,
-                                             (ntraj, n))).astype(np.uint8)
-        bits = bits ^ ro
+        ro = np.asarray(jax.random.bernoulli(
+            kr, prog.readout_p,
+            (ntraj, len(measure_event.qubits)))).astype(np.uint8)
 
     vals = {c: np.zeros((ntraj, prog.creg_sizes[c]), dtype=np.int32)
             for c in prog.creg_names}
     off = 0
     for creg, bit_index, count in measure_event.writes:
-        if bit_index is None:
-            for k_, q in enumerate(measure_event.qubits[off:off + count]):
-                vals[creg][:, k_] = bits[:, q]
-        else:
-            vals[creg][:, bit_index] = bits[:, measure_event.qubits[off]]
+        for k_, q in enumerate(measure_event.qubits[off:off + count]):
+            col = bits[:, q]
+            if ro is not None:
+                col = col ^ ro[:, off + k_]
+            if bit_index is None:
+                vals[creg][:, k_] = col
+            else:
+                vals[creg][:, bit_index] = col
         off += count
     return vals

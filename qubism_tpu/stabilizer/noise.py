@@ -187,13 +187,10 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
             raise NotPauliChannelError(
                 "stabilizer trajectories apply 1- and 2-qubit Clifford "
                 "prims; decompose wider prims first")
+        from .frames import _noise_flags
+
         length = packed[0].shape[0]
-        flags = np.zeros((length, 2), dtype=np.uint32)
-        for k, p in enumerate(prims):
-            if len(p.targets) == 1:
-                flags[k, 1] = 1        # 1q prims promote to (fake, q)
-            else:
-                flags[k] = 1
+        flags = _noise_flags(prims, length)
         n_ch = max(len(self.cdfs), 1)
         us = jax.random.uniform(jax.random.fold_in(key, self._site),
                                 (length, 2, n_ch))
@@ -310,6 +307,18 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
                 self.used_frames = True
                 return out
         return super().expectation(pauli, ntraj, seed=seed, key=key)
+
+    def expectations(self, paulis, ntraj: int, seed: int | None = None,
+                     key=None):
+        """Many <P> at once; gates-only programs evaluate every string
+        against one frame propagation per string (frames are (T, n/32)
+        bit planes — cheap), otherwise one vector-valued tableau run."""
+        from ..run.compiler import EvGates
+
+        if self.n and all(isinstance(e, EvGates) for e in self.events):
+            return [self.expectation(p, ntraj, seed=seed, key=key)
+                    for p in paulis]
+        return super().expectations(paulis, ntraj, seed=seed, key=key)
 
     def expectation_sum(self, terms, ntraj: int, seed: int | None = None,
                         key=None):

@@ -445,3 +445,16 @@ def test_repl_observable_command():
     assert "<ZZ> = 1.000000" in text
     assert "<XX> = 1.000000" in text
     assert "qubism: :observable:" in text
+
+
+def test_observable_engine_errors_keep_engine_rc(tmp_path, capsys):
+    """A creg-less non-Clifford circuit reaching the stabilizer engine
+    through --observable must report the ENGINE error with rc 1 (same
+    as the counts path), not a misleading --observable rc 2."""
+    f = tmp_path / "nc.qasm"
+    f.write_text("qreg q[1];\nU(0.3, 0.1, 0.2) q[0];\n")
+    code = eval_file(str(f), backend="stabilizer", noise="bitflip:0.1",
+                     trajectories=8, observables=["Z"])
+    out = capsys.readouterr().out
+    assert code == 1
+    assert "stabilizer trajectories:" in out

@@ -310,3 +310,22 @@ def test_readout_error_density_rejected():
 
     with pytest.raises(ValueError, match="readout"):
         DensityProgram(_ast("qreg q[1];"), noise="ro:0.1")
+
+
+def test_readout_error_per_write_on_frames():
+    """A qubit measured by two merged statements must get INDEPENDENT
+    reported flips on the frame path (regression: one flip per qubit
+    made the two creg bits perfectly correlated)."""
+    from qubism_tpu import StabilizerTrajectoryProgram
+
+    p = 0.25
+    prog = StabilizerTrajectoryProgram(_ast("""
+        qreg q[1]; creg c[1]; creg d[1];
+        measure q[0] -> c[0];
+        measure q[0] -> d[0];
+    """), noise=f"ro:{p}")
+    v = prog.run_vals(8192, seed=0)
+    assert prog.used_frames
+    diff = float((v["c"][:, 0] != v["d"][:, 0]).mean())
+    want = 2 * p * (1 - p)
+    assert abs(diff - want) < 5 * np.sqrt(want * (1 - want) / 8192)
