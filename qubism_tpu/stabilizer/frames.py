@@ -157,6 +157,36 @@ def frame_expectation(prog, prims, pauli: str, ntraj: int, key):
     return frame_expectation_sum(prog, prims, ((1.0, pauli),), ntraj, key)
 
 
+def frame_expectations(prog, prims, paulis, ntraj: int, key):
+    """Per-Pauli (mean, stderr) list for MANY strings from ONE frame
+    propagation (each string's signs are independent popcount parities
+    against the same planes). None when the chain cannot be packed."""
+    from .tableau import _pack_pauli, _pc_rows
+
+    n = prog.n
+    packed = _pack_chain(prims, n)
+    if packed is None:
+        return None
+    tab = _clean_tableau(prog, prims, packed)
+    cleans = [expectation(tab, p, n) for p in paulis]
+    if all(c == 0.0 for c in cleans):
+        return [(0.0, 0.0)] * len(paulis)
+    fx, fz = _propagate(prog, prims, packed, ntraj, key)
+    out = []
+    for pauli, clean in zip(paulis, cleans):
+        if clean == 0.0:
+            out.append((0.0, 0.0))
+            continue
+        px, pz = _pack_pauli(pauli)
+        anti = np.asarray((_pc_rows(fx & jnp.asarray(pz)[None, :])
+                           + _pc_rows(fz & jnp.asarray(px)[None, :])) & 1)
+        signs = clean * (1.0 - 2.0 * anti.astype(np.float64))
+        se = (float(signs.std(ddof=1) / np.sqrt(ntraj))
+              if ntraj > 1 else 0.0)
+        out.append((float(signs.mean()), se))
+    return out
+
+
 def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
     """Run ``ntraj`` noisy trajectories of (Clifford prims -> final
     measurement) via Pauli frames. ``prog`` supplies n / cdfs / creg

@@ -311,13 +311,22 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
     def expectations(self, paulis, ntraj: int, seed: int | None = None,
                      key=None):
         """Many <P> at once; gates-only programs evaluate every string
-        against one frame propagation per string (frames are (T, n/32)
-        bit planes — cheap), otherwise one vector-valued tableau run."""
+        against ONE frame propagation, otherwise one vector-valued
+        tableau run."""
+        from ..ops.measure import _check_pauli
         from ..run.compiler import EvGates
+        from .frames import frame_expectations
 
+        self.used_frames = False
         if self.n and all(isinstance(e, EvGates) for e in self.events):
-            return [self.expectation(p, ntraj, seed=seed, key=key)
-                    for p in paulis]
+            ups = [_check_pauli(p, self.n) for p in paulis]
+            if key is None:
+                key = jax.random.PRNGKey(0 if seed is None else seed)
+            prims = [p for e in self.events for p in e.prims]
+            out = frame_expectations(self, prims, ups, ntraj, key)
+            if out is not None:
+                self.used_frames = True
+                return out
         return super().expectations(paulis, ntraj, seed=seed, key=key)
 
     def expectation_sum(self, terms, ntraj: int, seed: int | None = None,

@@ -604,3 +604,19 @@ def test_repetition_code_example_scaling():
     r5 = mod["logical_error_rate"](5, 0.05, shots=40000)
     assert abs(r3 - 3 * 0.05 ** 2) < 0.003
     assert r5 < r3
+
+
+def test_frames_expectations_batch_matches_singles():
+    from qubism_tpu import StabilizerTrajectoryProgram
+
+    src = """
+        qreg q[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+    """
+    prog = StabilizerTrajectoryProgram(_traj_ast(src), noise="dep:0.1")
+    batch = prog.expectations(["ZZ", "XX", "ZI"], 4096, seed=7)
+    assert prog.used_frames
+    for pauli, (bm, bs) in zip(("ZZ", "XX", "ZI"), batch):
+        sm, ss = prog.expectation(pauli, 4096, seed=7)
+        assert abs(bm - sm) < 5 * (bs + ss) + 1e-3
