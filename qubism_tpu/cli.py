@@ -16,8 +16,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-import jax.numpy as jnp
-
 from .config import config
 from .qasm.parser import (
     QasmParseError,

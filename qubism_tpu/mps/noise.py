@@ -37,8 +37,8 @@ from jax import lax
 
 from ..config import config
 from ..run.noisy import TrajectoryProgram
-from ..stabilizer.noise import NotPauliChannelError, pauli_channel_cdfs
-from .engine import (_OP_1Q, _PAULI, NotAdjacentError, _apply_1q_body,
+from ..stabilizer.noise import pauli_channel_cdfs
+from .engine import (_OP_1Q, _PAULI, _apply_1q_body,
                      _k_chain, _k_expect, _k_norm2, _k_scale_site,
                      build_tape, pack_tape)
 

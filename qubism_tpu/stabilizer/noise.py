@@ -32,7 +32,7 @@ from jax import lax
 
 from ..run.noisy import TrajectoryProgram
 from .tableau import (_measure_seq_impl, _pack_chain, _row_bit,
-                      clifford_tables, identity_tableau)
+                      identity_tableau)
 
 __all__ = ["StabilizerTrajectoryProgram", "pauli_channel_cdfs",
            "NotPauliChannelError"]
