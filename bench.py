@@ -340,6 +340,21 @@ def try_big_subprocess(name: str, retries: int = 1) -> dict:
 
 
 def main():
+    # the axon relay can wedge such that backend init blocks forever
+    # (zero client CPU, uninterruptible inside PJRT); probe device init
+    # in a bounded SUBPROCESS first and emit ONE diagnostic JSON line
+    # instead of hanging, so the driver always records something
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       capture_output=True, timeout=600, check=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "qft_wallclock", "value": -1, "unit": "s",
+            "vs_baseline": -1,
+            "extra": {"error": f"TPU backend init probe failed: "
+                               f"{type(e).__name__} (axon relay outage?)"}}))
+        return
+
     import jax
 
     enable_cache()
