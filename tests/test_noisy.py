@@ -329,3 +329,28 @@ def test_readout_error_per_write_on_frames():
     diff = float((v["c"][:, 0] != v["d"][:, 0]).mean())
     want = 2 * p * (1 - p)
     assert abs(diff - want) < 5 * np.sqrt(want * (1 - want) / 8192)
+
+
+def test_new_engines_seed_reproducible():
+    """Same seed -> bit-identical outcomes on every new executor
+    (frames, tableau fallback, MPS trajectories) — the reproducibility
+    the reference never had (SURVEY §5 RNG row)."""
+    from qubism_tpu import (MPSTrajectoryProgram,
+                            StabilizerTrajectoryProgram)
+
+    src = """
+        qreg q[3]; creg c[3];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1]; CX q[1], q[2];
+        measure q -> c;
+    """
+    mid = src + "if (c == 7) U(3.141592653589793, 0, 3.141592653589793) q[0];"
+    for make in (
+        lambda: StabilizerTrajectoryProgram(_ast(src), noise="dep:0.05"),
+        lambda: StabilizerTrajectoryProgram(_ast(mid), noise="dep:0.05"),
+        lambda: MPSTrajectoryProgram(_ast(src), noise="bf:0.05,ro:0.02",
+                                     chi=4),
+    ):
+        a = make().run_vals(256, seed=5)["c"]
+        b = make().run_vals(256, seed=5)["c"]
+        assert (a == b).all(), type(make()).__name__
