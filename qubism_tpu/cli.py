@@ -63,7 +63,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="circuit-level noise model, e.g. 'depolarizing:0.01' "
                         "or 'ad:0.05,pd:0.02' (channels: depolarizing, "
                         "amplitude-damping/ad, phase-damping/pd, bitflip/bf, "
-                        "phaseflip/pf, readout/ro — a reporting flip at "
+                        "phaseflip/pf, dep2 — 2q depolarizing after every "
+                        "2-qubit gate, readout/ro — a reporting flip at "
                         "measurement) — gate channels apply to every qubit a gate "
                         "touches; runs the program as vmapped quantum "
                         "trajectories (one device program for ALL shots)")

@@ -46,6 +46,25 @@ def depolarizing(p: float) -> list[np.ndarray]:
             s * np.array([[1, 0], [0, -1]], dtype=complex)]
 
 
+def depolarizing2(p: float) -> list[np.ndarray]:
+    """Two-qubit depolarizing: with probability p, replace the PAIR by
+    the maximally mixed state — K = {sqrt(1-p) I4} + {sqrt(p/15) Pa x Pb
+    for the 15 non-identity Pauli pairs}. The standard model for noisy
+    entangling gates (typically ~10x the 1q rate)."""
+    paulis = [np.eye(2, dtype=complex),
+              np.array([[0, 1], [1, 0]], dtype=complex),
+              np.array([[0, -1j], [1j, 0]], dtype=complex),
+              np.diag([1.0, -1.0]).astype(complex)]
+    s = math.sqrt(p / 15.0)
+    ks = [math.sqrt(1.0 - p) * np.eye(4, dtype=complex)]
+    for a in range(4):
+        for b in range(4):
+            if a == 0 and b == 0:
+                continue
+            ks.append(s * np.kron(paulis[a], paulis[b]))
+    return ks
+
+
 def amplitude_damping(gamma: float) -> list[np.ndarray]:
     """|1> decays to |0> with probability gamma (T1 noise)."""
     return [np.array([[1, 0], [0, math.sqrt(1.0 - gamma)]], dtype=complex),

@@ -72,11 +72,13 @@ class MPSTrajectoryProgram(TrajectoryProgram):
         self.readout_p = None
         if isinstance(noise, str):
             noise, self.readout_p = split_readout_spec(noise)
-        self.cdfs = (pauli_channel_cdfs(noise, backend="mps")
-                     if isinstance(noise, str)
-                     else np.asarray(noise if noise is not None
-                                     else np.zeros((0, 4), np.float32)))
-        self.noise = [("pauli", None)] if len(self.cdfs) else []
+            self.cdfs, self.cdfs2 = pauli_channel_cdfs(noise, backend="mps")
+        else:
+            self.cdfs = np.asarray(noise if noise is not None
+                                   else np.zeros((0, 4), np.float32))
+            self.cdfs2 = np.zeros((0, 16), np.float32)
+        self.noise = ([("pauli", None)]
+                      if len(self.cdfs) or len(self.cdfs2) else [])
         self.creg_names = sorted(self.cregs0)
         self.creg_sizes = {c: len(self.cregs0[c].bits)
                            for c in self.creg_names}
@@ -94,28 +96,43 @@ class MPSTrajectoryProgram(TrajectoryProgram):
         (channel, physical site) — the noise slots a trajectory
         overwrites with its sampled Paulis. Returns the packed host
         arrays plus (noise row indices, per-row channel CDFs)."""
-        rows = []                    # tape indices of noise slots
+        rows = []                    # tape indices of 1q noise slots
         cdf_rows = []                # the slot's channel CDF (4,)
+        rows2a, rows2b = [], []      # PAIRED slots for dep2 (joint draw)
+        cdf2_rows = []               # the pair's channel CDF (16,)
+        eye2 = np.eye(2, dtype=complex)
 
         def noise_slots(tape, sites):
             for ci in range(len(self.cdfs)):
                 for t in sites:
                     rows.append(len(tape))
                     cdf_rows.append(self.cdfs[ci])
-                    tape.append((_OP_1Q, t, np.eye(2, dtype=complex)))
+                    tape.append((_OP_1Q, t, eye2))
+            if len(sites) == 2:
+                for ci in range(len(self.cdfs2)):
+                    rows2a.append(len(tape))
+                    tape.append((_OP_1Q, sites[0], eye2))
+                    rows2b.append(len(tape))
+                    tape.append((_OP_1Q, sites[1], eye2))
+                    cdf2_rows.append(self.cdfs2[ci])
 
         tape, self._center = build_tape(prims, self._center,
                                         on_gate=noise_slots)
         packed = pack_tape(tape, max(1, len(tape)))
         return packed + (np.asarray(rows, dtype=np.int32),
                          np.asarray(cdf_rows, dtype=np.float32)
-                         .reshape(-1, 4))
+                         .reshape(-1, 4),
+                         np.asarray(rows2a, dtype=np.int32),
+                         np.asarray(rows2b, dtype=np.int32),
+                         np.asarray(cdf2_rows, dtype=np.float32)
+                         .reshape(-1, 16))
 
     # -- traced execution ---------------------------------------------------
 
     def _gates(self, state, prims, key):
         re, im, disc = state
-        codes, qs, urs, uis, rows, cdf_rows = self._tape(prims)
+        (codes, qs, urs, uis, rows, cdf_rows,
+         rows2a, rows2b, cdf2_rows) = self._tape(prims)
         urs = jnp.asarray(urs)
         uis = jnp.asarray(uis)
         if len(rows):
@@ -128,6 +145,18 @@ class MPSTrajectoryProgram(TrajectoryProgram):
                         .astype(jnp.int32), axis=1)
             urs = urs.at[rows, :2, :2].set(_PAULI_R[c])
             uis = uis.at[rows, :2, :2].set(_PAULI_I[c])
+        if len(rows2a):
+            u2 = jax.random.uniform(jax.random.fold_in(key, self._site),
+                                    (len(rows2a),))
+            self._site += 1
+            # ONE joint 16-outcome draw per 2q gate per channel:
+            # c >> 2 lands on the gate's lower site, c & 3 on the upper
+            c2 = jnp.sum((jnp.asarray(cdf2_rows)[:, :15] <= u2[:, None])
+                         .astype(jnp.int32), axis=1)
+            urs = urs.at[rows2a, :2, :2].set(_PAULI_R[c2 >> 2])
+            uis = uis.at[rows2a, :2, :2].set(_PAULI_I[c2 >> 2])
+            urs = urs.at[rows2b, :2, :2].set(_PAULI_R[c2 & 3])
+            uis = uis.at[rows2b, :2, :2].set(_PAULI_I[c2 & 3])
         re, im, d = _k_chain(re, im, jnp.asarray(codes), jnp.asarray(qs),
                              urs, uis)
         return re, im, disc + d

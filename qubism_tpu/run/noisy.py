@@ -57,6 +57,8 @@ __all__ = ["TrajectoryProgram", "DensityProgram", "parse_noise_spec",
 NOISE_CHANNELS = {
     "depolarizing": channels.depolarizing,
     "dep": channels.depolarizing,
+    "depolarizing2": channels.depolarizing2,   # 2q gates only (see _exec)
+    "dep2": channels.depolarizing2,
     "amplitude-damping": channels.amplitude_damping,
     "ad": channels.amplitude_damping,
     "phase-damping": channels.phase_damping,
@@ -134,14 +136,17 @@ class TrajectoryProgram:
         self.creg_names = sorted(self.cregs0)
         self.creg_sizes = {c: len(self.cregs0[c].bits)
                            for c in self.creg_names}
-        # Pre-split each channel's Kraus set once (host side).
+        # Pre-split each channel's Kraus set once (host side); 4x4
+        # Kraus sets (dep2) apply only after 2-qubit gates.
         self._kplanes = []
+        self._kplanes2 = []
         for _, ks in self.noise:
             ksp = tuple(
                 (jnp.asarray(np.asarray(k).real, dtype=jnp.float32),
                  jnp.asarray(np.asarray(k).imag, dtype=jnp.float32))
                 for k in ks)
-            self._kplanes.append(ksp)
+            (self._kplanes2 if np.asarray(ks[0]).shape[0] == 4
+             else self._kplanes).append(ksp)
         self._site = 0  # stochastic-site counter (rebound per trace)
 
     # -- traced execution ---------------------------------------------------
@@ -202,6 +207,11 @@ class TrajectoryProgram:
                         for q in p.targets:
                             new = _apply_channel_traced(
                                 new, kp, (int(q),), self.n, self._u(key))
+                    if len(p.targets) == 2:
+                        for kp in self._kplanes2:
+                            new = _apply_channel_traced(
+                                new, kp, tuple(int(q) for q in p.targets),
+                                self.n, self._u(key))
                     planes = self._sel(pred, new, planes)
             elif isinstance(ev, EvMeasure):
                 bits = []
@@ -445,8 +455,13 @@ class DensityProgram:
                     for p in ev.prims:
                         rho.apply([p])
                         for _, ks in self.noise:
-                            for q in p.targets:
-                                rho.apply_channel(ks, (int(q),))
+                            if np.asarray(ks[0]).shape[0] == 4:
+                                if len(p.targets) == 2:
+                                    rho.apply_channel(
+                                        ks, tuple(int(q) for q in p.targets))
+                            else:
+                                for q in p.targets:
+                                    rho.apply_channel(ks, (int(q),))
                 elif isinstance(ev, EvMeasure):
                     bits = []
                     for q in ev.qubits:

@@ -46,17 +46,20 @@ def _xor_col_bit(mat, w, off, bits):
 
 
 @jax.jit
-def _frame_scan_impl(fx, fz, t0, t1, txs, tzs, flags, cdfs, keys):
+def _frame_scan_impl(fx, fz, t0, t1, txs, tzs, flags, cdfs, flags2, cdfs2,
+                     keys):
     """Propagate (T, W)-bit error frames through a packed gate chain,
-    XOR-injecting per-step sampled Pauli noise on the flagged targets.
+    XOR-injecting per-step sampled Pauli noise on the flagged targets
+    (1q channels per qubit; correlated dep2 draws on real 2q gates).
     Same step mechanics as tableau.py:_apply_scan_impl, with frames as
     the rows and no phase plane."""
     n_ch = cdfs.shape[0]
+    n_ch2 = cdfs2.shape[0]
     ntraj = fx.shape[0]
 
     def step(carry, inp):
         fx, fz = carry
-        q0, q1, tx, tz, fl, k = inp
+        q0, q1, tx, tz, fl, fl2, k = inp
         w0, o0 = (q0 >> 5).astype(jnp.int32), q0 & 31
         w1, o1 = (q1 >> 5).astype(jnp.int32), q1 & 31
         xb0 = _row_bit(fx, w0, o0)
@@ -70,8 +73,9 @@ def _frame_scan_impl(fx, fz, t0, t1, txs, tzs, flags, cdfs, keys):
         fx = _set_col_bit(fx, w1, o1, (nx >> 1) & 1)
         fz = _set_col_bit(fz, w0, o0, nz & 1)
         fz = _set_col_bit(fz, w1, o1, (nz >> 1) & 1)
+        ka, kb = jax.random.split(k)
         if n_ch:
-            u = jax.random.uniform(k, (2, n_ch, ntraj))
+            u = jax.random.uniform(ka, (2, n_ch, ntraj))
             for ci in range(n_ch):
                 for j, (w, o) in enumerate(((w0, o0), (w1, o1))):
                     # c = #(cdf <= u) in 0..3 (I X Y Z), masked by whether
@@ -80,10 +84,31 @@ def _frame_scan_impl(fx, fz, t0, t1, txs, tzs, flags, cdfs, keys):
                                  .astype(jnp.uint32), axis=0) * fl[j])
                     fx = _xor_col_bit(fx, w, o, (c ^ (c >> 1)) & 1)  # X, Y
                     fz = _xor_col_bit(fz, w, o, (c >> 1) & 1)        # Y, Z
+        if n_ch2:
+            u2 = jax.random.uniform(kb, (n_ch2, ntraj))
+            for ci in range(n_ch2):
+                # joint 16-outcome draw: c >> 2 on t0, c & 3 on t1
+                c = (jnp.sum((cdfs2[ci, :15, None] <= u2[ci][None, :])
+                             .astype(jnp.uint32), axis=0) * fl2)
+                for sub, (w, o) in (((c >> 2), (w0, o0)),
+                                    ((c & 3), (w1, o1))):
+                    fx = _xor_col_bit(fx, w, o, (sub ^ (sub >> 1)) & 1)
+                    fz = _xor_col_bit(fz, w, o, (sub >> 1) & 1)
         return (fx, fz), None
 
-    (fx, fz), _ = lax.scan(step, (fx, fz), (t0, t1, txs, tzs, flags, keys))
+    (fx, fz), _ = lax.scan(step, (fx, fz),
+                           (t0, t1, txs, tzs, flags, flags2, keys))
     return fx, fz
+
+
+def _noise_flags2(prims, length: int) -> np.ndarray:
+    """Per-row marker: 1 iff the packed row is a REAL 2-qubit circuit
+    gate (the rows dep2-style correlated channels act on)."""
+    f2 = np.zeros(length, dtype=np.uint32)
+    for k, p in enumerate(prims):
+        if len(p.targets) == 2:
+            f2[k] = 1
+    return f2
 
 
 def _noise_flags(prims, length: int) -> np.ndarray:
@@ -107,10 +132,14 @@ def _propagate(prog, prims, packed, ntraj: int, key):
     fz = jnp.zeros_like(fx)
     cdfs = jnp.asarray(np.asarray(prog.cdfs, dtype=np.float32)
                        .reshape(-1, 4))
+    cdfs2 = jnp.asarray(np.asarray(getattr(prog, "cdfs2",
+                                            np.zeros((0, 16), np.float32)),
+                                   dtype=np.float32).reshape(-1, 16))
     step_keys = jax.random.split(key, length)
     return _frame_scan_impl(fx, fz, *(jnp.asarray(a) for a in packed[:4]),
-                            jnp.asarray(_noise_flags(prims, length)),
-                            cdfs, step_keys)
+                            jnp.asarray(_noise_flags(prims, length)), cdfs,
+                            jnp.asarray(_noise_flags2(prims, length)), cdfs2,
+                            step_keys)
 
 
 def _clean_tableau(prog, prims, packed):

@@ -53,32 +53,43 @@ _PAULI_CHANNELS = {
 }
 
 
-def pauli_channel_cdfs(spec: str, backend: str = "stabilizer") -> np.ndarray:
-    """Parse a --noise spec into stacked Pauli-channel CDFs (C, 4):
-    row c = cumulative (pI, pX, pY, pZ) of channel c. Non-Pauli channels
+def pauli_channel_cdfs(spec: str, backend: str = "stabilizer"):
+    """Parse a --noise spec into stacked Pauli-channel CDFs. Returns
+    ``(cdfs1, cdfs2)``: 1-qubit channels as (C1, 4) cumulative
+    (pI, pX, pY, pZ) rows, and 2-qubit depolarizing (``dep2:p`` /
+    ``depolarizing2:p`` — applied after every 2-qubit gate) as (C2, 16)
+    rows whose index c decodes as Pauli ``c >> 2`` on the gate's first
+    qubit and ``c & 3`` on its second. Non-Pauli channels
     (amplitude/phase damping) raise :class:`NotPauliChannelError`;
     ``backend`` only labels that error (stabilizer / mps)."""
-    cdfs = []
+    cdfs1, cdfs2 = [], []
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
         name, sep, val = part.partition(":")
         name = name.strip().lower()
-        fac = _PAULI_CHANNELS.get(name)
-        if fac is None:
-            raise NotPauliChannelError(
-                f"noise channel {name!r} is not a Pauli channel; the "
-                f"{backend} backend unravels depolarizing/bitflip/"
-                f"phaseflip only (use the dense trajectory mode for "
-                f"amplitude/phase damping)")
         if not sep:
             raise NotPauliChannelError(
                 f"noise channel {name!r} needs a parameter "
                 f"(e.g. {name}:0.01)")
+        if name in ("dep2", "depolarizing2"):
+            p = float(val)
+            probs = np.full(16, p / 15.0, dtype=np.float32)
+            probs[0] = 1.0 - p
+            cdfs2.append(np.cumsum(probs))
+            continue
+        fac = _PAULI_CHANNELS.get(name)
+        if fac is None:
+            raise NotPauliChannelError(
+                f"noise channel {name!r} is not a Pauli channel; the "
+                f"{backend} backend unravels depolarizing/dep2/bitflip/"
+                f"phaseflip only (use the dense trajectory mode for "
+                f"amplitude/phase damping)")
         probs = np.asarray(fac(float(val)), dtype=np.float32)
-        cdfs.append(np.cumsum(probs))
-    return np.stack(cdfs) if cdfs else np.zeros((0, 4), dtype=np.float32)
+        cdfs1.append(np.cumsum(probs))
+    return (np.stack(cdfs1) if cdfs1 else np.zeros((0, 4), np.float32),
+            np.stack(cdfs2) if cdfs2 else np.zeros((0, 16), np.float32))
 
 
 def _apply_pauli_phase(x, z, s, w, off, c):
@@ -98,20 +109,33 @@ def _sample_pauli(cdf, u):
                        3).astype(jnp.uint32)
 
 
-def _noisy_scan(x, z, s, packed, flags, cdfs, us):
+def _sample_pauli16(cdf, u):
+    """cdf (16,) cumulative 2q-Pauli probs, u uniform -> index uint32
+    (c >> 2 = Pauli on t0, c & 3 = Pauli on t1)."""
+    return jnp.minimum(jnp.searchsorted(cdf, u, side="right"),
+                       15).astype(jnp.uint32)
+
+
+def _noisy_scan(x, z, s, packed, flags, cdfs, us, flags2, cdfs2, us2):
     """The gate scan of tableau.py:_apply_scan_impl with per-step Pauli
     noise on the real targets: flags (L, 2) marks which of (t0, t1) is a
     genuine circuit qubit (1q prims carry a fake identity partner;
-    padding gates carry none), us (L, 2, C) are the channel uniforms."""
+    padding gates carry none), us (L, 2, C) the 1q-channel uniforms;
+    flags2 (L,) marks real 2-qubit gates, us2 (L, C2) the correlated
+    2q-channel (dep2) uniforms."""
     t0, t1, txs, tzs, tss = (jnp.asarray(a) for a in packed)
     flags = jnp.asarray(flags)
+    flags2 = jnp.asarray(flags2)
     us = jnp.asarray(us)
+    us2 = jnp.asarray(us2)
     cdfs = jnp.asarray(cdfs)
+    cdfs2 = jnp.asarray(cdfs2)
     n_ch = cdfs.shape[0]
+    n_ch2 = cdfs2.shape[0]
 
     def step(carry, inp):
         x, z, s = carry
-        q0, q1, tx, tz, ts, fl, uu = inp
+        q0, q1, tx, tz, ts, fl, uu, fl2, uu2 = inp
         w0, o0 = (q0 >> 5).astype(jnp.int32), q0 & 31
         w1, o1 = (q1 >> 5).astype(jnp.int32), q1 & 31
         xb0 = _row_bit(x, w0, o0)
@@ -137,10 +161,14 @@ def _noisy_scan(x, z, s, packed, flags, cdfs, us):
             c1 = _sample_pauli(cdfs[ci], uu[1, ci]) * fl[1]
             s = _apply_pauli_phase(x, z, s, w0, o0, c0)
             s = _apply_pauli_phase(x, z, s, w1, o1, c1)
+        for ci in range(n_ch2):
+            c = _sample_pauli16(cdfs2[ci], uu2[ci]) * fl2
+            s = _apply_pauli_phase(x, z, s, w0, o0, c >> 2)
+            s = _apply_pauli_phase(x, z, s, w1, o1, c & 3)
         return (x, z, s), None
 
     (x, z, s), _ = lax.scan(step, (x, z, s),
-                            (t0, t1, txs, tzs, tss, flags, us))
+                            (t0, t1, txs, tzs, tss, flags, us, flags2, us2))
     return x, z, s
 
 
@@ -161,10 +189,13 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
         self.readout_p = None
         if isinstance(noise, str):
             noise, self.readout_p = split_readout_spec(noise)
-        self.cdfs = (pauli_channel_cdfs(noise) if isinstance(noise, str)
-                     else np.asarray(noise if noise is not None
-                                     else np.zeros((0, 4), np.float32)))
-        self.noise = [("pauli", None)] if len(self.cdfs) else []
+            self.cdfs, self.cdfs2 = pauli_channel_cdfs(noise)
+        else:
+            self.cdfs = np.asarray(noise if noise is not None
+                                   else np.zeros((0, 4), np.float32))
+            self.cdfs2 = np.zeros((0, 16), np.float32)
+        self.noise = ([("pauli", None)]
+                      if len(self.cdfs) or len(self.cdfs2) else [])
         self.creg_names = sorted(self.cregs0)
         self.creg_sizes = {c: len(self.cregs0[c].bits)
                            for c in self.creg_names}
@@ -191,17 +222,23 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
 
         length = packed[0].shape[0]
         flags = _noise_flags(prims, length)
-        n_ch = max(len(self.cdfs), 1)
         us = jax.random.uniform(jax.random.fold_in(key, self._site),
-                                (length, 2, n_ch))
+                                (length, 2, max(len(self.cdfs), 1)))
         self._site += 1
-        if not len(self.cdfs):
+        us2 = jax.random.uniform(jax.random.fold_in(key, self._site),
+                                 (length, max(len(self.cdfs2), 1)))
+        self._site += 1
+        if not len(self.cdfs) and not len(self.cdfs2):
             from .tableau import _apply_scan_impl
 
             x, z, s = _apply_scan_impl(x, z, s,
                                        *(jnp.asarray(a) for a in packed))
         else:
-            x, z, s = _noisy_scan(x, z, s, packed, flags, self.cdfs, us)
+            from .frames import _noise_flags2
+
+            x, z, s = _noisy_scan(x, z, s, packed, flags, self.cdfs, us,
+                                  _noise_flags2(prims, length),
+                                  self.cdfs2, us2)
         return (x, z, s)
 
     def _measure(self, tab, qubits, key):

@@ -354,3 +354,47 @@ def test_new_engines_seed_reproducible():
         a = make().run_vals(256, seed=5)["c"]
         b = make().run_vals(256, seed=5)["c"]
         assert (a == b).all(), type(make()).__name__
+
+
+def test_dep2_all_engines_match_density():
+    """Two-qubit depolarizing (dep2: applied after every 2q gate, one
+    JOINT 16-outcome draw) pinned against the exact density matrix on
+    every trajectory executor: dense, Pauli frames, tableau fallback,
+    MPS."""
+    from qubism_tpu import (MPSTrajectoryProgram,
+                            StabilizerTrajectoryProgram, TrajectoryProgram)
+    from qubism_tpu.run.noisy import DensityProgram
+
+    p = 0.3
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        measure q -> c;
+    """
+    rho, _ = DensityProgram(_ast(src.replace("measure q -> c;", "")),
+                            noise=f"dep2:{p}").run(seed=0)
+    exact = np.asarray(rho.probs())
+    ntraj = 8192
+    progs = [
+        TrajectoryProgram(_ast(src), noise=f"dep2:{p}"),
+        StabilizerTrajectoryProgram(_ast(src), noise=f"dep2:{p}"),
+        MPSTrajectoryProgram(_ast(src), noise=f"dep2:{p}", chi=4),
+        StabilizerTrajectoryProgram(          # tableau fallback
+            _ast(src + "if (c == 0) U(0,0,0) q[0];"), noise=f"dep2:{p}"),
+    ]
+    for prog in progs:
+        bits = prog.run_vals(ntraj, seed=2)["c"]
+        idx = 2 * bits[:, 0] + bits[:, 1]
+        got = np.bincount(idx, minlength=4) / ntraj
+        assert np.all(np.abs(got - exact)
+                      < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3), (
+            type(prog).__name__, got, exact)
+    assert progs[1].used_frames and not progs[3].used_frames
+    # dep2 never fires on 1q-gate-only circuits
+    only1q = TrajectoryProgram(_ast("""
+        qreg q[1]; creg c[1];
+        U(3.141592653589793, 0, 3.141592653589793) q[0];
+        measure q -> c;
+    """), noise="dep2:0.5")
+    assert (only1q.run_vals(256, seed=0)["c"][:, 0] == 1).all()

@@ -414,9 +414,10 @@ def test_stab_trajectories_reject_non_pauli():
 
     with _pytest.raises(NotPauliChannelError, match="not a Pauli channel"):
         pauli_channel_cdfs("ad:0.1")
-    cdfs = pauli_channel_cdfs("depolarizing:0.3,bitflip:0.1")
-    assert cdfs.shape == (2, 4)
+    cdfs, cdfs2 = pauli_channel_cdfs("depolarizing:0.3,bitflip:0.1,dep2:0.2")
+    assert cdfs.shape == (2, 4) and cdfs2.shape == (1, 16)
     assert np.allclose(cdfs[:, -1], 1.0)
+    assert np.allclose(cdfs2[:, -1], 1.0)
 
 
 # -- Pauli-frame fast path (stabilizer/frames.py) -----------------------------
