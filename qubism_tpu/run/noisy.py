@@ -31,7 +31,9 @@ Design notes:
   (Simulation.hs:146-156); measurement honors
   ``config.reference_sqrt_born``.
 * Noise is circuit-level: each 1-qubit Kraus channel in the model is
-  applied to every qubit a gate touches, after the gate.
+  applied to every qubit a gate touches, after the gate; 2-qubit
+  channels (dep2) fire once per 2-qubit gate as one joint draw;
+  ``ro:p`` flips each REPORTED measurement bit (state unaffected).
 """
 
 from __future__ import annotations
