@@ -193,9 +193,19 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         elif noise is not None or trajectories is not None:
             from .run.noisy import TrajectoryProgram
 
-            if mesh or compile_mode:
+            if compile_mode:
                 print("qubism: --noise/--trajectories is its own execution "
-                      "mode; drop --mesh/--compile", file=out)
+                      "mode; drop --compile", file=out)
+                return 2
+            # --mesh in trajectory mode shards the BATCH over devices
+            # (trajectories are embarrassingly parallel; no amplitude
+            # sharding needed) — run/noisy.py:resolve_traj_mesh
+            try:
+                from .run.noisy import resolve_traj_mesh
+
+                resolve_traj_mesh(mesh)
+            except ValueError as e:
+                print(f"qubism: {e}", file=out)
                 return 2
             try:
                 if backend == "stabilizer":
@@ -218,7 +228,7 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                       "--observable)", file=out)
                 return 2
             try:
-                counts = (prog.counts(ntraj, seed=seed)
+                counts = (prog.counts(ntraj, seed=seed, mesh=mesh)
                           if prog.creg_names else {})
             except Exception:
                 from .mps import NotAdjacentError
@@ -246,7 +256,7 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                     if not _m:
                         ups = [o.upper() for o in observables]
                         _m.update(zip(ups, prog.expectations(
-                            ups, ntraj, seed=seed)))
+                            ups, ntraj, seed=seed, mesh=mesh)))
                     return _m[p_]
 
                 rc_obs = _print_observables(observables, _compute, out)

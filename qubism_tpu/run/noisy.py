@@ -95,6 +95,44 @@ def split_readout_spec(spec: str | None):
     return ",".join(rest), p
 
 
+def resolve_traj_mesh(mesh):
+    """Resolve a ``--mesh`` value to a 1-axis ``("traj",)`` device mesh
+    for sharding a trajectory batch, or ``None``.
+
+    Trajectories are embarrassingly parallel — the one collective-free
+    axis of a Monte-Carlo simulation — so unlike the amplitude-sharded
+    state-vector path (``parallel/sharded.py``: ppermute swaps, psum
+    measurement) the mesh here only splits the vmapped batch across
+    chips: each device runs ``batch/D`` full trajectories and the only
+    cross-device traffic is the final host gather of per-trajectory
+    outcomes. Accepts a device count (``int``) or a prebuilt 1-axis
+    :class:`jax.sharding.Mesh`.
+    """
+    from jax.sharding import Mesh
+
+    if mesh is None:
+        return None
+    if isinstance(mesh, Mesh):
+        if len(mesh.axis_names) != 1:
+            raise ValueError("trajectory mesh must have exactly one axis")
+        return mesh
+    d = int(mesh)
+    devs = jax.devices()
+    if d > len(devs):
+        raise ValueError(
+            f"--mesh {d}: only {len(devs)} device(s) visible")
+    if d <= 1:
+        return None
+    return Mesh(np.asarray(devs[:d]), ("traj",))
+
+
+def _traj_sharding(m):
+    """NamedSharding placing a batch's leading axis on the traj mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(m, PartitionSpec("traj"))
+
+
 def parse_noise_spec(spec: str):
     """``"depolarizing:0.01,ad:0.05"`` -> [(label, kraus_list), ...]."""
     out = []
@@ -263,42 +301,57 @@ class TrajectoryProgram:
         return 2 << max(self.n, 1)
 
     def run_vals(self, ntraj: int, seed: int | None = None, key=None,
-                 return_states: bool = False):
+                 return_states: bool = False, mesh=None):
         """Run ``ntraj`` trajectories. Returns a dict creg name ->
         (ntraj, size) int32 outcome BIT arrays (column k = creg bit k,
         LSB-first — exact at any register width), plus the stacked
         final (re, im) planes when ``return_states``.
 
         Trajectories dispatch in vmapped batches sized so the live
-        state block (batch x 2 x 2^n floats) stays under ~2 GiB; small
-        runs are exactly one dispatch."""
+        state block (batch x 2 x 2^n floats) stays under ~2 GiB per
+        device; small runs are exactly one dispatch. ``mesh`` (a device
+        count or 1-axis Mesh, see :func:`resolve_traj_mesh`) shards the
+        batch axis over D devices — per-trajectory results are
+        identical to the unsharded run with the same key (sharding only
+        places lanes; padding keys never reach the output)."""
         if key is None:
             key = jax.random.PRNGKey(0 if seed is None else seed)
-        keys = jax.random.split(key, ntraj)
+        m = resolve_traj_mesh(mesh)
+        d = int(np.prod(m.devices.shape)) if m is not None else 1
+        # pad the key batch so every chunk is a multiple of the device
+        # count (sharding needs even splits); results are sliced back
+        padded = -(-ntraj // d) * d
+        keys = jax.random.split(key, padded)
 
-        fn = getattr(self, "_fn_cache", {}).get(return_states)
+        cache_key = (return_states, d)
+        fn = getattr(self, "_fn_cache", {}).get(cache_key)
         if fn is None:
             def one(k, _rs=return_states):
                 vals, planes = self._run_one(k)
                 return (vals, planes) if _rs else (vals, 0)
 
-            fn = jax.jit(jax.vmap(one))
+            shard = {} if m is None else {
+                "in_shardings": _traj_sharding(m)}
+            fn = jax.jit(jax.vmap(one), **shard)
             if not hasattr(self, "_fn_cache"):
                 self._fn_cache = {}
             # cache the jitted callable: rebuilding it per call would
             # retrace + recompile the WHOLE program every run_vals
-            self._fn_cache[return_states] = fn
-        batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
+            self._fn_cache[cache_key] = fn
+        per = max(1, self._MAX_LIVE // self._traj_live_cost())
+        batch = max(d, min(padded, per * d) // d * d)
         chunks = []                            # per-shape jit cache: at most
-        for lo in range(0, ntraj, batch):      # one extra compile for a tail
-            chunks.append(fn(keys[lo:min(lo + batch, ntraj)]))
-        vals = [np.concatenate([np.asarray(c[0][i]) for c in chunks])
+        for lo in range(0, padded, batch):     # one extra compile for a tail
+            chunks.append(fn(keys[lo:min(lo + batch, padded)]))
+        vals = [np.concatenate([np.asarray(c[0][i])
+                                for c in chunks])[:ntraj]
                 for i in range(len(self.creg_names))]
         out = {c: v for c, v in zip(self.creg_names, vals)}
         if not return_states:
             return out
         states = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+            lambda *xs: np.concatenate(
+                [np.asarray(x) for x in xs])[:ntraj],
             *[c[1] for c in chunks])
         return out, states
 
@@ -312,29 +365,35 @@ class TrajectoryProgram:
         k = pauli.count("Y") % 4          # real part of (tr + i*ti) * i^k
         return (tr, -ti, -tr, ti)[k]
 
-    def _mc_estimate(self, cache_key, one, ntraj: int, key):
+    def _mc_estimate(self, cache_key, one, ntraj: int, key, mesh=None):
         """Shared Monte-Carlo scaffolding: cached vmapped jit of
         ``one(key) -> scalar | (k,) vector`` of per-trajectory values,
         live-state batching, (mean, stderr) over trajectories — arrays
-        when ``one`` is vector-valued."""
-        keys = jax.random.split(key, ntraj)
+        when ``one`` is vector-valued. ``mesh`` shards the trajectory
+        batch over devices (see :func:`resolve_traj_mesh`)."""
+        m = resolve_traj_mesh(mesh)
+        d = int(np.prod(m.devices.shape)) if m is not None else 1
+        padded = -(-ntraj // d) * d
+        keys = jax.random.split(key, padded)
         cache = getattr(self, "_efn_cache", None)
         if cache is None:
             cache = self._efn_cache = {}
-        fn = cache.get(cache_key)
+        fn = cache.get((cache_key, d))
         if fn is None:
-            fn = cache[cache_key] = jax.jit(jax.vmap(one))
-        batch = max(1, min(ntraj, self._MAX_LIVE // self._traj_live_cost()))
+            shard = {} if m is None else {"in_shardings": _traj_sharding(m)}
+            fn = cache[(cache_key, d)] = jax.jit(jax.vmap(one), **shard)
+        per = max(1, self._MAX_LIVE // self._traj_live_cost())
+        batch = max(d, min(padded, per * d) // d * d)
         vals = np.concatenate([
-            np.asarray(fn(keys[lo:min(lo + batch, ntraj)]))
-            for lo in range(0, ntraj, batch)])
+            np.asarray(fn(keys[lo:min(lo + batch, padded)]))
+            for lo in range(0, padded, batch)])[:ntraj]
         mean = vals.mean(axis=0)
         stderr = (vals.std(axis=0, ddof=1) / np.sqrt(ntraj) if ntraj > 1
                   else np.zeros_like(mean))
         return mean, stderr
 
     def expectation(self, pauli: str, ntraj: int, seed: int | None = None,
-                    key=None):
+                    key=None, mesh=None):
         """Monte-Carlo ``<P>`` over ``ntraj`` noisy trajectories:
         returns ``(mean, stderr)``. The estimator is the trajectory
         average of the FINAL-state expectation — mid-circuit
@@ -351,11 +410,12 @@ class TrajectoryProgram:
             _, state = self._run_one(k)
             return self._expect_final(state, _p)
 
-        mean, stderr = self._mc_estimate(pauli, one, ntraj, key)
+        mean, stderr = self._mc_estimate(pauli, one, ntraj, key,
+                                         mesh=mesh)
         return float(mean), float(stderr)
 
     def expectations(self, paulis, ntraj: int, seed: int | None = None,
-                     key=None):
+                     key=None, mesh=None):
         """Monte-Carlo ``<P>`` for MANY Pauli strings in ONE program:
         all strings reduce on each trajectory's final state, so k
         observables cost one simulation instead of k. Returns a list of
@@ -370,11 +430,12 @@ class TrajectoryProgram:
             _, state = self._run_one(k)
             return jnp.stack([self._expect_final(state, p) for p in _ps])
 
-        mean, stderr = self._mc_estimate(paulis, one, ntraj, key)
+        mean, stderr = self._mc_estimate(paulis, one, ntraj, key,
+                                         mesh=mesh)
         return [(float(m), float(s)) for m, s in zip(mean, stderr)]
 
     def expectation_sum(self, terms, ntraj: int, seed: int | None = None,
-                        key=None):
+                        key=None, mesh=None):
         """Monte-Carlo ``<H>`` for a Pauli-sum ``terms = [(coef, pauli),
         ...]`` over noisy trajectories: returns ``(mean, stderr)``. ALL
         terms reduce inside one traced program per trajectory (the
@@ -390,14 +451,16 @@ class TrajectoryProgram:
             _, state = self._run_one(k)
             return sum(c * self._expect_final(state, p) for c, p in _t)
 
-        mean, stderr = self._mc_estimate(terms, one, ntraj, key)
+        mean, stderr = self._mc_estimate(terms, one, ntraj, key,
+                                         mesh=mesh)
         return float(mean), float(stderr)
 
-    def counts(self, ntraj: int, seed: int | None = None, key=None):
+    def counts(self, ntraj: int, seed: int | None = None, key=None,
+               mesh=None):
         """Joint classical-register outcome histogram over trajectories:
         {"c=0110 d=1": count}, bits rendered LSB-first like the
         reference's CReg Show."""
-        vals = self.run_vals(ntraj, seed=seed, key=key)
+        vals = self.run_vals(ntraj, seed=seed, key=key, mesh=mesh)
         rows = []
         for t in range(ntraj):
             parts = [f"{c}={CReg.of(vals[c][t])}" for c in self.creg_names]

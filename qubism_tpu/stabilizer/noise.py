@@ -301,13 +301,15 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
         return [p for e in evs[:-1] for p in e.prims], evs[-1]
 
     def run_vals(self, ntraj: int, seed: int | None = None, key=None,
-                 return_states: bool = False):
+                 return_states: bool = False, mesh=None):
         """Trajectory outcomes; final-measurement-only programs ride the
         Pauli-frame executor (stabilizer/frames.py — (2n)-BIT frames per
         trajectory instead of full tableaux), everything else the exact
         vmapped-tableau path. ``self.used_frames`` records which ran.
         The two paths draw randomness differently, so a given seed's
-        outcomes (not distributions) differ between them."""
+        outcomes (not distributions) differ between them. The frame
+        path is one affine matmul per batch — already device-trivial —
+        so ``mesh`` shards only the vmapped-tableau fallback."""
         from .frames import frame_run_vals
 
         self.used_frames = False
@@ -321,10 +323,10 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
                     self.used_frames = True
                     return out
         return super().run_vals(ntraj, seed=seed, key=key,
-                                return_states=return_states)
+                                return_states=return_states, mesh=mesh)
 
     def expectation(self, pauli: str, ntraj: int, seed: int | None = None,
-                    key=None):
+                    key=None, mesh=None):
         """Monte-Carlo <P>; gates-only programs (no measurement anywhere
         — a frame cannot reproduce post-collapse expectations) ride the
         frame executor: one clean tableau + (T, n/32)-bit frames instead
@@ -343,10 +345,11 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
             if out is not None:
                 self.used_frames = True
                 return out
-        return super().expectation(pauli, ntraj, seed=seed, key=key)
+        return super().expectation(pauli, ntraj, seed=seed, key=key,
+                                   mesh=mesh)
 
     def expectations(self, paulis, ntraj: int, seed: int | None = None,
-                     key=None):
+                     key=None, mesh=None):
         """Many <P> at once; gates-only programs evaluate every string
         against ONE frame propagation, otherwise one vector-valued
         tableau run."""
@@ -364,10 +367,11 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
             if out is not None:
                 self.used_frames = True
                 return out
-        return super().expectations(paulis, ntraj, seed=seed, key=key)
+        return super().expectations(paulis, ntraj, seed=seed, key=key,
+                                    mesh=mesh)
 
     def expectation_sum(self, terms, ntraj: int, seed: int | None = None,
-                        key=None):
+                        key=None, mesh=None):
         """Monte-Carlo <H> for a Pauli sum; gates-only programs ride ONE
         frame propagation for ALL terms (see frames.py)."""
         from ..ops.measure import _check_pauli
@@ -384,7 +388,8 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
             if out is not None:
                 self.used_frames = True
                 return out
-        return super().expectation_sum(terms, ntraj, seed=seed, key=key)
+        return super().expectation_sum(terms, ntraj, seed=seed, key=key,
+                                       mesh=mesh)
 
     def _expect_final(self, state, pauli: str):
         from .tableau import _expect_impl, _pack_pauli

@@ -458,3 +458,25 @@ def test_observable_engine_errors_keep_engine_rc(tmp_path, capsys):
     out = capsys.readouterr().out
     assert code == 1
     assert "stabilizer trajectories:" in out
+
+
+def test_trajectory_mesh_flag(tmp_path, capsys):
+    """--mesh in trajectory mode shards the batch over devices (no
+    amplitude sharding); same seed => same counts as the unsharded run."""
+    f = tmp_path / "tm.qasm"
+    f.write_text("""
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        measure q -> c;
+    """)
+    assert eval_file(str(f), seed=0, noise="dep:0.02",
+                     trajectories=64) == 0
+    plain = capsys.readouterr().out
+    assert eval_file(str(f), seed=0, noise="dep:0.02", trajectories=64,
+                     mesh=8) == 0
+    assert capsys.readouterr().out == plain
+    # too many devices: clear error, rc 2
+    assert eval_file(str(f), noise="dep:0.02", trajectories=8,
+                     mesh=4096) == 2
+    assert "device" in capsys.readouterr().out

@@ -398,3 +398,79 @@ def test_dep2_all_engines_match_density():
         measure q -> c;
     """), noise="dep2:0.5")
     assert (only1q.run_vals(256, seed=0)["c"][:, 0] == 1).all()
+
+
+# -- mesh-sharded trajectory batches -----------------------------------------
+# Trajectories are embarrassingly parallel: --mesh D in trajectory mode
+# shards the vmapped BATCH axis over devices (run/noisy.py:
+# resolve_traj_mesh) — no amplitude sharding, no collectives. Results must
+# be BIT-IDENTICAL to the unsharded run with the same seed: sharding only
+# places lanes, and jax.random.split(key, n) is prefix-stable in n, so the
+# padding keys (batch rounded up to a device multiple) never change the
+# first ntraj outcomes.
+
+
+def test_mesh_run_vals_bit_identical():
+    src = """
+        qreg q[2]; creg c[1]; creg d[1];
+        U(1.2, 0.3, 0.7) q[0];
+        CX q[0], q[1];
+        measure q[0] -> c[0];
+        if (c == 1) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        measure q[1] -> d[0];
+    """
+    a = TrajectoryProgram(_ast(src), noise="dep:0.05,ro:0.02")
+    b = TrajectoryProgram(_ast(src), noise="dep:0.05,ro:0.02")
+    va = a.run_vals(10, seed=5)                    # 10 % 8 != 0: pad path
+    vb = b.run_vals(10, seed=5, mesh=8)
+    for c in va:
+        assert (va[c] == vb[c]).all()
+
+
+def test_mesh_estimators_bit_identical():
+    src = """
+        qreg q[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+    """
+    a = TrajectoryProgram(_ast(src), noise="dep:0.1")
+    b = TrajectoryProgram(_ast(src), noise="dep:0.1")
+    ea = a.expectation_sum([(0.5, "ZZ"), (0.25, "XX")], 24, seed=3)
+    eb = b.expectation_sum([(0.5, "ZZ"), (0.25, "XX")], 24, seed=3, mesh=8)
+    assert ea == eb
+    pa = a.expectations(["ZZ", "XI"], 24, seed=4)
+    pb = b.expectations(["ZZ", "XI"], 24, seed=4, mesh=8)
+    assert pa == pb
+
+
+def test_mesh_stabilizer_and_mps_engines():
+    from qubism_tpu import MPSTrajectoryProgram, StabilizerTrajectoryProgram
+
+    # mid-circuit feed-forward forces the vmapped-tableau path (frames
+    # would ignore the mesh; here the sharded fallback must match)
+    src = """
+        qreg q[2]; creg c[1]; creg d[1];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        measure q[0] -> c[0];
+        if (c == 1) U(3.141592653589793, 0, 3.141592653589793) q[1];
+        measure q[1] -> d[0];
+    """
+    for mk in (lambda: StabilizerTrajectoryProgram(_ast(src),
+                                                   noise="dep:0.05"),
+               lambda: MPSTrajectoryProgram(_ast(src), noise="dep:0.05",
+                                            chi=4)):
+        a, b = mk(), mk()
+        va = a.run_vals(12, seed=7)
+        vb = b.run_vals(12, seed=7, mesh=8)
+        for c in va:
+            assert (va[c] == vb[c]).all(), type(a).__name__
+        assert not getattr(a, "used_frames", False)
+
+
+def test_mesh_errors():
+    from qubism_tpu.run.noisy import resolve_traj_mesh
+
+    with pytest.raises(ValueError, match="device"):
+        resolve_traj_mesh(4096)
+    assert resolve_traj_mesh(None) is None
+    assert resolve_traj_mesh(1) is None
