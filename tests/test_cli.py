@@ -288,7 +288,9 @@ def test_noise_flag_errors(tmp_path, capsys):
     f.write_text("qreg q[1]; creg c[1]; measure q -> c;")
     assert eval_file(str(f), noise="nope:0.1") == 2
     assert "unknown noise channel" in capsys.readouterr().out
-    assert eval_file(str(f), noise="bitflip:0.1", mesh=1) == 2
+    # --mesh now composes with trajectory mode (batch sharding); only
+    # --compile stays incompatible
+    assert eval_file(str(f), noise="bitflip:0.1", compile_mode=True) == 2
     assert "own execution mode" in capsys.readouterr().out
     g = tmp_path / "nocreg.qasm"
     g.write_text("qreg q[1]; U(0,0,0) q[0];")
