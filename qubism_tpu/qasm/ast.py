@@ -163,6 +163,19 @@ class GateDecl(Stmt):
 
 
 @dataclass(frozen=True)
+class OpaqueDecl(Stmt):
+    """``opaque name(params) qargs;`` — an OpenQASM 2.0 spec statement
+    (arXiv:1707.03429 §4.1) the reference's grammar omits
+    (src/Qubism/QASM/Parser.hs:134 has no ``opaque`` in rws): a gate
+    declared with no body. Declaring is legal; *applying* it is a
+    runtime error (a simulator has no unitary for it)."""
+
+    name: str
+    params: tuple[str, ...]
+    args: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class QOp(Stmt):
     op: QuantumOp
 

@@ -132,8 +132,8 @@ class _Parser:
 
     # -- token plumbing -------------------------------------------------------
 
-    def peek(self) -> Tok:
-        return self.toks[self.i]
+    def peek(self, ahead: int = 0) -> Tok:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
 
     def next(self) -> Tok:
         t = self.toks[self.i]
@@ -254,7 +254,14 @@ class _Parser:
             self.next()
             s = A.UOp(A.Dump())
         elif t.kind == "ident":
-            s = A.UOp(self.func_call())
+            # 'opaque' is NOT reserved (reference parity: Parser.hs:134) —
+            # treat it as the spec's opaque-gate declaration only when it
+            # is not itself a declared gate and a declaration follows
+            if (t.value == "opaque" and t.value not in self.symtab
+                    and self.peek(1).kind == "ident"):
+                s = self.opaque_decl()
+            else:
+                s = A.UOp(self.func_call())
         else:
             self.error(f"unexpected {self._describe(t)}; expecting statement")
         return A.PosInfo(pos, s)
@@ -288,6 +295,26 @@ class _Parser:
         self.symtab.clear()
         self.symtab.update(snapshot)  # restore scope (Parser.hs:216)
         return A.GateDecl(name, tuple(params), tuple(args), tuple(body))
+
+    def opaque_decl(self) -> A.Stmt:
+        """``opaque name(params) qargs`` — same head grammar as a gate
+        declaration, no body (spec §4.1). Param/arg names are scoped to
+        the declaration like a gate's (snapshot/restore), only the gate
+        name persists."""
+        self.next()  # 'opaque'
+        name = self.new_ident()
+        snapshot = dict(self.symtab)
+        params: list[str] = []
+        if self.at("sym", "("):
+            self.next()
+            params = self._ident_list(self.shadow_ident)
+            self.expect_sym(")")
+        args = self._ident_list(self.shadow_ident)
+        if not args:
+            self.error("opaque declaration requires at least one argument")
+        self.symtab.clear()
+        self.symtab.update(snapshot)
+        return A.OpaqueDecl(name, tuple(params), tuple(args))
 
     def _ident_list(self, item) -> list[str]:
         """Comma-separated, possibly empty, trailing comma tolerated

@@ -127,6 +127,10 @@ class Interpreter:
             ps.add_creg(stmt.name, stmt.size)
         elif isinstance(stmt, A.GateDecl):
             ps.add_func(CustomGate(stmt.params, stmt.args, stmt.body), stmt.name)
+        elif isinstance(stmt, A.OpaqueDecl):
+            # declared with no body (spec §4.1): registering makes later
+            # calls resolve; body=None makes applying one a runtime error
+            ps.add_func(CustomGate(stmt.params, stmt.args, None), stmt.name)
         elif isinstance(stmt, A.QOp):
             self.run_qop(stmt.op)
         elif isinstance(stmt, A.UOp):
@@ -287,6 +291,10 @@ class Interpreter:
     def custom_op(self, name: str, params: list[float], args):
         ps = self.ps
         cg: CustomGate = ps.find(name, ps.funcs)
+        if cg.body is None:
+            ps.runtime_error(
+                f"opaque gate {name} has no definition; a simulator "
+                f"cannot apply it")
         param_binds = dict(zip(cg.params, params))
         arg_binds = dict(zip(cg.args, args))
         bound = [self._bind(param_binds, arg_binds, op) for op in cg.body]

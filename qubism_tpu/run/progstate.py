@@ -63,7 +63,9 @@ class QRegView:
 class CustomGate:
     params: tuple[str, ...]
     args: tuple[str, ...]
-    body: tuple[UnitaryOp, ...]
+    #: None = an ``opaque`` declaration (spec gate with no body):
+    #: resolvable by name, a runtime error to apply
+    body: tuple[UnitaryOp, ...] | None
 
 
 @dataclass

@@ -493,3 +493,24 @@ def test_fuse_qregs_flip_layout_is_invisible(monkeypatch):
     got = _interp_state_in_layout(ps_flip, ["a", "b"])
     assert str(ps_plain.cregs["c"]) == str(ps_flip.cregs["c"])
     assert np.linalg.norm(got - ref) < 1e-6
+
+
+def test_opaque_gate_apply_is_runtime_error():
+    """Declaring an opaque gate is legal; applying it raises with the
+    call site's line (a simulator has no unitary for it). Both the
+    interpreter and the compiled elaborator reject it."""
+    from qubism_tpu.run.compiler import CompiledProgram
+    from qubism_tpu.run.progstate import QasmRuntimeError
+
+    src = """qreg q[1];
+opaque blackbox x;
+blackbox q[0];"""
+    ast = parse_openqasm("<t>", src)
+    with pytest.raises(QasmRuntimeError, match="opaque gate blackbox"):
+        run_program(ast, seed=0)
+    try:
+        run_program(ast, seed=0)
+    except QasmRuntimeError as e:
+        assert e.pos.line == 3
+    with pytest.raises(QasmRuntimeError, match="opaque gate blackbox"):
+        CompiledProgram(ast)

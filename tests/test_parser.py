@@ -290,3 +290,41 @@ def test_error_rendering_has_position():
         assert "Undeclared identifier: r" in msg
     else:
         raise AssertionError("expected parse error")
+
+
+# -- opaque declarations (spec §4.1; the reference's grammar omits them) ------
+
+
+def test_opaque_decl_parses_and_roundtrips():
+    from qubism_tpu.qasm import ast as A
+    from qubism_tpu.qasm.serialize import from_jsonable, to_jsonable
+
+    ast = parse_openqasm("<t>", """
+        qreg q[2];
+        opaque magic(a, b) x, y;
+    """)
+    decls = [s.stmt for s in ast if isinstance(s.stmt, A.OpaqueDecl)]
+    assert decls == [A.OpaqueDecl("magic", ("a", "b"), ("x", "y"))]
+    assert from_jsonable(to_jsonable(decls[0])) == decls[0]
+    # param/arg names do not leak into the program scope
+    with pytest.raises(QasmParseError, match="Undeclared identifier: x"):
+        parse_openqasm("<t>", "qreg q[1]; opaque f x; U(0,0,0) x;")
+    # redeclaration of the gate name is an error
+    with pytest.raises(QasmParseError, match="Redeclaration"):
+        parse_openqasm("<t>", "opaque f x; opaque f y;")
+
+
+def test_opaque_is_not_reserved():
+    """Reference parity (Parser.hs:134): 'opaque' stays a legal gate /
+    register identifier; the declaration form only kicks in when the
+    name is undeclared and followed by an identifier."""
+    from qubism_tpu.qasm import ast as A
+
+    ast = parse_openqasm("<t>", """
+        qreg q[1];
+        gate opaque x { U(0, 0, 0) x; }
+        opaque q[0];
+    """)
+    calls = [s.stmt.op for s in ast
+             if isinstance(s.stmt, A.UOp) and isinstance(s.stmt.op, A.Func)]
+    assert [c.name for c in calls] == ["opaque"]
