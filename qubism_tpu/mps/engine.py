@@ -173,17 +173,47 @@ _k_shift_left = jax.jit(_shift_left_body)
 #: whose body switches between the kernel bodies above. Tapes are padded
 #: to power-of-two length buckets with NOPs so compiles are reused.
 _OP_2Q, _OP_SHIFT_R, _OP_SHIFT_L, _OP_1Q, _OP_NOP = range(5)
+#: General 1-qubit 2-Kraus channel slot (state-DEPENDENT branch choice:
+#: amplitude/phase damping). Row layout: K0 in urs[:2, :2], K1 in
+#: urs[:2, 2:4]; the per-row uniform rides the ``us`` scan input. The
+#: tape code is unbatched under vmap, so lax.switch stays real control
+#: flow and the two norm contractions in this arm only run on K rows.
+_OP_K1Q = 5
+
+
+def _norm2_body(re, im):
+    """<psi|psi> by exact transfer contraction (e0 boundaries)."""
+    chi = re.shape[1]
+    e0r = jnp.zeros((chi, chi), dtype=jnp.float32).at[0, 0].set(1)
+    e0i = jnp.zeros((chi, chi), dtype=jnp.float32)
+
+    def step(env, planes):
+        er, ei = env
+        ar, ai = planes
+        tr, ti = _ce("aA,Asc->asc", er, ei, ar, ai)
+        er, ei = _ce("asb,asc->bc", ar, -ai, tr, ti)   # a^H from the left
+        return (er, ei), None
+
+    (er, _), _ = lax.scan(step, (e0r, e0i), (re, im))
+    return er[0, 0]
+
+
+def _scale_site_body(re, im, q, s):
+    chi = re.shape[1]
+    ar, ai = _site(re, im, q, chi)
+    return _put(re, im, q, ar * s, ai * s)
 
 
 @jax.jit
-def _k_chain(re, im, codes, qs, urs, uis):
+def _k_chain(re, im, codes, qs, urs, uis, us):
     """Replay an op tape: codes (L,) int32, qs (L,) int32, urs/uis
-    (L, 4, 4) float32 (1q gates live in the top-left 2x2 block).
-    Returns (re, im, total_discarded_weight)."""
+    (L, 4, 4) float32 (1q gates live in the top-left 2x2 block), us (L,)
+    float32 uniforms (consumed only by _OP_K1Q rows; pass zeros for
+    noiseless tapes). Returns (re, im, total_discarded_weight)."""
 
     def step(carry, inp):
         re, im, acc = carry
-        code, q, ur, ui = inp
+        code, q, ur, ui, u = inp
 
         def do_2q(_):
             return _apply_2q_body(re, im, ur, ui, q)
@@ -203,38 +233,34 @@ def _k_chain(re, im, codes, qs, urs, uis):
         def do_nop(_):
             return re, im, jnp.float32(0)
 
+        def do_k1q(_):
+            # MCWF branch: p(K0) = ||K0 psi||^2 / ||psi||^2; the chosen
+            # branch is renormalized back to the incoming norm (exact
+            # transfer contractions — no canonical-form assumption)
+            ntot = jnp.maximum(_norm2_body(re, im), jnp.float32(1e-30))
+            r0, i0 = _apply_1q_body(re, im, ur[:2, :2], ui[:2, :2], q)
+            n0 = _norm2_body(r0, i0)
+            take0 = u < n0 / ntot
+            r1, i1 = _apply_1q_body(re, im, ur[:2, 2:4], ui[:2, 2:4], q)
+            rs = jnp.where(take0, r0, r1)
+            ms = jnp.where(take0, i0, i1)
+            nsel = jnp.where(take0, n0, ntot - n0)
+            sc = lax.rsqrt(jnp.maximum(nsel / ntot, jnp.float32(1e-30)))
+            rs, ms = _scale_site_body(rs, ms, q, sc)
+            return rs, ms, jnp.float32(0)
+
         re2, im2, d = lax.switch(
-            code, (do_2q, do_shift_r, do_shift_l, do_1q, do_nop), None)
+            code, (do_2q, do_shift_r, do_shift_l, do_1q, do_nop, do_k1q),
+            None)
         return (re2, im2, acc + d), None
 
     (re, im, acc), _ = lax.scan(step, (re, im, jnp.float32(0)),
-                                (codes, qs, urs, uis))
+                                (codes, qs, urs, uis, us))
     return re, im, acc
 
 
-@jax.jit
-def _k_norm2(re, im):
-    """<psi|psi> by exact transfer contraction (e0 boundaries)."""
-    chi = re.shape[1]
-    e0r = jnp.zeros((chi, chi), dtype=jnp.float32).at[0, 0].set(1)
-    e0i = jnp.zeros((chi, chi), dtype=jnp.float32)
-
-    def step(env, planes):
-        er, ei = env
-        ar, ai = planes
-        tr, ti = _ce("aA,Asc->asc", er, ei, ar, ai)
-        er, ei = _ce("asb,asc->bc", ar, -ai, tr, ti)   # a^H from the left
-        return (er, ei), None
-
-    (er, _), _ = lax.scan(step, (e0r, e0i), (re, im))
-    return er[0, 0]
-
-
-@jax.jit
-def _k_scale_site(re, im, q, s):
-    chi = re.shape[1]
-    ar, ai = _site(re, im, q, chi)
-    return _put(re, im, q, ar * s, ai * s)
+_k_norm2 = jax.jit(_norm2_body)
+_k_scale_site = jax.jit(_scale_site_body)
 
 
 @jax.jit
@@ -502,7 +528,8 @@ class MPSSim:
         length = max(8, 1 << (len(tape) - 1).bit_length())
         self.re, self.im, disc = _k_chain(
             self.re, self.im,
-            *(jnp.asarray(a) for a in pack_tape(tape, length)))
+            *(jnp.asarray(a) for a in pack_tape(tape, length)),
+            jnp.zeros(length, dtype=jnp.float32))
         self.center = center
         self.trunc_error += float(disc)
         return self

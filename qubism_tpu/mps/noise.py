@@ -5,16 +5,19 @@ qubits, Clifford-only ``stabilizer/noise.py`` at 1000+): NON-Clifford
 noisy circuits at 50-100+ qubits, as long as each trajectory's
 entanglement fits the bond cap ``chi``.
 
-The trick mirrors the stabilizer unraveling: mixed-unitary Pauli channels
-(depolarizing / bit-flip / phase-flip) have branch probabilities
-INDEPENDENT of the state, so a sampled noise event needs no Kraus norm
-computation — it is one more 1q row in the MPS replay tape
-(engine.py:_k_chain) whose 2x2 block each trajectory overwrites with its
-sampled Pauli (a traced gather from a (4, 2, 2) table). The whole noisy
-circuit still replays as a single ``lax.scan``; trajectories ``vmap``
-over the stacked site planes at T x 4*n*chi^2 floats. Amplitude/phase
-damping change branch weights with the state and are rejected with a
-pointer to the dense trajectory mode (``pauli_channel_cdfs``).
+Pauli channels (depolarizing / bit-flip / phase-flip / dep2) mirror the
+stabilizer unraveling: their branch probabilities are INDEPENDENT of the
+state, so a sampled noise event needs no Kraus norm computation — it is
+one more 1q row in the MPS replay tape (engine.py:_k_chain) whose 2x2
+block each trajectory overwrites with its sampled Pauli (a traced gather
+from a (4, 2, 2) table). Amplitude/phase damping change branch weights
+WITH the state: those become ``_OP_K1Q`` rows carrying both Kraus blocks,
+and the scan body picks the MCWF branch in-trace from
+``||K0 psi||^2 / ||psi||^2`` (exact transfer contractions, run only on K
+rows — the tape code is unbatched, so lax.switch stays control flow under
+vmap). Either way the whole noisy circuit still replays as a single
+``lax.scan``; trajectories ``vmap`` over the stacked site planes at
+T x 4*n*chi^2 floats.
 
 Measurement, feed-forward and reset are fully traced (unlike MPSSim's
 host-control-flow ``measure_qubit``): Born probabilities come from exact
@@ -38,11 +41,42 @@ from jax import lax
 from ..config import config
 from ..run.noisy import TrajectoryProgram
 from ..stabilizer.noise import pauli_channel_cdfs
-from .engine import (_OP_1Q, _PAULI, _apply_1q_body,
+from .engine import (_OP_1Q, _OP_K1Q, _PAULI, _apply_1q_body,
                      _k_chain, _k_expect, _k_norm2, _k_scale_site,
                      build_tape, pack_tape)
 
-__all__ = ["MPSTrajectoryProgram"]
+__all__ = ["MPSTrajectoryProgram", "split_mps_noise"]
+
+
+def split_mps_noise(spec: str):
+    """Split a --noise spec for the MPS tape executor: Pauli channels
+    (dep/bf/pf/dep2) pre-sample branches OUTSIDE the scan
+    (state-independent probabilities -> CDFs), while 2-Kraus 2x2
+    channels (amplitude/phase damping) become ``_OP_K1Q`` rows whose
+    MCWF branch is chosen IN-scan from ``||K0 psi||^2`` transfer
+    contractions. Returns ``(cdfs1, cdfs2, kraus4s)`` where each kraus4
+    is a (4, 4) complex with K0 in [:2, :2] and K1 in [:2, 2:4] (the
+    tape row layout). Channels that are neither raise the usual
+    mps-labelled :class:`~qubism_tpu.stabilizer.noise.NotPauliChannelError`
+    via :func:`pauli_channel_cdfs`."""
+    from ..run.noisy import parse_noise_spec
+
+    pauli_parts, kraus4s = [], []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name = part.partition(":")[0].strip().lower()
+        if name in ("ad", "amplitude-damping", "pd", "phase-damping"):
+            (_, ks), = parse_noise_spec(part)
+            k4 = np.zeros((4, 4), dtype=np.complex128)
+            k4[:2, :2] = np.asarray(ks[0])
+            k4[:2, 2:4] = np.asarray(ks[1])
+            kraus4s.append(k4)
+        else:
+            pauli_parts.append(part)
+    cdfs, cdfs2 = pauli_channel_cdfs(",".join(pauli_parts), backend="mps")
+    return cdfs, cdfs2, kraus4s
 
 #: (4, 2, 2) split planes of (I, X, Y, Z) — the traced sample gathers here.
 _PAULI_R = jnp.asarray(np.stack([
@@ -70,15 +104,17 @@ class MPSTrajectoryProgram(TrajectoryProgram):
          self.qreg_sizes) = elaborate(ast)
         self.chi = chi
         self.readout_p = None
+        self.kraus4s = []
         if isinstance(noise, str):
             noise, self.readout_p = split_readout_spec(noise)
-            self.cdfs, self.cdfs2 = pauli_channel_cdfs(noise, backend="mps")
+            self.cdfs, self.cdfs2, self.kraus4s = split_mps_noise(noise)
         else:
             self.cdfs = np.asarray(noise if noise is not None
                                    else np.zeros((0, 4), np.float32))
             self.cdfs2 = np.zeros((0, 16), np.float32)
         self.noise = ([("pauli", None)]
-                      if len(self.cdfs) or len(self.cdfs2) else [])
+                      if len(self.cdfs) or len(self.cdfs2)
+                      or len(self.kraus4s) else [])
         self.creg_names = sorted(self.cregs0)
         self.creg_sizes = {c: len(self.cregs0[c].bits)
                            for c in self.creg_names}
@@ -100,6 +136,7 @@ class MPSTrajectoryProgram(TrajectoryProgram):
         cdf_rows = []                # the slot's channel CDF (4,)
         rows2a, rows2b = [], []      # PAIRED slots for dep2 (joint draw)
         cdf2_rows = []               # the pair's channel CDF (16,)
+        krows = []                   # _OP_K1Q rows (general 2-Kraus)
         eye2 = np.eye(2, dtype=complex)
 
         def noise_slots(tape, sites):
@@ -115,6 +152,12 @@ class MPSTrajectoryProgram(TrajectoryProgram):
                     rows2b.append(len(tape))
                     tape.append((_OP_1Q, sites[1], eye2))
                     cdf2_rows.append(self.cdfs2[ci])
+            for k4 in self.kraus4s:
+                # Kraus planes are static per program: packed at build
+                # time; only the branch uniform is per-trajectory
+                for t in sites:
+                    krows.append(len(tape))
+                    tape.append((_OP_K1Q, t, k4))
 
         tape, self._center = build_tape(prims, self._center,
                                         on_gate=noise_slots)
@@ -125,16 +168,23 @@ class MPSTrajectoryProgram(TrajectoryProgram):
                          np.asarray(rows2a, dtype=np.int32),
                          np.asarray(rows2b, dtype=np.int32),
                          np.asarray(cdf2_rows, dtype=np.float32)
-                         .reshape(-1, 16))
+                         .reshape(-1, 16),
+                         np.asarray(krows, dtype=np.int32))
 
     # -- traced execution ---------------------------------------------------
 
     def _gates(self, state, prims, key):
         re, im, disc = state
         (codes, qs, urs, uis, rows, cdf_rows,
-         rows2a, rows2b, cdf2_rows) = self._tape(prims)
+         rows2a, rows2b, cdf2_rows, krows) = self._tape(prims)
         urs = jnp.asarray(urs)
         uis = jnp.asarray(uis)
+        us_k = jnp.zeros(len(codes), dtype=jnp.float32)
+        if len(krows):
+            uk = jax.random.uniform(jax.random.fold_in(key, self._site),
+                                    (len(krows),))
+            self._site += 1
+            us_k = us_k.at[jnp.asarray(krows)].set(uk)
         if len(rows):
             us = jax.random.uniform(jax.random.fold_in(key, self._site),
                                     (len(rows),))
@@ -158,7 +208,7 @@ class MPSTrajectoryProgram(TrajectoryProgram):
             urs = urs.at[rows2b, :2, :2].set(_PAULI_R[c2 & 3])
             uis = uis.at[rows2b, :2, :2].set(_PAULI_I[c2 & 3])
         re, im, d = _k_chain(re, im, jnp.asarray(codes), jnp.asarray(qs),
-                             urs, uis)
+                             urs, uis, us_k)
         return re, im, disc + d
 
     def _renorm(self, re, im, q):

@@ -84,8 +84,9 @@ def pauli_channel_cdfs(spec: str, backend: str = "stabilizer"):
             raise NotPauliChannelError(
                 f"noise channel {name!r} is not a Pauli channel; the "
                 f"{backend} backend unravels depolarizing/dep2/bitflip/"
-                f"phaseflip only (use the dense trajectory mode for "
-                f"amplitude/phase damping)")
+                f"phaseflip here (amplitude/phase damping: the dense "
+                f"trajectory mode, or the mps backend's in-scan Kraus "
+                f"path)")
         probs = np.asarray(fac(float(val)), dtype=np.float32)
         cdfs1.append(np.cumsum(probs))
     return (np.stack(cdfs1) if cdfs1 else np.zeros((0, 4), np.float32),

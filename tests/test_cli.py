@@ -359,8 +359,12 @@ def test_mps_noise_flag(tmp_path, capsys):
     out = capsys.readouterr().out
     assert code == 0 and "256 trajectories" in out
     assert "c=000:" in out and "c=111:" in out
-    # non-Pauli channel is rejected with the mps-labelled pointer
-    assert eval_file(str(f), backend="mps", noise="pd:0.1") == 2
+    # amplitude/phase damping ride the in-scan Kraus path now
+    assert eval_file(str(f), seed=0, backend="mps", chi=4,
+                     noise="pd:0.1", trajectories=64) == 0
+    assert "64 trajectories" in capsys.readouterr().out
+    # unknown channels still get the mps-labelled rejection
+    assert eval_file(str(f), backend="mps", noise="nope:0.1") == 2
     assert "mps backend" in capsys.readouterr().out
 
 

@@ -388,9 +388,91 @@ def test_mps_trajectories_forty_qubits():
     assert 0 < bits[:, 0].mean() < 1
 
 
-def test_mps_trajectories_reject_non_pauli():
+def test_mps_trajectories_unknown_channel_rejected():
+    """ad/pd now ride the _OP_K1Q path; anything unrecognized still
+    raises the mps-labelled error."""
     from qubism_tpu.mps import MPSTrajectoryProgram
     from qubism_tpu.stabilizer.noise import NotPauliChannelError
 
     with pytest.raises(NotPauliChannelError, match="mps backend"):
-        MPSTrajectoryProgram(_traj_ast("qreg q[1];"), noise="ad:0.05")
+        MPSTrajectoryProgram(_traj_ast("qreg q[1];"), noise="nope:0.05")
+    # ad/pd construct fine and carry K-slots
+    prog = MPSTrajectoryProgram(_traj_ast("qreg q[1];"),
+                                noise="ad:0.05,pd:0.1")
+    assert len(prog.kraus4s) == 2
+
+
+def test_mps_trajectories_amplitude_damping_match_density():
+    """Amplitude damping (STATE-DEPENDENT Kraus branching — the _OP_K1Q
+    in-scan MCWF path) on an entangled non-Clifford circuit, pinned
+    against the exact density matrix. ad on |1> decays toward |0>, so
+    the marginals are asymmetric — a sign error in the branch choice or
+    renormalization shows immediately."""
+    from qubism_tpu.mps import MPSTrajectoryProgram
+    from qubism_tpu.run.noisy import DensityProgram
+
+    g = 0.25
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        U(0, 0, 0.7853981633974483) q[1];
+        U(1.2, 0.3, 0.5) q[0];
+        measure q -> c;
+    """
+    rho, _ = DensityProgram(_traj_ast(src.replace("measure q -> c;", "")),
+                            noise=f"ad:{g}").run(seed=0)
+    exact = np.asarray(rho.probs())
+    ntraj = 8192
+    bits = MPSTrajectoryProgram(_traj_ast(src), noise=f"ad:{g}",
+                                chi=4).run_vals(ntraj, seed=6)["c"]
+    idx = 2 * bits[:, 0] + bits[:, 1]
+    got = np.bincount(idx, minlength=4) / ntraj
+    assert np.all(np.abs(got - exact)
+                  < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3), (
+        got, exact)
+
+
+def test_mps_trajectories_mixed_pauli_and_damping():
+    """dep + pd together: Pauli slots pre-sample outside the scan, pd
+    rides _OP_K1Q rows in the same tape; pinned against density."""
+    from qubism_tpu.mps import MPSTrajectoryProgram
+    from qubism_tpu.run.noisy import DensityProgram
+
+    spec = "dep:0.05,pd:0.2"
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        measure q -> c;
+    """
+    rho, _ = DensityProgram(_traj_ast(src.replace("measure q -> c;", "")),
+                            noise=spec).run(seed=0)
+    exact = np.asarray(rho.probs())
+    ntraj = 8192
+    bits = MPSTrajectoryProgram(_traj_ast(src), noise=spec,
+                                chi=4).run_vals(ntraj, seed=8)["c"]
+    idx = 2 * bits[:, 0] + bits[:, 1]
+    got = np.bincount(idx, minlength=4) / ntraj
+    assert np.all(np.abs(got - exact)
+                  < 5 * np.sqrt(exact * (1 - exact) / ntraj) + 1e-3), (
+        got, exact)
+
+
+def test_mps_damping_estimator_large_n_sane():
+    """ad at 24 qubits, chi=4 (past the dense-trajectory comfort zone):
+    <Z...Z> on a GHZ line decays but stays in [-1, 1]; trunc_error and
+    norms stay finite. Smoke-checks the K1Q path at the scale it exists
+    for."""
+    from qubism_tpu.mps import MPSTrajectoryProgram
+
+    n = 24
+    lines = [f"qreg q[{n}]; creg c[{n}];",
+             "U(1.5707963267948966, 0, 3.141592653589793) q[0];"]
+    lines += [f"CX q[{k}], q[{k + 1}];" for k in range(n - 1)]
+    lines += [f"measure q -> c;"]
+    prog = MPSTrajectoryProgram(_traj_ast("\n".join(lines)),
+                                noise="ad:0.02", chi=4)
+    mean, err = prog.expectation("Z" * n, 96, seed=1)
+    assert -1.0 - 1e-6 <= mean <= 1.0 + 1e-6
+    assert np.isfinite(err)
