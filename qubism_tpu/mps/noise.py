@@ -40,7 +40,7 @@ from jax import lax
 
 from ..config import config
 from ..run.noisy import TrajectoryProgram
-from ..stabilizer.noise import pauli_channel_cdfs
+from ..stabilizer.noise import NotPauliChannelError, pauli_channel_cdfs
 from .engine import (_OP_1Q, _OP_K1Q, _PAULI, _apply_1q_body,
                      _k_chain, _k_expect, _k_norm2, _k_scale_site,
                      build_tape, pack_tape)
@@ -49,34 +49,42 @@ __all__ = ["MPSTrajectoryProgram", "split_mps_noise"]
 
 
 def split_mps_noise(spec: str):
-    """Split a --noise spec for the MPS tape executor: Pauli channels
-    (dep/bf/pf/dep2) pre-sample branches OUTSIDE the scan
-    (state-independent probabilities -> CDFs), while 2-Kraus 2x2
-    channels (amplitude/phase damping) become ``_OP_K1Q`` rows whose
-    MCWF branch is chosen IN-scan from ``||K0 psi||^2`` transfer
-    contractions. Returns ``(cdfs1, cdfs2, kraus4s)`` where each kraus4
-    is a (4, 4) complex with K0 in [:2, :2] and K1 in [:2, 2:4] (the
-    tape row layout). Channels that are neither raise the usual
-    mps-labelled :class:`~qubism_tpu.stabilizer.noise.NotPauliChannelError`
-    via :func:`pauli_channel_cdfs`."""
+    """Classify a --noise spec for the MPS tape executor, PRESERVING
+    SPEC ORDER (non-commuting mixes like ``ad`` + ``dep`` compose
+    differently per order, and DensityProgram applies spec order — every
+    engine must match). Pauli channels (dep/bf/pf/dep2) pre-sample
+    branches OUTSIDE the scan (state-independent probabilities -> CDFs);
+    any non-Pauli 2-Kraus 2x2 channel (amplitude/phase damping today —
+    dispatched by the parsed Kraus SHAPE, so new ``NOISE_CHANNELS``
+    entries route automatically) becomes an ``_OP_K1Q`` row whose MCWF
+    branch is chosen IN-scan from ``||K0 psi||^2`` transfer
+    contractions. Returns ``[(kind, data), ...]`` in spec order with
+    kind ``"p1"`` (data = (4,) CDF), ``"p2"`` (data = (16,) CDF), or
+    ``"k"`` (data = (4, 4) complex, K0 in [:2, :2], K1 in [:2, 2:4] —
+    the tape row layout). Channels that fit none of these raise the
+    mps-labelled :class:`~qubism_tpu.stabilizer.noise.NotPauliChannelError`."""
     from ..run.noisy import parse_noise_spec
 
-    pauli_parts, kraus4s = [], []
+    chans = []
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
-        name = part.partition(":")[0].strip().lower()
-        if name in ("ad", "amplitude-damping", "pd", "phase-damping"):
+        try:
+            c1, c2 = pauli_channel_cdfs(part, backend="mps")
+        except NotPauliChannelError as err:
+            # unknown names get parse_noise_spec's clearer error here
             (_, ks), = parse_noise_spec(part)
+            ks = [np.asarray(k) for k in ks]
+            if not (len(ks) == 2 and ks[0].shape == (2, 2)):
+                raise err
             k4 = np.zeros((4, 4), dtype=np.complex128)
-            k4[:2, :2] = np.asarray(ks[0])
-            k4[:2, 2:4] = np.asarray(ks[1])
-            kraus4s.append(k4)
+            k4[:2, :2] = ks[0]
+            k4[:2, 2:4] = ks[1]
+            chans.append(("k", k4))
         else:
-            pauli_parts.append(part)
-    cdfs, cdfs2 = pauli_channel_cdfs(",".join(pauli_parts), backend="mps")
-    return cdfs, cdfs2, kraus4s
+            chans.append(("p1", c1[0]) if len(c1) else ("p2", c2[0]))
+    return chans
 
 #: (4, 2, 2) split planes of (I, X, Y, Z) — the traced sample gathers here.
 _PAULI_R = jnp.asarray(np.stack([
@@ -104,17 +112,16 @@ class MPSTrajectoryProgram(TrajectoryProgram):
          self.qreg_sizes) = elaborate(ast)
         self.chi = chi
         self.readout_p = None
-        self.kraus4s = []
         if isinstance(noise, str):
             noise, self.readout_p = split_readout_spec(noise)
-            self.cdfs, self.cdfs2, self.kraus4s = split_mps_noise(noise)
+            self.chans = split_mps_noise(noise)
         else:
-            self.cdfs = np.asarray(noise if noise is not None
-                                   else np.zeros((0, 4), np.float32))
-            self.cdfs2 = np.zeros((0, 16), np.float32)
-        self.noise = ([("pauli", None)]
-                      if len(self.cdfs) or len(self.cdfs2)
-                      or len(self.kraus4s) else [])
+            self.chans = [("p1", np.asarray(c, dtype=np.float32))
+                          for c in np.asarray(
+                              noise if noise is not None
+                              else np.zeros((0, 4), np.float32))]
+        self.kraus4s = [d for k, d in self.chans if k == "k"]
+        self.noise = [("pauli", None)] if self.chans else []
         self.creg_names = sorted(self.cregs0)
         self.creg_sizes = {c: len(self.cregs0[c].bits)
                            for c in self.creg_names}
@@ -140,24 +147,28 @@ class MPSTrajectoryProgram(TrajectoryProgram):
         eye2 = np.eye(2, dtype=complex)
 
         def noise_slots(tape, sites):
-            for ci in range(len(self.cdfs)):
-                for t in sites:
-                    rows.append(len(tape))
-                    cdf_rows.append(self.cdfs[ci])
-                    tape.append((_OP_1Q, t, eye2))
-            if len(sites) == 2:
-                for ci in range(len(self.cdfs2)):
-                    rows2a.append(len(tape))
-                    tape.append((_OP_1Q, sites[0], eye2))
-                    rows2b.append(len(tape))
-                    tape.append((_OP_1Q, sites[1], eye2))
-                    cdf2_rows.append(self.cdfs2[ci])
-            for k4 in self.kraus4s:
-                # Kraus planes are static per program: packed at build
-                # time; only the branch uniform is per-trajectory
-                for t in sites:
-                    krows.append(len(tape))
-                    tape.append((_OP_K1Q, t, k4))
+            # emit slots in SPEC ORDER: the scan executes tape rows in
+            # sequence, so interleaving Pauli slots and K rows here is
+            # what makes non-commuting mixes match the density engine
+            for kind, data in self.chans:
+                if kind == "p1":
+                    for t in sites:
+                        rows.append(len(tape))
+                        cdf_rows.append(data)
+                        tape.append((_OP_1Q, t, eye2))
+                elif kind == "p2":
+                    if len(sites) == 2:
+                        rows2a.append(len(tape))
+                        tape.append((_OP_1Q, sites[0], eye2))
+                        rows2b.append(len(tape))
+                        tape.append((_OP_1Q, sites[1], eye2))
+                        cdf2_rows.append(data)
+                else:  # "k": Kraus planes are static per program —
+                    # packed at build time; only the branch uniform is
+                    # per-trajectory
+                    for t in sites:
+                        krows.append(len(tape))
+                        tape.append((_OP_K1Q, t, data))
 
         tape, self._center = build_tape(prims, self._center,
                                         on_gate=noise_slots)

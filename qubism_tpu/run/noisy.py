@@ -47,7 +47,8 @@ import numpy as np
 from ..config import config
 from ..core import density as channels
 from ..core.creg import CReg
-from ..models.trajectories import _apply_channel_traced
+from ..models.trajectories import (_apply_channel_traced,
+                                   _apply_unitary_mix_traced, _unitary_mix)
 from ..models.variational import _apply_op
 from ..ops.apply import zero_state
 from ..ops.measure import collapse_traced, prob_one_traced
@@ -176,17 +177,24 @@ class TrajectoryProgram:
         self.creg_names = sorted(self.cregs0)
         self.creg_sizes = {c: len(self.cregs0[c].bits)
                            for c in self.creg_names}
-        # Pre-split each channel's Kraus set once (host side); 4x4
-        # Kraus sets (dep2) apply only after 2-qubit gates.
-        self._kplanes = []
-        self._kplanes2 = []
+        # Pre-split each channel's Kraus set once (host side), kept in
+        # SPEC ORDER (non-commuting mixes like dep2+ad compose
+        # differently per order; DensityProgram applies spec order, so
+        # every engine must). 4x4 sets (dep2) fire only after 2q gates.
+        # Mixed-unitary channels (all Paulis) take the one-application
+        # CDF fast path (see models/trajectories._unitary_mix).
+        self._kchans = []
         for _, ks in self.noise:
+            is2q = np.asarray(ks[0]).shape[0] == 4
+            mix = _unitary_mix(ks)
+            if mix is not None:
+                self._kchans.append(("umix", mix, is2q))
+                continue
             ksp = tuple(
                 (jnp.asarray(np.asarray(k).real, dtype=jnp.float32),
                  jnp.asarray(np.asarray(k).imag, dtype=jnp.float32))
                 for k in ks)
-            (self._kplanes2 if np.asarray(ks[0]).shape[0] == 4
-             else self._kplanes).append(ksp)
+            self._kchans.append(("kraus", ksp, is2q))
         self._site = 0  # stochastic-site counter (rebound per trace)
 
     # -- traced execution ---------------------------------------------------
@@ -243,15 +251,20 @@ class TrajectoryProgram:
             if isinstance(ev, EvGates):
                 for p in ev.prims:
                     new = _apply_op(planes, p, None, self.n)
-                    for kp in self._kplanes:
-                        for q in p.targets:
-                            new = _apply_channel_traced(
-                                new, kp, (int(q),), self.n, self._u(key))
-                    if len(p.targets) == 2:
-                        for kp in self._kplanes2:
-                            new = _apply_channel_traced(
-                                new, kp, tuple(int(q) for q in p.targets),
-                                self.n, self._u(key))
+                    for kind, kp, is2q in self._kchans:
+                        apply = (_apply_unitary_mix_traced
+                                 if kind == "umix"
+                                 else _apply_channel_traced)
+                        if is2q:
+                            if len(p.targets) == 2:
+                                new = apply(
+                                    new, kp,
+                                    tuple(int(q) for q in p.targets),
+                                    self.n, self._u(key))
+                        else:
+                            for q in p.targets:
+                                new = apply(new, kp, (int(q),), self.n,
+                                            self._u(key))
                     planes = self._sel(pred, new, planes)
             elif isinstance(ev, EvMeasure):
                 bits = []

@@ -400,6 +400,59 @@ def test_dep2_all_engines_match_density():
     assert (only1q.run_vals(256, seed=0)["c"][:, 0] == 1).all()
 
 
+def test_channel_order_matches_density():
+    """Non-commuting channel mixes compose in SPEC ORDER on every
+    engine. Amplitude damping is non-unital, so ``dep2,ad`` and
+    ``ad,dep2`` are DIFFERENT channels (the exact distributions differ
+    by >4% here); the sampled engines must track the density matrix for
+    both orders, not a fixed internal ordering."""
+    from qubism_tpu import MPSTrajectoryProgram, TrajectoryProgram
+    from qubism_tpu.run.noisy import DensityProgram
+
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        measure q -> c;
+    """
+    ast_m, ast_p = _ast(src), _ast(src.replace("measure q -> c;", ""))
+    ntraj = 8192
+
+    def emp(prog):
+        bits = prog.run_vals(ntraj, seed=2)["c"]
+        return np.bincount(2 * bits[:, 0] + bits[:, 1],
+                           minlength=4) / ntraj
+
+    def exact(spec):
+        rho, _ = DensityProgram(ast_p, noise=spec).run(seed=0)
+        return np.asarray(rho.probs())
+
+    cases = [("dense", "dep2:0.3,ad:0.3", "ad:0.3,dep2:0.3",
+              lambda s: TrajectoryProgram(ast_m, noise=s)),
+             ("mps", "dep:0.1,ad:0.3", "ad:0.3,dep:0.1",
+              lambda s: MPSTrajectoryProgram(ast_m, noise=s, chi=4))]
+    for name, s1, s2, mk in cases:
+        e1, e2 = exact(s1), exact(s2)
+        assert np.abs(e1 - e2).max() > 0.04, (name, e1, e2)  # order matters
+        for spec, ex in ((s1, e1), (s2, e2)):
+            got = emp(mk(spec))
+            tol = 5 * np.sqrt(ex * (1 - ex) / ntraj) + 1e-3
+            assert np.all(np.abs(got - ex) < tol), (name, spec, got, ex)
+
+
+def test_unitary_mix_fast_path_selected():
+    """Pauli channels (state-independent branch probabilities) ride the
+    one-application mixed-unitary fast path; amplitude damping keeps the
+    state-dependent Kraus path."""
+    from qubism_tpu import TrajectoryProgram
+
+    src = "qreg q[1]; creg c[1]; U(0,0,0) q[0]; measure q -> c;"
+    kinds = [k for k, _, _ in
+             TrajectoryProgram(_ast(src), noise="dep:0.1,ad:0.1,bf:0.2,"
+                                                "dep2:0.3")._kchans]
+    assert kinds == ["umix", "kraus", "umix", "umix"]
+
+
 # -- mesh-sharded trajectory batches -----------------------------------------
 # Trajectories are embarrassingly parallel: --mesh D in trajectory mode
 # shards the vmapped BATCH axis over devices (run/noisy.py:
