@@ -181,11 +181,8 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
 
                 counts = rho.sample(
                     shots, _jax.random.PRNGKey(0 if seed is None else seed))
-                name = "(x)".join(prog.layout)
-                print(f"Counts for state vector {name} ({shots} shots):",
-                      file=out)
-                for basis in sorted(counts):
-                    print(f"  |{basis}>: {counts[basis]}", file=out)
+                _print_basis_counts(counts, "(x)".join(prog.layout),
+                                    shots, out)
             if observables and prog.n:
                 rc_obs = _print_observables(observables, rho.expectation, out)
                 if rc_obs:
@@ -278,16 +275,8 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
             if dump_state:
                 out.write(prog._pretty(sim, cregs))
             if shots and prog.n:
-                bits = sim.sample(shots)
-                rows = ["".join("01"[b] for b in row) for row in bits]
-                import collections
-
-                counts = collections.Counter(rows)
-                name = "(x)".join(prog.layout)
-                print(f"Counts for state vector {name} ({shots} shots):",
-                      file=out)
-                for basis in sorted(counts):
-                    print(f"  |{basis}>: {counts[basis]}", file=out)
+                _print_basis_counts(_sampled_bit_counts(sim.sample(shots)),
+                                    "(x)".join(prog.layout), shots, out)
             if observables and prog.n:
                 rc_obs = _print_observables(observables, sim.expectation, out)
                 if rc_obs:
@@ -308,16 +297,8 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
             if dump_state:
                 out.write(prog._pretty(sim, cregs))
             if shots and prog.n:
-                import collections
-
-                bits = sim.sample(shots)
-                rows = ["".join("01"[b] for b in row) for row in bits]
-                counts = collections.Counter(rows)
-                name = "(x)".join(prog.layout)
-                print(f"Counts for state vector {name} ({shots} shots):",
-                      file=out)
-                for basis in sorted(counts):
-                    print(f"  |{basis}>: {counts[basis]}", file=out)
+                _print_basis_counts(_sampled_bit_counts(sim.sample(shots)),
+                                    "(x)".join(prog.layout), shots, out)
             if observables and prog.n:
                 rc_obs = _print_observables(observables, sim.expectation, out)
                 if rc_obs:
@@ -401,10 +382,24 @@ def _print_shot_counts(ps: ProgState, shots: int, out):
 def _print_counts_for(planes, n, name, shots, key, out, v: int = 0):
     from .ops.sample import sample_counts
 
-    counts = sample_counts(planes, n, shots, key, v=v)
+    _print_basis_counts(sample_counts(planes, n, shots, key, v=v),
+                        name, shots, out)
+
+
+def _print_basis_counts(counts, name, shots, out):
+    """The `Counts for state vector ...` block shared by every shots
+    path; ``counts`` maps basis bitstring -> count."""
     print(f"Counts for state vector {name} ({shots} shots):", file=out)
-    for basis, c in sorted(counts.items()):
-        print(f"  |{basis}>: {c}", file=out)
+    for basis in sorted(counts):
+        print(f"  |{basis}>: {counts[basis]}", file=out)
+
+
+def _sampled_bit_counts(bits):
+    """(shots, n) 0/1 sample rows -> Counter of basis bitstrings."""
+    import collections
+
+    return collections.Counter("".join("01"[b] for b in row)
+                               for row in bits)
 
 
 def _print_observables(observables, compute, out) -> int:

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import config
 from ..ops import apply as A
 from .gates import Prim
 
@@ -260,7 +261,11 @@ class DensityMatrix:
         Returns (outcome, key')."""
         p1 = self.prob_one(q)
         key, sub = jax.random.split(key)
-        outcome = int(float(jax.random.uniform(sub)) < p1)
+        # honor the reference sqrt-Born quirk exactly like the dense /
+        # trajectory engines, so --reference-compat keeps DensityProgram
+        # and TrajectoryProgram sampling the same branch distribution
+        thr = math.sqrt(max(p1, 0.0)) if config.reference_sqrt_born else p1
+        outcome = int(float(jax.random.uniform(sub)) < thr)
         proj = np.array([1.0 - outcome, float(outcome)], dtype=complex)
         self.planes = A.apply_diag(self.planes, proj, (q,), 2 * self.n)
         self.planes = A.apply_diag(self.planes, proj, (q + self.n,),

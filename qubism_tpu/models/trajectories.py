@@ -256,7 +256,10 @@ def trajectory_sample(planes, key=None, seed: int = 0) -> np.ndarray:
     def one(r, i, k):
         cdf = jnp.cumsum(r * r + i * i)
         u = jax.random.uniform(k) * cdf[-1]
-        return jnp.searchsorted(cdf, u, side="right")
+        # clamp: u can round UP to >= cdf[-1] in float32, and an
+        # out-of-range 2^n index would silently bit-decode to |0...0>
+        return jnp.minimum(jnp.searchsorted(cdf, u, side="right"),
+                           cdf.shape[0] - 1)
 
     idx = jax.jit(jax.vmap(one))(re, im, keys)
     idx = np.asarray(idx, dtype=np.int64)

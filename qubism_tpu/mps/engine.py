@@ -625,9 +625,22 @@ class MPSSim:
         return [self.measure_qubit(q) for q in qubits]
 
     def reset(self, q: int) -> None:
-        out = self.measure_qubit(q)
-        if out:
+        """Project qubit q onto |0> and renormalize — the reference's
+        reset semantics (Simulation.hs:146-156; an entangled partner
+        collapses consistently with 0, never via a Born draw). A
+        |1>-certain qubit (zero-norm projection) falls back to the
+        physical measure-then-X-flip reset."""
+        proj = np.zeros((2, 2), dtype=complex)
+        proj[0, 0] = 1.0
+        re, im, center = self.re, self.im, self.center
+        self._apply_1q(proj, q)
+        nrm = self.norm()
+        if nrm < 1e-15:
+            self.re, self.im, self.center = re, im, center
             self._apply_1q(_PAULI["X"], q)
+            return
+        self.re, self.im = _k_scale_site(
+            self.re, self.im, self.center, jnp.float32(1.0 / nrm))
 
     def entanglement_entropy(self, bond: int) -> float:
         """Von Neumann entropy (nats) across the cut between qubit

@@ -50,7 +50,7 @@ from ..core.creg import CReg
 from ..models.trajectories import (_apply_channel_traced,
                                    _apply_unitary_mix_traced, _unitary_mix)
 from ..models.variational import _apply_op
-from ..ops.apply import zero_state
+from ..ops.apply import _sort_targets, zero_state
 from ..ops.measure import collapse_traced, prob_one_traced
 
 __all__ = ["TrajectoryProgram", "DensityProgram", "parse_noise_spec",
@@ -183,18 +183,26 @@ class TrajectoryProgram:
         # every engine must). 4x4 sets (dep2) fire only after 2q gates.
         # Mixed-unitary channels (all Paulis) take the one-application
         # CDF fast path (see models/trajectories._unitary_mix).
+        # 2q channels carry BOTH target orderings (the dense applier
+        # needs ascending targets, but `cx q[2], q[0]` is descending —
+        # the SWAP-conjugated variant is picked statically in _exec).
         self._kchans = []
         for _, ks in self.noise:
             is2q = np.asarray(ks[0]).shape[0] == 4
-            mix = _unitary_mix(ks)
-            if mix is not None:
-                self._kchans.append(("umix", mix, is2q))
-                continue
-            ksp = tuple(
-                (jnp.asarray(np.asarray(k).real, dtype=jnp.float32),
-                 jnp.asarray(np.asarray(k).imag, dtype=jnp.float32))
-                for k in ks)
-            self._kchans.append(("kraus", ksp, is2q))
+            variants = []
+            for desc in ((False, True) if is2q else (False,)):
+                kss = ([_sort_targets(np.asarray(k, dtype=complex),
+                                      (1, 0))[0] for k in ks]
+                       if desc else list(ks))
+                mix = _unitary_mix(kss)
+                if mix is not None:
+                    variants.append(("umix", mix))
+                    continue
+                variants.append(("kraus", tuple(
+                    (jnp.asarray(np.asarray(k).real, dtype=jnp.float32),
+                     jnp.asarray(np.asarray(k).imag, dtype=jnp.float32))
+                    for k in kss)))
+            self._kchans.append((tuple(variants), is2q))
         self._site = 0  # stochastic-site counter (rebound per trace)
 
     # -- traced execution ---------------------------------------------------
@@ -251,17 +259,22 @@ class TrajectoryProgram:
             if isinstance(ev, EvGates):
                 for p in ev.prims:
                     new = _apply_op(planes, p, None, self.n)
-                    for kind, kp, is2q in self._kchans:
-                        apply = (_apply_unitary_mix_traced
-                                 if kind == "umix"
-                                 else _apply_channel_traced)
+                    for variants, is2q in self._kchans:
                         if is2q:
-                            if len(p.targets) == 2:
-                                new = apply(
-                                    new, kp,
-                                    tuple(int(q) for q in p.targets),
-                                    self.n, self._u(key))
+                            if len(p.targets) != 2:
+                                continue
+                            t = tuple(int(q) for q in p.targets)
+                            kind, kp = variants[t[0] > t[1]]
+                            apply = (_apply_unitary_mix_traced
+                                     if kind == "umix"
+                                     else _apply_channel_traced)
+                            new = apply(new, kp, tuple(sorted(t)),
+                                        self.n, self._u(key))
                         else:
+                            kind, kp = variants[0]
+                            apply = (_apply_unitary_mix_traced
+                                     if kind == "umix"
+                                     else _apply_channel_traced)
                             for q in p.targets:
                                 new = apply(new, kp, (int(q),), self.n,
                                             self._u(key))
@@ -336,7 +349,10 @@ class TrajectoryProgram:
         padded = -(-ntraj // d) * d
         keys = jax.random.split(key, padded)
 
-        cache_key = (return_states, d)
+        # reference_sqrt_born is baked into the trace (Born thresholds
+        # in _exec) — a mid-session --reference-compat toggle must not
+        # serve a stale program (same invariant as sharded._measure_qubits_fn)
+        cache_key = (return_states, d, config.reference_sqrt_born)
         fn = getattr(self, "_fn_cache", {}).get(cache_key)
         if fn is None:
             def one(k, _rs=return_states):
@@ -391,10 +407,11 @@ class TrajectoryProgram:
         cache = getattr(self, "_efn_cache", None)
         if cache is None:
             cache = self._efn_cache = {}
-        fn = cache.get((cache_key, d))
+        ck = (cache_key, d, config.reference_sqrt_born)
+        fn = cache.get(ck)
         if fn is None:
             shard = {} if m is None else {"in_shardings": _traj_sharding(m)}
-            fn = cache[(cache_key, d)] = jax.jit(jax.vmap(one), **shard)
+            fn = cache[ck] = jax.jit(jax.vmap(one), **shard)
         per = max(1, self._MAX_LIVE // self._traj_live_cost())
         batch = max(d, min(padded, per * d) // d * d)
         vals = np.concatenate([

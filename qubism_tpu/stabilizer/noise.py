@@ -265,10 +265,21 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
                 self._write_creg_bits(cregs, ev.writes,
                                       self._readout(bits, key), pred)
             elif isinstance(ev, EvReset):
-                # measure, then flip with X (tableau X = phase flip on
-                # rows with the z-bit set) when the outcome was 1
-                bits, new = self._measure(tab, ev.qubits, key)
-                x, z, s = new
+                # reference reset = projection to |0> (renormalizing,
+                # src/Qubism/QASM/Simulation.hs:146-156): measuring with
+                # a FORCED 0 outcome makes the random-branch tableau
+                # update exactly that projection (an entangled partner
+                # collapses consistently with 0, never with a Born draw).
+                # A |1>-certain qubit would project to the zero vector —
+                # inexpressible in the formalism — and falls back to the
+                # X flip below (tableau X = phase flip on rows with the
+                # z-bit set), the physical-reset semantics.
+                x, z, s = tab
+                qs = jnp.asarray(np.asarray(ev.qubits, dtype=np.uint32))
+                zeros = jnp.zeros((len(ev.qubits),), dtype=bool)
+                outs, x, z, s = _measure_seq_impl(x, z, s, qs, zeros,
+                                                  self.n)
+                bits = [o.astype(jnp.int32) for o in outs]
                 for q, b in zip(ev.qubits, bits):
                     w = jnp.int32(q >> 5)
                     off = jnp.uint32(q & 31)

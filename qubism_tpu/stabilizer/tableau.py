@@ -652,13 +652,19 @@ class StabilizerSim:
         return [int(b) for b in np.asarray(outs)]
 
     def reset(self, q: int) -> None:
-        """Project qubit q to |0>: measure, then flip with X on outcome 1.
-        (The stabilizer formalism cannot express the reference's
-        renormalizing projection of a |1>-certain qubit; measure-and-flip
-        is the physical reset and agrees whenever the outcome is not
-        certainly |1>.)"""
-        out = self.measure_qubit(q)
-        if out:
+        """Project qubit q to |0> — the reference's renormalizing
+        projection (Simulation.hs:146-156): measure with a FORCED 0
+        outcome, which on a random outcome IS the projection (an
+        entangled partner collapses consistently with 0, never via a
+        Born draw). The formalism cannot express the zero vector a
+        |1>-certain qubit would project to; that (unphysical) case
+        falls back to the X flip — the physical reset."""
+        out, x, z, s = _measure_impl(self.tab.x, self.tab.z, self.tab.s,
+                                     jnp.uint32(q), jnp.bool_(False),
+                                     self.n)
+        self.tab = Tableau(x, z, s)
+        self._support = None
+        if int(out):
             from ..core.gates import Prim
             self.apply((Prim(_X2, (q,)),))
 

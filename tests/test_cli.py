@@ -363,9 +363,9 @@ def test_mps_noise_flag(tmp_path, capsys):
     assert eval_file(str(f), seed=0, backend="mps", chi=4,
                      noise="pd:0.1", trajectories=64) == 0
     assert "64 trajectories" in capsys.readouterr().out
-    # unknown channels still get the mps-labelled rejection
+    # unknown channel names get the parser's clearer error (rc 2)
     assert eval_file(str(f), backend="mps", noise="nope:0.1") == 2
-    assert "mps backend" in capsys.readouterr().out
+    assert "unknown noise channel" in capsys.readouterr().out
 
 
 def test_stabilizer_noise_non_clifford(tmp_path, capsys):

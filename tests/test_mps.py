@@ -389,12 +389,13 @@ def test_mps_trajectories_forty_qubits():
 
 
 def test_mps_trajectories_unknown_channel_rejected():
-    """ad/pd now ride the _OP_K1Q path; anything unrecognized still
-    raises the mps-labelled error."""
+    """ad/pd now ride the _OP_K1Q path; unrecognized NAMES get the
+    parser's clearer error (listing the known channels) rather than the
+    mps-backend label, which is reserved for Kraus shapes the tape
+    executor cannot route (library users passing custom Kraus)."""
     from qubism_tpu.mps import MPSTrajectoryProgram
-    from qubism_tpu.stabilizer.noise import NotPauliChannelError
 
-    with pytest.raises(NotPauliChannelError, match="mps backend"):
+    with pytest.raises(ValueError, match="unknown noise channel"):
         MPSTrajectoryProgram(_traj_ast("qreg q[1];"), noise="nope:0.05")
     # ad/pd construct fine and carry K-slots
     prog = MPSTrajectoryProgram(_traj_ast("qreg q[1];"),

@@ -71,6 +71,57 @@ def test_reset_is_projection():
     assert (vals["c"] == 0).all()
 
 
+def test_entangled_reset_projects_partner_on_every_engine():
+    """Reference reset = projection onto |0> (NOT measure-then-flip):
+    resetting one half of a Bell pair must leave the ENTANGLED PARTNER
+    at |0> in 100% of runs on every engine. Measure-then-flip would
+    leave the partner uniform — a 0.0-vs-0.5 divergence."""
+    from qubism_tpu import MPSTrajectoryProgram, TrajectoryProgram
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    src = """
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        reset q[0];
+        measure q -> c;
+    """
+    for mk in (lambda a: TrajectoryProgram(a),
+               lambda a: StabilizerTrajectoryProgram(a),
+               lambda a: MPSTrajectoryProgram(a, chi=4)):
+        vals = mk(_ast(src)).run_vals(64, seed=5)
+        assert (vals["c"] == 0).all(), mk
+
+    # host-level sims too
+    from qubism_tpu.core.gates import Prim
+    from qubism_tpu.mps import MPSSim
+    from qubism_tpu.stabilizer import StabilizerSim
+
+    h = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+    cx = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                   [0, 0, 0, 1], [0, 0, 1, 0]], dtype=complex)
+    for k in range(4):
+        sim = StabilizerSim(2, seed=k).apply(
+            [Prim(h, (0,)), Prim(cx, (0, 1))])
+        sim.reset(0)
+        assert sim.expectation("IZ") == pytest.approx(1.0)
+        m = MPSSim(2, chi=4, seed=k).apply(
+            [Prim(h, (0,)), Prim(cx, (0, 1))])
+        m.reset(0)
+        assert m.prob_one(1) < 1e-6
+
+    # the inexpressible corner: reset of a |1>-CERTAIN qubit (projection
+    # would give the zero vector) falls back to the physical X flip on
+    # the formalism engines
+    x = np.array([[0, 1], [1, 0]], dtype=complex)
+    sim = StabilizerSim(1, seed=0).apply([Prim(x, (0,))])
+    sim.reset(0)
+    assert sim.measure_qubit(0) == 0
+    m = MPSSim(1, chi=2, seed=0).apply([Prim(x, (0,))])
+    m.reset(0)
+    assert m.prob_one(0) < 1e-6
+
+
 def test_depolarizing_matches_density_matrix():
     """GHZ-2 + depolarizing on every touched qubit: trajectory marginals
     against the exact vectorized DensityMatrix."""
@@ -447,10 +498,39 @@ def test_unitary_mix_fast_path_selected():
     from qubism_tpu import TrajectoryProgram
 
     src = "qreg q[1]; creg c[1]; U(0,0,0) q[0]; measure q -> c;"
-    kinds = [k for k, _, _ in
+    kinds = [variants[0][0] for variants, _ in
              TrajectoryProgram(_ast(src), noise="dep:0.1,ad:0.1,bf:0.2,"
                                                 "dep2:0.3")._kchans]
     assert kinds == ["umix", "kraus", "umix", "umix"]
+
+
+def test_dep2_descending_targets():
+    """2q channels fire on gates written with DESCENDING targets too
+    (`CX q[2], q[0]` at row-qubit n): the dense applier needs ascending
+    targets, so the executor picks the SWAP-conjugated channel variant.
+    Regression: this crashed at trace time with a reshape error."""
+    from qubism_tpu import TrajectoryProgram
+    from qubism_tpu.run.noisy import DensityProgram
+
+    src = """
+        qreg q[10]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[2];
+        CX q[2], q[0];
+        measure q[0] -> c[0]; measure q[2] -> c[1];
+    """
+    ntraj = 4096
+    bits = TrajectoryProgram(_ast(src), noise="dep2:0.2,ad:0.1").run_vals(
+        ntraj, seed=3)["c"]
+    got = np.bincount(2 * bits[:, 0] + bits[:, 1], minlength=4) / ntraj
+    rho, _ = DensityProgram(
+        _ast(src.replace("measure q[0] -> c[0]; measure q[2] -> c[1];",
+                         "")), noise="dep2:0.2,ad:0.1").run(seed=0)
+    probs = np.asarray(rho.probs()).reshape([2] * 10)
+    # c maps LSB-first: c bit0 = q[0] (MSB axis 0), c bit1 = q[2]
+    ex = probs.sum(axis=tuple(i for i in range(10) if i not in (0, 2)))
+    ex = np.array([ex[0, 0], ex[0, 1], ex[1, 0], ex[1, 1]])
+    tol = 5 * np.sqrt(ex * (1 - ex) / ntraj) + 1e-3
+    assert np.all(np.abs(got - ex) < tol), (got, ex)
 
 
 # -- mesh-sharded trajectory batches -----------------------------------------
