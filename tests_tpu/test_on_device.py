@@ -354,3 +354,16 @@ def test_noisy_trajectory_engines_on_device():
     mbits = mp.run_vals(128, seed=1)["c"]
     mclean = float((mbits == mbits[:, :1]).all(axis=1).mean())
     assert 0.75 < mclean <= 1.0
+    # dense engine: the mixed-unitary fast path (dep/dep2 -> one static
+    # CDF draw + one small unitary) AND the state-dependent Kraus path
+    # (ad) compiled together on the chip
+    from qubism_tpu.run.noisy import TrajectoryProgram
+
+    dn = TrajectoryProgram(ast, noise="dep:0.005,dep2:0.01,ad:0.02")
+    dbits = dn.run_vals(512, seed=2)["c"]
+    dclean = float((dbits == dbits[:, :1]).all(axis=1).mean())
+    assert 0.5 < dclean <= 1.0
+    # amplitude damping biases survivors toward the all-zeros branch
+    ones = float((dbits.sum(axis=1) == 8).mean())
+    zeros = float((dbits.sum(axis=1) == 0).mean())
+    assert zeros > ones
