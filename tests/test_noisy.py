@@ -607,3 +607,20 @@ def test_mesh_errors():
         resolve_traj_mesh(4096)
     assert resolve_traj_mesh(None) is None
     assert resolve_traj_mesh(1) is None
+
+
+def test_t1_t2_example_recovers_gamma():
+    """examples/t1_t2_characterization.py: the log-linear fit over the
+    Monte-Carlo trajectory curves recovers the true damping parameter
+    (self-asserting main, run on fewer points here for speed)."""
+    import runpy
+
+    mod = runpy.run_path("examples/t1_t2_characterization.py")
+    ks = [0, 4, 12]
+    rows = mod["decay_curve"]("U(3.141592653589793, 0, 3.141592653589793) "
+                              "q[0];", "Z", "ad:0.1", ks, ntraj=2048)
+    for k, (mean, err, exact) in zip(ks, rows):
+        assert abs(mean - exact) < 5 * err + 1e-3
+        assert abs(exact - (1.0 - 2.0 * 0.9 ** (k + 1))) < 1e-5
+    g = mod["fit_gamma"](ks, [(1 - m) / 2 for m, _, _ in rows], 1.0)
+    assert abs(g - 0.1) < 0.02
