@@ -624,3 +624,44 @@ def test_t1_t2_example_recovers_gamma():
         assert abs(exact - (1.0 - 2.0 * 0.9 ** (k + 1))) < 1e-5
     g = mod["fit_gamma"](ks, [(1 - m) / 2 for m, _, _ in rows], 1.0)
     assert abs(g - 0.1) < 0.02
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_noisy_engines_vs_density(seed):
+    """Randomized differential across the sampled noise executors: a
+    random non-Clifford circuit (u3 + CX, DESCENDING targets included)
+    with a random ordered channel mix from {dep, bf, pf, ad, pd, dep2}
+    — the dense and MPS trajectory engines must both converge to the
+    exact DensityProgram distribution (binomial 5-sigma + slack per
+    basis state)."""
+    from qubism_tpu import MPSTrajectoryProgram
+    from qubism_tpu.run.noisy import DensityProgram
+
+    rng = np.random.default_rng(seed + 77)
+    n = 3
+    lines = [f"qreg q[{n}]; creg c[{n}];"]
+    for _ in range(8):
+        if rng.random() < 0.45:
+            a, b = rng.choice(n, size=2, replace=False)
+            lines.append(f"CX q[{a}], q[{b}];")
+        else:
+            th, ph, la = (float(v) for v in rng.uniform(0, 2 * np.pi, 3))
+            lines.append(f"U({th}, {ph}, {la}) q[{rng.integers(n)}];")
+    body = "\n".join(lines)
+    chans = list(rng.choice(["dep", "bf", "pf", "ad", "pd", "dep2"],
+                            size=rng.integers(2, 4), replace=False))
+    spec = ",".join(f"{c}:{rng.uniform(0.05, 0.2):.3f}" for c in chans)
+
+    rho, _ = DensityProgram(_ast(body), noise=spec).run(seed=0)
+    exact = np.asarray(rho.probs())          # big-endian basis order
+
+    src = body + "\nmeasure q -> c;"
+    ntraj = 8192
+    weights = 1 << (n - 1 - np.arange(n))    # creg bit k = qubit k (MSB 0)
+    tol = 5 * np.sqrt(np.maximum(exact * (1 - exact), 1e-4) / ntraj) + 3e-3
+    for mk in (lambda a: TrajectoryProgram(a, noise=spec),
+               lambda a: MPSTrajectoryProgram(a, noise=spec, chi=8)):
+        bits = mk(_ast(src)).run_vals(ntraj, seed=seed)["c"]
+        got = np.bincount((bits * weights).sum(axis=1),
+                          minlength=1 << n) / ntraj
+        assert np.all(np.abs(got - exact) < tol), (spec, body, got, exact)
