@@ -23,6 +23,7 @@ in-place in HBM (peak memory ~one state vector, not two).
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import jax
@@ -455,10 +456,13 @@ class OpPlanner:
     """Per-op dispatch plans with device-resident operands, built once per
     (op content, n) (re-uploading gate tables per call costs more than the
     kernels through a remote-device tunnel). Used by the compiled executor
-    and the mesh path — both run the SAME Pallas kernel plans."""
+    and the mesh path — both run the SAME Pallas kernel plans. LRU-bounded
+    (like apply._operand_cache): a parameter sweep re-planning a circuit
+    with fresh angles must not grow device-resident operands forever."""
 
-    def __init__(self):
-        self._cache: dict = {}
+    def __init__(self, maxlen: int = 512):
+        self._cache: "OrderedDict" = OrderedDict()
+        self._maxlen = maxlen
 
     def __call__(self, op, n: int):
         from . import kernels
@@ -466,6 +470,7 @@ class OpPlanner:
         key = _op_content_key(op, n)
         hit = self._cache.get(key)
         if hit is not None:
+            self._cache.move_to_end(key)
             return hit
         if isinstance(op, StageBlockOp):
             plan = ("stageblk", kernels.stage_block_prepare(op.stages, n))
@@ -486,6 +491,8 @@ class OpPlanner:
             else:
                 plan = ("xla", None)
         self._cache[key] = plan
+        if len(self._cache) > self._maxlen:
+            self._cache.popitem(last=False)
         return plan
 
 
@@ -561,9 +568,23 @@ def run_plans(state, plans, ops_args, n: int):
 
 
 #: process-wide planner + chunk-fn cache for apply_prims_fused (content
-#: keyed, so sharing across interpreters is safe)
+#: keyed, so sharing across interpreters is safe). Both LRU-bounded: an
+#: interpreter-driven parameter sweep (fresh angles = fresh content keys
+#: every run) must not accumulate jitted programs / device operands forever.
 _GLOBAL_PLANNER = OpPlanner()
-_chunk_fn_cache: dict = {}
+_CHUNK_FN_LRU_MAX = 128
+_chunk_fn_cache: "OrderedDict" = OrderedDict()
+
+
+def _cached_chunk_fn(key, build):
+    fn = _chunk_fn_cache.get(key)
+    if fn is None:
+        fn = _chunk_fn_cache[key] = build()
+        if len(_chunk_fn_cache) > _CHUNK_FN_LRU_MAX:
+            _chunk_fn_cache.popitem(last=False)
+    else:
+        _chunk_fn_cache.move_to_end(key)
+    return fn
 
 
 def apply_prims_fused(planes, prims, n: int):
@@ -583,9 +604,9 @@ def apply_prims_fused(planes, prims, n: int):
         # XLA/trace path (CPU tests, small n): matrices fold as constants,
         # so the jit cache must key on op CONTENT
         key = ("interp-xla", n, tuple(_op_content_key(op, n) for op in ops))
-        fn = _chunk_fn_cache.get(key)
-        if fn is None:
-            def run(st, ops=tuple(ops)):
+
+        def build_xla(ops=tuple(ops)):
+            def run(st):
                 for op in ops:
                     if isinstance(op, DiagLayer):
                         st = _apply_diag_layer_traced(st, op, n)
@@ -602,22 +623,23 @@ def apply_prims_fused(planes, prims, n: int):
                         st = _apply_dense_traced(st, op.u, op.targets, n)
                 return st
 
-            fn = jax.jit(run)
-            _chunk_fn_cache[key] = fn
-        return fn(planes)
+            return jax.jit(run)
+
+        return _cached_chunk_fn(key, build_xla)(planes)
 
     from . import kernels
 
     plans, operands = plan_chunk(ops, n, _GLOBAL_PLANNER)
     key = ("interp-chunk", n, plan_sig(plans))
-    fn = _chunk_fn_cache.get(key)
-    if fn is None:
-        def chunk_fn(st, args, plans=plans):
+
+    def build_chunk(plans=plans):
+        def chunk_fn(st, args):
             return run_plans(st, plans, args, n)
 
-        fn = jax.jit(chunk_fn)  # NOT donated: input planes stay valid
-        _chunk_fn_cache[key] = fn
-    return fn(kernels.to_canon(planes, n), operands)
+        return jax.jit(chunk_fn)  # NOT donated: input planes stay valid
+
+    return _cached_chunk_fn(key, build_chunk)(
+        kernels.to_canon(planes, n), operands)
 
 
 def split_op_virtual(op, v: int):
@@ -1023,6 +1045,9 @@ class CompiledCircuit:
         plan = []
         run: list = []  # consecutive per-shard events
 
+        jit_by_sig: dict = getattr(self, "_shard_jit_cache", None) or {}
+        self._shard_jit_cache = jit_by_sig
+
         def flush():
             if not run:
                 return
@@ -1030,12 +1055,17 @@ class CompiledCircuit:
             for s in range(S):
                 plans, operands = plan_chunk([payload[s] for payload in run],
                                              m, self._prepared)
+                # shards usually share the plan STRUCTURE (only operand
+                # values differ) — one jit per plan_sig instead of 2^v
+                # redundant traces of the same program
+                sig = plan_sig(plans)
+                fn = jit_by_sig.get(sig)
+                if fn is None:
+                    def chunk_fn(state, ops_args, plans=plans):
+                        return run_plans(state, plans, ops_args, m)
 
-                def chunk_fn(state, ops_args, plans=plans):
-                    return run_plans(state, plans, ops_args, m)
-
-                per_shard.append((jax.jit(chunk_fn, donate_argnums=0),
-                                  operands))
+                    fn = jit_by_sig[sig] = jax.jit(chunk_fn, donate_argnums=0)
+                per_shard.append((fn, operands))
             plan.append(("chunk", per_shard))
             run.clear()
 

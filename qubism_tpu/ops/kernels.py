@@ -18,12 +18,15 @@ So: jit args/results stay ``(R, 2048)``; kernels view them as
 **Gate mechanics.** A row qubit t (pair stride s = 2^(n-1-t) >= 128) is
 reached one of three ways, chosen per target:
 
-* ``axis``  (s >= 8*2048): the pair axis is a real array axis in a
+* ``axis``  (s >= 128*2048): the pair axis is a real array axis in a
   leading-dim regroup; the kernel addresses both branches as block slots.
-* ``rowroll`` (2048 <= s < 8*2048): the partner row is fetched with a
-  sublane ``pltpu.roll`` inside the block and branches are selected by an
-  iota mask. (A regroup would leave a second-to-last dim < 8, which the
-  (8, 128) physical tile pads — measured 16-28x slowdowns.)
+  (The 128-row threshold keeps table blocks sliced in lockstep with the
+  trailing row dim at a lane-legal >= 128 width — see :func:`_mech`.)
+* ``rowroll`` (2048 <= s < 128*2048): the partner row is fetched with a
+  sublane ``pltpu.roll`` (amount 1..64) inside the block and branches are
+  selected by an iota mask. (A regroup would leave a second-to-last dim
+  < 8, which the (8, 128) physical tile pads — measured 16-28x
+  slowdowns; rolls run at the same streaming plateau as axis.)
 * ``laneroll`` (128 <= s < 2048): same trick along the lane axis.
 
 Dense gates on the last 7 ("lane") qubits run as 128-wide MXU matmuls with
@@ -687,31 +690,100 @@ def _pad8(a):
     return a
 
 
+def _straddle_weight(f, b: int) -> int:
+    """Straddle terms this factor contributes to a pass: 0 if it folds into
+    Prow/Pcol, else the COMPRESSED term count _diag_tables will emit (the
+    common-vector extraction there collapses e.g. a one-point oracle from
+    2^kr terms to 2 — grouping must account the same way or it both
+    over-splits passes and misses real overflows)."""
+    d, targets = f
+    kr = sum(1 for t in targets if t < b)
+    k = len(targets)
+    if kr == 0 or kr == k:
+        return 0
+    worst = 1 << kr
+    d = np.asarray(d, dtype=np.complex128).reshape((2,) * k)
+    order = ([i for i, t in enumerate(targets) if t < b]
+             + [i for i, t in enumerate(targets) if t >= b])
+    dk = d.transpose(order).reshape(worst, -1)
+    keys = [dk[a].tobytes() for a in range(worst)]
+    base = max(set(keys), key=keys.count)
+    alt = sum(1 for kk in keys if kk != base)
+    return min(worst, 1 + alt)
+
+
+def _split_factor_phases(f):
+    """Exact multiplicative split of one diagonal factor into
+    multi-controlled-phase factors, each of which compresses to <= 2
+    straddle terms regardless of width.
+
+    Writes d[bits] = exp(L[bits]) and expands L multilinearly over the
+    bit lattice (Moebius transform): L[b] = sum_{S subseteq b} c_S, so
+    d = prod_S cphase(exp(c_S) on targets S). Exact for any zero-free
+    diagonal (unitary diagonals are unit-modulus; branch cuts cancel in
+    exp). Returns None when d has zero entries (log undefined) — the
+    caller keeps the factor whole."""
+    d, targets = f
+    k = len(targets)
+    d = np.asarray(d, dtype=np.complex128).ravel()
+    if np.any(np.abs(d) < 1e-300):
+        return None
+    c = np.log(d.copy())
+    for j in range(k):
+        bit = 1 << j
+        hi = (np.arange(1 << k) & bit).astype(bool)
+        c[hi] -= c[np.arange(1 << k)[hi] ^ bit]
+    # array index bit (k-1-j) corresponds to targets[j] (MSB-first, as in
+    # _diag_tables' idx construction)
+    out = []
+    for s in range(1, 1 << k):
+        if abs(c[s]) < 1e-14:
+            continue
+        sub = tuple(targets[j] for j in range(k) if s & (1 << (k - 1 - j)))
+        m = len(sub)
+        ds = np.ones(1 << m, dtype=np.complex128)
+        ds[-1] = np.exp(c[s])
+        out.append((ds, sub))
+    glob = np.exp(c[0])
+    if abs(glob - 1.0) > 1e-14:
+        if out:
+            d0, t0 = out[0]
+            out[0] = (d0 * glob, t0)
+        else:
+            out.append((np.array([glob, glob]), (targets[0],)))
+    return out
+
+
 def _diag_groups(factors, n: int):
     """Group a diagonal layer into as few passes as the compiler allows:
     all row-only/col-only factors fold into the first pass for free;
     row/col-straddling factors are packed subject to _MAX_STRADDLE_TERMS
-    per pass."""
+    per pass (compressed term counts). A single factor that alone exceeds
+    the cap (incompressible diagonal with >3 row bits) is split exactly
+    into controlled-phase factors of <= 2 terms each first."""
     log_c = min(_C0, 1 << n).bit_length() - 1
     b = n - log_c
 
-    def weight(f):
-        _, targets = f
-        kr = sum(1 for t in targets if t < b)
-        if kr == 0 or kr == len(targets):
-            return 0  # folds into Prow/Pcol for free
-        return 1 << kr  # sum-of-products terms
+    items: list[tuple] = []  # (factor, weight)
+    for f in factors:
+        w = _straddle_weight(f, b)
+        if w > _MAX_STRADDLE_TERMS:
+            parts = _split_factor_phases(f)
+            if parts is not None:
+                items.extend((p, _straddle_weight(p, b)) for p in parts)
+                continue
+        items.append((f, w))
 
-    plain = [f for f in factors if weight(f) == 0]
-    strad = [f for f in factors if weight(f) > 0]
+    plain = [f for f, w in items if w == 0]
+    strad = [(f, w) for f, w in items if w > 0]
     groups: list[list] = [list(plain)]
     w = 0
-    for f in strad:
-        if w + weight(f) > _MAX_STRADDLE_TERMS and w > 0:
+    for f, fw in strad:
+        if w + fw > _MAX_STRADDLE_TERMS and w > 0:
             groups.append([])
             w = 0
         groups[-1].append(f)
-        w += weight(f)
+        w += fw
     return [g for g in groups if g]
 
 

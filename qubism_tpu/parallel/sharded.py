@@ -912,7 +912,10 @@ class ShardedSim:
         """Pauli-string expectation (logical qubit order, I/X/Y/Z)."""
         phys_pauli = self._to_phys_pauli(pauli)
         tr, ti = self._expectation_fn(phys_pauli)(self.banks)
-        n_y = sum(1 for c in pauli if c == "Y")
+        # count on the PHYSICAL string: _to_phys_pauli uppercased it
+        # (counting the raw input would drop the i^{#Y} factor for
+        # lowercase 'y'), and relabeling preserves the letter multiset
+        n_y = sum(1 for c in phys_pauli if c == "Y")
         val = complex(float(tr), float(ti)) * (1j ** n_y)
         return float(val.real)
 

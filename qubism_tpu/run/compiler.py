@@ -361,7 +361,8 @@ class CompiledProgram:
     def _pretty_for(self, sv, cregs) -> str:
         name = "(x)".join(self.layout) if self.layout else ""
         out = ["Dump of the internal state: \n\n"]
-        out.append(f"State Vector {name}:\n{sv}")
+        if sv is not None:
+            out.append(f"State Vector {name}:\n{sv}")
         out.append("\n")
         for reg, base in sorted(self.layout.items()):
             out.append(
@@ -376,21 +377,10 @@ class CompiledProgram:
     def _pretty(self, state, cregs) -> str:
         from ..core.statevec import StateVec
 
-        name = "(x)".join(self.layout) if self.layout else ""
-        out = ["Dump of the internal state: \n\n"]
+        sv = None
         if state is not None:
             # state may be flat, canonical 2-D, or a shard tuple
             amps = state_to_complex_virtual(state, self.v)
             sv = StateVec(self.n, np.asarray([amps.real, amps.imag],
                                              dtype=np.float32))
-            out.append(f"State Vector {name}:\n{sv}")
-        out.append("\n")
-        for reg, base in sorted(self.layout.items()):
-            out.append(
-                f"QReg {reg}[{self.qreg_sizes[reg]}] -- targets state vector "
-                f'"{name}" starting at qubit {base}\n'
-            )
-        out.append("\n")
-        for cname in sorted(cregs):
-            out.append(f"CReg {cname}[{cregs[cname].size}] = {cregs[cname]}\n")
-        return "".join(out)
+        return self._pretty_for(sv, cregs)

@@ -125,6 +125,26 @@ def test_diag_layer_chunked_many_straddles():
     assert np.linalg.norm(got - expected) < 1e-5
 
 
+def test_diag_layer_wide_incompressible_factor_splits():
+    """A single incompressible 5q diagonal with 4 row bits would emit 16
+    straddle terms — past the compile cap. _diag_groups must split it into
+    controlled-phase factors and still apply it exactly."""
+    n = 16
+    rng = np.random.default_rng(3)
+    planes, _ = rand_planes(n, 13)
+    d = np.exp(1j * rng.uniform(-np.pi, np.pi, size=32))
+    targets = (0, 1, 2, 3, n - 2)  # 4 row bits + 1 lane bit at C=2048
+    from qubism_tpu.ops.kernels import _MAX_STRADDLE_TERMS, _straddle_weight
+
+    assert _straddle_weight((d, targets), 5) > _MAX_STRADDLE_TERMS
+    groups = K._diag_groups([(d, targets)], n)
+    for g in groups:
+        assert sum(_straddle_weight(f, 5) for f in g) <= _MAX_STRADDLE_TERMS
+    expected = complex_from_planes(apply_diag(planes, d, targets, n))
+    got = complex_from_planes(K.diag_layer(planes, [(d, targets)], n))
+    assert np.linalg.norm(got - expected) < 1e-5
+
+
 def test_virtual_sharded_executor_matches():
     """virtual_shards=1/2 must reproduce the unsharded result exactly
     (random circuit incl. gates and diagonals on the virtual qubits)."""
