@@ -74,20 +74,13 @@ def _chunk_masses(planes, n: int):
     return jnp.sum(re * re + im * im, axis=1)
 
 
-def _leaf_chunk_search(planes, chunk, resid, n: int):
-    """Per-shot (chunk, leaf) inverse-CDF search within an n-qubit plane
-    pair, given residual masses ``resid`` in [0, total) and precomputed
-    ``chunk`` = :func:`_chunk_masses` (traced). 3-level: a tiny top CDF,
-    one gathered mid row and one gathered leaf per shot — no state-sized
+def _top_mid_search(chunk, resid, tm_bits: int):
+    """Per-shot chunk selection over a (2^tm_bits,) chunk-mass vector:
+    a tiny top CDF plus one gathered mid row per shot — no state-sized
     prefix sums (both the memory and the sequential-float32-cumsum
-    accuracy of a flat 2^n scan are avoided)."""
-    L = _LEAF_BITS
-    TM = n - L
-    M = min(10, TM)
-    T = TM - M
-    re, im = planes
-    re = re.reshape(1 << TM, 1 << L)
-    im = im.reshape(1 << TM, 1 << L)
+    accuracy of a flat 2^n scan are avoided). Returns (cidx, resid2)."""
+    M = min(10, tm_bits)
+    T = tm_bits - M
     top_cdf = jnp.cumsum(jnp.sum(chunk.reshape(1 << T, 1 << M), axis=1))
 
     t = jnp.clip(jnp.searchsorted(top_cdf, resid, side="right"), 0, (1 << T) - 1)
@@ -99,13 +92,27 @@ def _leaf_chunk_search(planes, chunk, resid, n: int):
     prev = jnp.take_along_axis(row_cdf, jnp.maximum(mid - 1, 0)[:, None],
                                axis=1)[:, 0]
     resid2 = resid - jnp.where(mid > 0, prev, 0.0)
+    return (t << M) | mid, resid2
 
-    cidx = (t << M) | mid                               # (shots,) chunk index
-    leaf_re = re[cidx]                                  # (shots, 2^L)
-    leaf_im = im[cidx]
+
+def _leaf_search(leaf_re, leaf_im, resid2):
+    """Final inverse-CDF level on gathered (shots, 2^_LEAF_BITS) leaves."""
     leaf_cdf = jnp.cumsum(leaf_re * leaf_re + leaf_im * leaf_im, axis=1)
-    leaf = jnp.clip(jnp.sum(leaf_cdf <= resid2[:, None], axis=1),
-                    0, (1 << L) - 1)
+    return jnp.clip(jnp.sum(leaf_cdf <= resid2[:, None], axis=1),
+                    0, (1 << _LEAF_BITS) - 1)
+
+
+def _leaf_chunk_search(planes, chunk, resid, n: int):
+    """Per-shot (chunk, leaf) inverse-CDF search within an n-qubit plane
+    pair, given residual masses ``resid`` in [0, total) and precomputed
+    ``chunk`` = :func:`_chunk_masses` (traced). 3-level: top/mid over the
+    chunk masses, one gathered leaf per shot."""
+    L = _LEAF_BITS
+    re, im = planes
+    re = re.reshape(1 << (n - L), 1 << L)
+    im = im.reshape(1 << (n - L), 1 << L)
+    cidx, resid2 = _top_mid_search(chunk, resid, n - L)
+    leaf = _leaf_search(re[cidx], im[cidx], resid2)
     return cidx.astype(jnp.int32), leaf.astype(jnp.int32)
 
 
@@ -117,6 +124,38 @@ def _sample_parts_big(planes, n: int, shots: int, key: jax.Array):
     total = jnp.sum(chunk)
     u = jax.random.uniform(key, (shots,), dtype=jnp.float32) * total
     return _leaf_chunk_search(planes, chunk, u, n)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "shots"), donate_argnums=())
+def _sample_parts_big_sharded(shard_planes, m: int, shots: int,
+                              key: jax.Array):
+    """3-level inverse CDF across a TUPLE of 2^v shard pairs (shard s holds
+    the amplitudes whose top v bits equal s) in ONE jitted dispatch: the
+    per-shard chunk masses concatenate into exactly the global chunk-mass
+    vector, the top/mid search runs on that, and leaves are gathered
+    per-shard with a shard-membership select. One dispatch instead of
+    2^(v+1) (per-shard norms + per-shard samplers) — through a remote
+    tunnel the dispatch latency dominates the sampler's compute."""
+    L = _LEAF_BITS
+    S = len(shard_planes)
+    chunk = jnp.concatenate([_chunk_masses(p, m) for p in shard_planes])
+    total = jnp.sum(chunk)
+    u = jax.random.uniform(key, (shots,), dtype=jnp.float32) * total
+    tm_bits = (m - L) + (S.bit_length() - 1)
+    cidx, resid2 = _top_mid_search(chunk, u, tm_bits)
+
+    rows = 1 << (m - L)                     # chunk rows per shard
+    leaf_re = jnp.zeros((shots, 1 << L), dtype=jnp.float32)
+    leaf_im = jnp.zeros((shots, 1 << L), dtype=jnp.float32)
+    for s, (re, im) in enumerate(shard_planes):
+        re = re.reshape(rows, 1 << L)
+        im = im.reshape(rows, 1 << L)
+        local = jnp.clip(cidx - s * rows, 0, rows - 1)
+        pick = (cidx // rows) == s
+        leaf_re = jnp.where(pick[:, None], re[local], leaf_re)
+        leaf_im = jnp.where(pick[:, None], im[local], leaf_im)
+    leaf = _leaf_search(leaf_re, leaf_im, resid2)
+    return cidx.astype(jnp.int32), leaf.astype(jnp.int32)
 
 
 def _leaf_bits(n: int) -> int:
@@ -146,12 +185,19 @@ def sample_indices(planes, n: int, shots: int, key: jax.Array) -> jnp.ndarray:
 def sample_indices_sharded(shards, n: int, v: int, shots: int,
                            key: jax.Array) -> np.ndarray:
     """Sample from a virtual-sharded state (tuple of 2^v plane pairs; shard s
-    holds the amplitudes whose top v bits equal s). Two-level inverse CDF:
-    pick the shard from the per-shard masses (tiny, host-side), then reuse the
-    flat sampler within each shard. Returns (shots,) int64."""
+    holds the amplitudes whose top v bits equal s). One fused device
+    dispatch when the shards are large enough for the 3-level sampler;
+    small shards (CPU tests) fall back to a host-side two-level scheme.
+    Returns (shots,) int64."""
+    m = n - v
+    if m > _LEAF_BITS:
+        c, lo = jax.device_get(
+            _sample_parts_big_sharded(tuple(shards), m, shots, key))
+        return ((np.asarray(c).astype(np.int64) << _LEAF_BITS)
+                | np.asarray(lo).astype(np.int64))
+
     from .measure import _norm2
 
-    m = n - v
     masses = np.array([float(_norm2(sh)) for sh in shards], dtype=np.float64)
     cdf = np.cumsum(masses)
     key, sub = jax.random.split(key)

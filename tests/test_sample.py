@@ -99,6 +99,65 @@ def test_big_sampler_matches_small_distribution():
     assert chi2 < 60, chi2  # 15 dof; ~25 typical, 60 = far tail
 
 
+@pytest.mark.parametrize("v", [1, 2])
+def test_fused_sharded_sampler_distribution(v):
+    """The one-dispatch multi-shard sampler: correct distribution across
+    shard boundaries, reproducible, and exact on zero-mass shards."""
+    import jax.numpy as jnp
+
+    from qubism_tpu.ops import sample as S
+    from qubism_tpu.ops.apply import planes_from_complex
+
+    rng = np.random.default_rng(21 + v)
+    n = 12
+    m = n - v
+    amps = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    amps /= np.linalg.norm(amps)
+    shards = []
+    for s in range(1 << v):
+        re, im = planes_from_complex(amps[s << m:(s + 1) << m])
+        shards.append((jnp.asarray(re), jnp.asarray(im)))
+    assert m > S._LEAF_BITS  # exercises the fused path
+    shots = 20000
+    idx = S.sample_indices_sharded(tuple(shards), n, v, shots,
+                                   jax.random.PRNGKey(4))
+    assert idx.min() >= 0 and idx.max() < (1 << n)
+    p = np.abs(amps) ** 2
+    bins = p.reshape(32, -1).sum(1)
+    counts = np.bincount(idx >> (n - 5), minlength=32)
+    expected = bins * shots
+    chi2v = float(((counts - expected) ** 2 / np.maximum(expected, 1e-9)).sum())
+    assert chi2v < 80, chi2v  # 31 dof; ~45 typical, 80 far tail
+    # per-shard masses respected (coarsest marginal = shard choice)
+    sh_counts = np.bincount(idx >> m, minlength=1 << v)
+    sh_expect = p.reshape(1 << v, -1).sum(1) * shots
+    assert (np.abs(sh_counts - sh_expect) < 5 * np.sqrt(sh_expect + 1)).all()
+    # reproducible
+    idx2 = S.sample_indices_sharded(tuple(shards), n, v, shots,
+                                    jax.random.PRNGKey(4))
+    assert np.array_equal(idx, idx2)
+
+
+def test_fused_sharded_sampler_zero_mass_shard():
+    """A shard with zero amplitude mass must never be sampled."""
+    import jax.numpy as jnp
+
+    from qubism_tpu.ops import sample as S
+    from qubism_tpu.ops.apply import planes_from_complex
+
+    n, v = 12, 1
+    m = n - v
+    amps = np.zeros(1 << n, dtype=complex)
+    amps[5] = amps[77] = 1 / np.sqrt(2)      # both in shard 0
+    shards = []
+    for s in range(2):
+        re, im = planes_from_complex(amps[s << m:(s + 1) << m])
+        shards.append((jnp.asarray(re), jnp.asarray(im)))
+    idx = S.sample_indices_sharded(tuple(shards), n, v, 4096,
+                                   jax.random.PRNGKey(8))
+    assert set(np.unique(idx)) <= {5, 77}
+
+
 @pytest.mark.parametrize("n,qubits,sqrt_born", [
     (9, (3, 0, 7, 5, 8), False),        # all-lane (n < row threshold)
     (13, (0, 4, 11, 12, 2), False),     # mixed row+lane, unmeasured rows

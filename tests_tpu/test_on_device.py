@@ -111,6 +111,61 @@ def test_diag_layer_compiled():
     assert np.linalg.norm(got - ref) < 1e-5
 
 
+def test_diag_wide_incompressible_split_compiled():
+    """A single incompressible 5q diagonal straddling the row/col boundary:
+    _diag_groups must controlled-phase-split it (16 raw terms exceed the
+    n>=27 compile cap) and the split passes must agree compiled."""
+    import jax
+
+    from qubism_tpu.ops import kernels
+
+    n = 16
+    d = np.exp(1j * RNG.uniform(0, 2 * np.pi, size=32))
+    targets = (0, 1, 2, 3, 14)  # 4 row bits + 1 lane bit at C=2048
+    planes = rand_state(n)
+
+    def ref_fn(p):
+        from qubism_tpu.ops.fusion import DiagLayer, _apply_diag_layer_traced
+
+        return _apply_diag_layer_traced(p, DiagLayer(((d, targets),)), n)
+
+    ref = kernel_result(jax.jit(ref_fn)(planes), n)
+    got = kernel_result(kernels.diag_layer(
+        kernels.to_canon(planes, n), ((d, targets),), n), n)
+    assert np.linalg.norm(got - ref) < 1e-5
+
+
+@pytest.mark.slow
+def test_diag_wide_incompressible_compiles_at_n28():
+    """The actual compile-cap regression: pre-split, one 16-straddle-term
+    diag pass is REJECTED by the TPU compiler at n >= 27. The split passes
+    must compile and preserve the norm at n=28."""
+    import jax.numpy as jnp
+
+    from qubism_tpu.ops import apply as A
+    from qubism_tpu.ops import kernels
+
+    n = 28
+    d = np.exp(1j * RNG.uniform(0, 2 * np.pi, size=32))
+    targets = (0, 1, 2, 3, n - 2)
+    from qubism_tpu.ops.kernels import _MAX_STRADDLE_TERMS, _straddle_weight
+
+    assert _straddle_weight((d, targets), n - 11) > _MAX_STRADDLE_TERMS
+    planes = kernels.to_canon(A.zero_state(n), n)
+    planes = kernels.row_gate(planes, np.array([[1, 1], [1, -1]]) / np.sqrt(2),
+                              (0,), n)
+    out = kernels.diag_layer(planes, ((d, targets),), n)
+    norm = float(jnp.sum(out[0] * out[0]) + jnp.sum(out[1] * out[1]))
+    assert abs(norm - 1.0) < 1e-4
+    # the two nonzero amps pick up exact d entries: |0...0> -> d[0],
+    # |10...0> (qubit 0 = MSB of the d index) -> d[16]
+    flat = (np.asarray(out[0]).reshape(-1), np.asarray(out[1]).reshape(-1))
+    s = 1 / np.sqrt(2)
+    for idx, dv in ((0, d[0]), (1 << (n - 1), d[16])):
+        got = complex(flat[0][idx], flat[1][idx])
+        assert abs(got - s * dv) < 1e-5, (idx, got, s * dv)
+
+
 def test_stage_block_compiled():
     """The fused QFT stage pair vs per-op application."""
     from qubism_tpu.models.circuits import qft_prims
