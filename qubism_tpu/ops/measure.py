@@ -507,34 +507,198 @@ def expectation_pauli(planes: Planes, n: int, pauli: str) -> float:
     return float(_apply_iy(float(tr), float(ti), n_y).real)
 
 
+#: row-block height of the blocked multi-term reduction: 4096 x 2048 f32
+#: blocks keep per-step temps at ~32 MB while feeding the MXU full tiles
+_EXP_BLK_ROWS = 4096
+
+
+def _canon_width(planes, n: int) -> int:
+    """The PHYSICAL lane width the expectation program should use: the
+    existing last dim of a 2-D (canonical) plane — reshaping to any other
+    width is layout-changing on TPU and materializes state-sized HLO
+    temps — or the canonical 2048 for flat planes."""
+    x = planes[0]
+    if getattr(x, "ndim", 1) == 2:
+        return int(x.shape[1])
+    return min(1 << n, 2048)
+
+
+def _exp_masks(pauli: str, n: int, C: int):
+    """(row_mask, grp_mask, lo_mask) of a Pauli string's X/Y flip bits in
+    the (R, C) view: row bits, lane bits at/above the 128-wide physical
+    tile (flipped by a 128-row group gather), lane bits inside it
+    (flipped by a small permutation matmul)."""
+    log_c = C.bit_length() - 1
+    lo_w = min(7, log_c)
+    row_mask = grp_mask = lo_mask = 0
+    for q, c in enumerate(pauli):
+        if c in "XY":
+            pos = n - 1 - q
+            if pos >= log_c:
+                row_mask |= 1 << (pos - log_c)
+            elif pos >= lo_w:
+                grp_mask |= 1 << (pos - lo_w)
+            else:
+                lo_mask |= 1 << pos
+    return row_mask, grp_mask, lo_mask
+
+
+def _sign_tables(signq, n: int, C: int):
+    """(srow (R,), scol (C,)) +/-1 tables of a Y/Z sign mask for the
+    (R, C) view (like :func:`_pauli_tables` but at a caller-chosen lane
+    width)."""
+    R = (1 << n) // C
+    log_c = C.bit_length() - 1
+    srow = np.ones(R, dtype=np.float32)
+    scol = np.ones(C, dtype=np.float32)
+    for q in signq:
+        pos = n - 1 - q
+        if pos >= log_c:
+            srow *= 1.0 - 2.0 * ((np.arange(R) >> (pos - log_c)) & 1)
+        else:
+            scol *= 1.0 - 2.0 * ((np.arange(C) >> pos) & 1)
+    return srow, scol
+
+
+def _flip_canon(x2d, row_mask: int, grp_mask: int, lo_p):
+    """b[r, c] = x[r ^ row_mask, c ^ fc] on the physical (R, C) view:
+    an XOR row gather for row bits, an XOR gather over the C/128 lane
+    groups, and a (<=128)-wide permutation matmul inside the tile — NO
+    layout-changing reshapes."""
+    if row_mask:
+        x2d = x2d[jnp.arange(x2d.shape[0]) ^ row_mask]
+    if grp_mask or lo_p is not None:
+        R, C = x2d.shape
+        w = min(128, C)
+        G = C // w
+        x3 = x2d.reshape(R, G, w)
+        if grp_mask:
+            x3 = x3[:, jnp.arange(G) ^ grp_mask, :]
+        if lo_p is not None:
+            x3 = jnp.dot(x3, lo_p, precision=jax.lax.Precision.HIGHEST)
+        x2d = x3.reshape(R, C)
+    return x2d
+
+
+def _blocked_pair_reduce(ar, ai, br, bi, srow_g, scol_g):
+    """(tr, ti) per term of one flip group: a lax.scan over row blocks,
+    each step one fused square/cross-product + (blk, C) @ (C, k) MXU
+    matmul + sign-weighted row sum. Temps stay O(blk * C) regardless of
+    the term count — the naive k-term weighted sums OOM at n >= 28.
+    ``br/bi = None`` marks the diagonal (no-flip) group, where
+    Im(conj(a) a) = 0 identically and b = a."""
+    R, C = ar.shape
+    kg = srow_g.shape[1]
+    blk = min(_EXP_BLK_ROWS, R)
+    steps = R // blk
+    hi = jax.lax.Precision.HIGHEST
+    diag = br is None
+
+    def step(carry, xs):
+        if diag:
+            arb, aib, srb = xs
+            pr = arb * arb + aib * aib
+        else:
+            arb, aib, brb, bib, srb = xs
+            pr = brb * arb + bib * aib
+            pi = brb * aib - bib * arb
+        tr = jnp.sum(jnp.dot(pr, scol_g, precision=hi) * srb, axis=0)
+        if diag:
+            return (carry[0] + tr, carry[1]), None
+        ti = jnp.sum(jnp.dot(pi, scol_g, precision=hi) * srb, axis=0)
+        return (carry[0] + tr, carry[1] + ti), None
+
+    xs = (ar.reshape(steps, blk, C), ai.reshape(steps, blk, C))
+    if not diag:
+        xs += (br.reshape(steps, blk, C), bi.reshape(steps, blk, C))
+    xs += (srow_g.reshape(steps, blk, kg),)
+    zero = jnp.zeros((kg,), dtype=jnp.float32)
+    (tr, ti), _ = jax.lax.scan(step, (zero, zero), xs)
+    return tr, ti
+
+
 @functools.lru_cache(maxsize=None)
-def _expectation_multi_fn(paulis: tuple[str, ...], n: int):
-    """ONE jitted program computing the (tr, ti) reductions for MANY Pauli
-    strings (the VQE/Hamiltonian shape: a k-term energy is one dispatch
-    instead of k). Coefficients and the i^{#Y} factors apply host-side so
-    the compiled program depends only on the strings."""
+def _expectation_multi_prepared(paulis: tuple[str, ...], n: int,
+                                same: bool, C: int):
+    """(jit_fn, device_operands, term_order) computing the (tr, ti)
+    reductions for MANY Pauli strings in ONE dispatch (the VQE/Hamiltonian
+    shape). ``jit_fn(a_planes, b_planes, *operands)`` reduces
+    sum_x conj(b[x^f]) s(x) a[x] per term; ``same=True`` promises b IS a
+    (single-buffer state), letting no-flip groups use the diagonal
+    shortcut. ``C`` is the physical lane width of the planes
+    (:func:`_canon_width`). Terms group by their X/Y flip mask — each
+    group shares one flip pass and one blocked MXU reduction against
+    stacked +/- sign tables (passed as ARGUMENTS, not trace constants, so
+    big tables don't bloat the compiled program). Coefficients and the
+    i^{#Y} factors apply host-side so the compiled program depends only
+    on the strings."""
+    R = (1 << n) // C
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for j, p in enumerate(paulis):
+        groups.setdefault(_exp_masks(p, n, C), []).append(j)
 
-    def fn(planes):
-        return jnp.stack([
-            jnp.stack(_expectation_pair_body(p, n, planes, planes))
-            for p in paulis
-        ])  # (k, 2)
+    glist = []
+    operands: list = []
+    order: list[int] = []
+    for (row_mask, grp_mask, lo_mask), idxs in groups.items():
+        srows, scols = [], []
+        for j in idxs:
+            p = paulis[j]
+            signq = [q for q, c in enumerate(p) if c in "YZ"]
+            srow, scol = _sign_tables(signq, n, C)
+            srows.append(srow)
+            scols.append(scol)
+        operands.append(jnp.asarray(np.stack(srows, axis=1)))   # (R, kg)
+        operands.append(jnp.asarray(np.stack(scols, axis=1)))   # (C, kg)
+        has_lo = bool(lo_mask)
+        if has_lo:
+            operands.append(jnp.asarray(
+                _lane_flip_matrix(min(128, C), lo_mask)))
+        glist.append((row_mask, grp_mask, has_lo, len(idxs)))
+        order.extend(idxs)
 
-    return jax.jit(fn)
+    def fn(a_planes, b_planes, *ops_args):
+        ar = a_planes[0].reshape(R, C)
+        ai = a_planes[1].reshape(R, C)
+        xr = b_planes[0].reshape(R, C)
+        xi = b_planes[1].reshape(R, C)
+        it = iter(ops_args)
+        trs, tis = [], []
+        for row_mask, grp_mask, has_lo, _ in glist:
+            srow_g = next(it)
+            scol_g = next(it)
+            lo_p = next(it) if has_lo else None
+            if same and not (row_mask or grp_mask or has_lo):
+                br = bi = None                  # diagonal shortcut (b is a)
+            else:
+                br = _flip_canon(xr, row_mask, grp_mask, lo_p)
+                bi = _flip_canon(xi, row_mask, grp_mask, lo_p)
+            tr, ti = _blocked_pair_reduce(ar, ai, br, bi, srow_g, scol_g)
+            trs.append(tr)
+            tis.append(ti)
+        return jnp.concatenate(trs), jnp.concatenate(tis)
+
+    return jax.jit(fn), tuple(operands), tuple(order)
 
 
 def expectation_pauli_sum(planes: Planes, n: int, terms) -> float:
     """<psi| sum_j c_j P_j |psi> for a Pauli-sum Hamiltonian
-    ``terms = [(coef, pauli), ...]`` in ONE device dispatch (the per-term
-    reductions share the state reads inside one program; XLA fuses the
-    elementwise work). Hermitian for real coefs; the imaginary residue is
-    numerical noise, discarded."""
+    ``terms = [(coef, pauli), ...]`` in ONE device dispatch with bounded
+    temps (see :func:`_expectation_multi_prepared`) — a whole diagonal
+    (Ising/QAOA) Hamiltonian costs ~one streaming pass at any term count.
+    Hermitian for real coefs; the imaginary residue is numerical noise,
+    discarded."""
     paulis = tuple(_check_pauli(p, n) for _, p in terms)
-    vals = np.asarray(jax.device_get(_expectation_multi_fn(paulis, n)(planes)))
+    fn, operands, order = _expectation_multi_prepared(
+        paulis, n, True, _canon_width(planes, n))
+    tr, ti = (np.asarray(x)
+              for x in jax.device_get(fn(planes, planes, *operands)))
     total = 0.0
-    for (coef, _), p, (tr, ti) in zip(terms, paulis, vals):
+    for pos, j in enumerate(order):
+        p = paulis[j]
         n_y = sum(1 for c in p if c == "Y")
-        total += coef * _apply_iy(float(tr), float(ti), n_y).real
+        total += terms[j][0] * _apply_iy(float(tr[pos]), float(ti[pos]),
+                                         n_y).real
     return float(total)
 
 
@@ -566,21 +730,6 @@ def expectation_pauli_virtual(shards, n: int, v: int, pauli: str) -> float:
         ti += sign * float(pi)
     n_y = sum(1 for c in pauli if c == "Y")
     return float(_apply_iy(tr, ti, n_y).real)
-
-
-@functools.lru_cache(maxsize=None)
-def _expectation_multi_pair_fn(local_paulis: tuple[str, ...], m: int):
-    """One jitted program reducing MANY local Pauli strings over an
-    (a, partner-b) shard pair — the per-shard half of the virtual-sharded
-    Pauli-sum (dispatch count: shards, not shards x terms)."""
-
-    def fn(a_planes, b_planes):
-        return jnp.stack([
-            jnp.stack(_expectation_pair_body(p, m, a_planes, b_planes))
-            for p in local_paulis
-        ])  # (k, 2)
-
-    return jax.jit(fn)
 
 
 def _expectation_pair_body(pauli: str, n: int, a_planes, b_planes):
@@ -618,14 +767,16 @@ def expectation_pauli_sum_virtual(shards, n: int, v: int, terms) -> float:
     totals = [0.0 + 0.0j] * len(terms)
     for fv, idxs in by_fv.items():
         locals_ = tuple(paulis[j][v:] for j in idxs)
-        fn = _expectation_multi_pair_fn(locals_, m)
+        fn, operands, order = _expectation_multi_prepared(
+            locals_, m, fv == 0, _canon_width(shards[0], m))
         for s in range(len(shards)):
-            vals = np.asarray(jax.device_get(fn(shards[s], shards[s ^ fv])))
-            for row, j in enumerate(idxs):
+            tr, ti = (np.asarray(x) for x in jax.device_get(
+                fn(shards[s], shards[s ^ fv], *operands)))
+            for row, pos in enumerate(order):
+                j = idxs[pos]
                 _, sv_mask = _pauli_virtual_split(paulis[j], v)
                 sign = -1.0 if bin(s & sv_mask).count("1") % 2 else 1.0
-                totals[j] += sign * complex(float(vals[row][0]),
-                                            float(vals[row][1]))
+                totals[j] += sign * complex(float(tr[row]), float(ti[row]))
     energy = 0.0
     for (coef, _), p, t in zip(terms, paulis, totals):
         n_y = sum(1 for c in p if c == "Y")

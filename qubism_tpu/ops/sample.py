@@ -62,15 +62,29 @@ def _sample_parts(planes, n: int, shots: int, key: jax.Array):
 #: 2-level one materializes |psi|^2 AND its prefix sums (= +two state-sized
 #: buffers — at n=30 the state is already half of HBM)
 _BIG_SAMPLE_BITS = 27
-_LEAF_BITS = 9
+#: leaf width of the 3-level sampler = the canonical (R, 2048) lane dim:
+#: leaves ARE layout rows, so chunk masses are a plain axis-1 reduce and
+#: leaf gathers index the argument directly. Any other width needs a
+#: layout-changing reshape, which XLA materializes as a state-sized HLO
+#: temp — at n=30 that (2 planes x 2 shards x 2 GB) OOMs the chip.
+_LEAF_BITS = 11
+
+
+def _rows2d(planes):
+    """(re, im) as 2-D row-major views. Canonical (R, 2048) device planes
+    pass through UNTOUCHED (see _LEAF_BITS note); flat planes get the same
+    row-major split (cheap at the small sizes the flat path carries)."""
+    re, im = planes
+    if re.ndim == 2:
+        return re, im
+    w = min(1 << _LEAF_BITS, re.size)
+    return re.reshape(-1, w), im.reshape(-1, w)
 
 
 def _chunk_masses(planes, n: int):
-    """(2^(n-_LEAF_BITS),) per-leaf-chunk probability masses via a FUSED
-    square+reduce — |psi|^2 is never materialized (traced)."""
-    re, im = planes
-    re = re.reshape(-1, 1 << _LEAF_BITS)
-    im = im.reshape(-1, 1 << _LEAF_BITS)
+    """Per-leaf(-row) probability masses via a FUSED square+reduce —
+    |psi|^2 is never materialized (traced)."""
+    re, im = _rows2d(planes)
     return jnp.sum(re * re + im * im, axis=1)
 
 
@@ -96,22 +110,20 @@ def _top_mid_search(chunk, resid, tm_bits: int):
 
 
 def _leaf_search(leaf_re, leaf_im, resid2):
-    """Final inverse-CDF level on gathered (shots, 2^_LEAF_BITS) leaves."""
+    """Final inverse-CDF level on gathered (shots, leaf_width) leaves."""
     leaf_cdf = jnp.cumsum(leaf_re * leaf_re + leaf_im * leaf_im, axis=1)
     return jnp.clip(jnp.sum(leaf_cdf <= resid2[:, None], axis=1),
-                    0, (1 << _LEAF_BITS) - 1)
+                    0, leaf_re.shape[1] - 1)
 
 
 def _leaf_chunk_search(planes, chunk, resid, n: int):
     """Per-shot (chunk, leaf) inverse-CDF search within an n-qubit plane
     pair, given residual masses ``resid`` in [0, total) and precomputed
     ``chunk`` = :func:`_chunk_masses` (traced). 3-level: top/mid over the
-    chunk masses, one gathered leaf per shot."""
-    L = _LEAF_BITS
-    re, im = planes
-    re = re.reshape(1 << (n - L), 1 << L)
-    im = im.reshape(1 << (n - L), 1 << L)
-    cidx, resid2 = _top_mid_search(chunk, resid, n - L)
+    chunk masses, one gathered leaf row per shot."""
+    re, im = _rows2d(planes)
+    lane_bits = re.shape[1].bit_length() - 1
+    cidx, resid2 = _top_mid_search(chunk, resid, n - lane_bits)
     leaf = _leaf_search(re[cidx], im[cidx], resid2)
     return cidx.astype(jnp.int32), leaf.astype(jnp.int32)
 
@@ -144,12 +156,11 @@ def _sample_parts_big_sharded(shard_planes, m: int, shots: int,
     tm_bits = (m - L) + (S.bit_length() - 1)
     cidx, resid2 = _top_mid_search(chunk, u, tm_bits)
 
-    rows = 1 << (m - L)                     # chunk rows per shard
+    rows = 1 << (m - L)                     # leaf rows per shard
     leaf_re = jnp.zeros((shots, 1 << L), dtype=jnp.float32)
     leaf_im = jnp.zeros((shots, 1 << L), dtype=jnp.float32)
-    for s, (re, im) in enumerate(shard_planes):
-        re = re.reshape(rows, 1 << L)
-        im = im.reshape(rows, 1 << L)
+    for s, planes in enumerate(shard_planes):
+        re, im = _rows2d(planes)            # canonical planes: NO reshape
         local = jnp.clip(cidx - s * rows, 0, rows - 1)
         pick = (cidx // rows) == s
         leaf_re = jnp.where(pick[:, None], re[local], leaf_re)

@@ -320,3 +320,22 @@ def test_expectation_pauli_sum_virtual_matches():
               for c, p in terms)
     got = expectation_pauli_sum_virtual(shards, n, v, terms)
     assert abs(got - ref) < 1e-5
+
+
+def test_expectation_pauli_sum_blocked_multistep(monkeypatch):
+    """The blocked MXU reduction with steps > 1 (forced via a 1-row block)
+    must match the per-string loop — covers the scan carry across row
+    blocks for diagonal AND flip groups."""
+    from qubism_tpu.models.circuits import brickwork_prims
+    from qubism_tpu.ops import measure as M
+    from qubism_tpu.ops.fusion import CompiledCircuit
+
+    monkeypatch.setattr(M, "_EXP_BLK_ROWS", 1)
+    n = 13  # R = 4 rows at C=2048 -> 4 scan steps
+    circ = CompiledCircuit(n, brickwork_prims(n, depth=2, seed=5))
+    planes = circ(circ.init_state())
+    terms = [(0.5, "Z" * n), (1.5, "ZI" * 6 + "Z"), (-0.25, "X" + "I" * (n - 1)),
+             (0.8, "IY" + "I" * (n - 3) + "X"), (0.1, "I" * n)]
+    ref = sum(c * M.expectation_pauli(planes, n, p) for c, p in terms)
+    got = M.expectation_pauli_sum(planes, n, terms)
+    assert abs(got - ref) < 1e-5

@@ -109,7 +109,7 @@ def test_fused_sharded_sampler_distribution(v):
     from qubism_tpu.ops.apply import planes_from_complex
 
     rng = np.random.default_rng(21 + v)
-    n = 12
+    n = 14
     m = n - v
     amps = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
     amps /= np.linalg.norm(amps)
@@ -145,7 +145,7 @@ def test_fused_sharded_sampler_zero_mass_shard():
     from qubism_tpu.ops import sample as S
     from qubism_tpu.ops.apply import planes_from_complex
 
-    n, v = 12, 1
+    n, v = 14, 1
     m = n - v
     amps = np.zeros(1 << n, dtype=complex)
     amps[5] = amps[77] = 1 / np.sqrt(2)      # both in shard 0
