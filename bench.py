@@ -460,6 +460,38 @@ def main():
             log(f"adder failed: {type(e).__name__}: {str(e)[:200]}")
             extra["adder_28q_s"] = None
 
+    # Pauli-sum expectation at scale: a 28-term Ising-ring energy on a 28q
+    # brickwork state in ONE dispatch (blocked MXU sign-table reduction —
+    # the per-term path OOMs at this size)
+    if on_tpu:
+        try:
+            from qubism_tpu.models.circuits import brickwork_prims
+            from qubism_tpu.ops.fusion import CompiledCircuit
+            from qubism_tpu.ops.measure import (expectation_pauli,
+                                                expectation_pauli_sum)
+
+            ne = 28
+            circ = CompiledCircuit(ne, brickwork_prims(ne, depth=2, seed=3))
+            state = circ(circ.init_state())
+            _sync(state)
+            terms = [(1.0, "".join("Z" if q in (i, (i + 1) % ne) else "I"
+                                   for q in range(ne))) for i in range(ne)]
+            e = expectation_pauli_sum(state, ne, terms)  # warm
+            t0 = time.time()
+            e = expectation_pauli_sum(state, ne, terms)
+            dt = time.time() - t0
+            ref2 = sum(c * expectation_pauli(state, ne, p)
+                       for c, p in terms[:2])
+            got2 = expectation_pauli_sum(state, ne, terms[:2])
+            extra["ising28_28term_energy_s"] = round(dt, 4)
+            extra["ising28_energy_ok"] = bool(abs(ref2 - got2) < 1e-4
+                                              and abs(e) < ne)
+            del state, circ
+            gc.collect()
+        except Exception as e:
+            log(f"ising probe failed: {type(e).__name__}: {str(e)[:200]}")
+            extra["ising28_28term_energy_s"] = None
+
     # differentiable-simulation throughput: one adjoint value+grad of a
     # QAOA-20 MaxCut ansatz (segmented jits; the reference has no autodiff
     # story at all, so this row has no baseline bar — it documents the

@@ -543,6 +543,40 @@ def _exp_masks(pauli: str, n: int, C: int):
     return row_mask, grp_mask, lo_mask
 
 
+def _sign_masks(signq, n: int, C: int):
+    """(row_mask, col_mask) index-bit masks of a Y/Z sign set in the
+    (R, C) view — s(x) = (-1)^popcount(r & row_mask) *
+    (-1)^popcount(c & col_mask)."""
+    log_c = C.bit_length() - 1
+    row = col = 0
+    for q in signq:
+        pos = n - 1 - q
+        if pos >= log_c:
+            row |= 1 << (pos - log_c)
+        else:
+            col |= 1 << pos
+    return row, col
+
+
+def _parity_pm1(x):
+    """Elementwise (-1)^popcount(x) for int32 values (traced)."""
+    for sh in (16, 8, 4, 2, 1):
+        x = x ^ (x >> sh)
+    return 1.0 - 2.0 * (x & 1).astype(jnp.float32)
+
+
+def _sign_tables_traced(sign_masks, R: int, C: int):
+    """(srow (R, k), scol (C, k)) +/-1 tables generated ON DEVICE from
+    per-term (row_mask, col_mask) static ints — sign tables cost no big
+    trace constants and no operand plumbing (used by the mesh path, where
+    extra shard_map operands are awkward)."""
+    rm = jnp.asarray([a for a, _ in sign_masks], jnp.int32)[None, :]
+    cm = jnp.asarray([b for _, b in sign_masks], jnp.int32)[None, :]
+    r = jax.lax.iota(jnp.int32, R)[:, None]
+    c = jax.lax.iota(jnp.int32, C)[:, None]
+    return _parity_pm1(r & rm), _parity_pm1(c & cm)
+
+
 def _sign_tables(signq, n: int, C: int):
     """(srow (R,), scol (C,)) +/-1 tables of a Y/Z sign mask for the
     (R, C) view (like :func:`_pauli_tables` but at a caller-chosen lane

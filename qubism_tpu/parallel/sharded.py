@@ -61,8 +61,7 @@ from ..ops import apply as _apply
 from ..ops import kernels
 from ..ops.fusion import (OpPlanner, fuse, plan_chunk, plan_sig, run_plans,
                           split_op_virtual)
-from ..ops.measure import (_flip_bits, _lane_flip_matrix, _pauli_tables,
-                           _sel_views, prob_one_traced)
+from ..ops.measure import (_lane_flip_matrix, _sel_views, prob_one_traced)
 from .mesh import make_mesh
 
 AXIS = "amp"
@@ -821,82 +820,107 @@ class ShardedSim:
     # -- observables -------------------------------------------------------------
 
     def _expectation_fn(self, phys_pauli: str):
-        """<psi|P|psi> over the mesh: P|x> = c(x)|x ^ f>. The local part of
-        f is an in-shard flipped view; bank-bit flips pair bank s with bank
-        s ^ f_b (free); a nonzero DEVICE part means the partner amplitudes
-        live on device i ^ f_g — ONE ppermute per bank pairs the devices
-        up. Signs factor into per-bank scalars (bank Y/Z bits), a
-        per-device scalar (device Y/Z bits of the axis index) and
-        broadcast per-axis tables; one psum ends it. ``phys_pauli`` is in
-        PHYSICAL bit order."""
+        """<psi|P|psi> over the mesh for one string — the 1-term case of
+        :meth:`_expectation_sum_body`. Returns a fn producing ((1,), (1,))
+        psum'ed reductions."""
         key = ("expect", phys_pauli)
         if key not in self._cache:
-            body = self._expectation_body(phys_pauli)
+            body, _ = self._expectation_sum_body((phys_pauli,))
             self._cache[key] = self._smap(body, out_specs=(P(), P()),
                                           donate=False)
         return self._cache[key]
 
-    def _expectation_body(self, phys_pauli: str):
-        """The traced per-device reduction for one Pauli string (shared by
-        the single-string and Pauli-sum dispatches)."""
-        d, w, m = self.d, self.w, self.m
-        fg = sg = 0
-        for q in range(d):
-            if phys_pauli[q] in "XY":
-                fg |= 1 << (d - 1 - q)
-            if phys_pauli[q] in "YZ":
-                sg |= 1 << (d - 1 - q)
-        fb = sb = 0
-        for q in range(d, d + w):
-            if phys_pauli[q] in "XY":
-                fb |= 1 << (w - 1 - (q - d))
-            if phys_pauli[q] in "YZ":
-                sb |= 1 << (w - 1 - (q - d))
-        lflip = [q - d - w for q in range(d + w, self.n)
-                 if phys_pauli[q] in "XY"]
-        lsign = [q - d - w for q in range(d + w, self.n)
-                 if phys_pauli[q] in "YZ"]
+    def _expectation_sum_body(self, phys_paulis: tuple[str, ...]):
+        """(traced body, term order) reducing MANY Pauli strings over the
+        mesh in one dispatch. P|x> = c(x)|x ^ f>: the local part of f is
+        an in-shard flipped view on the CANONICAL (Rm, C) layout (XOR
+        row/group gathers + a <=128-wide permutation matmul — never a
+        layout-changing reshape); bank-bit flips pair bank s with bank
+        s ^ f_b (free); a nonzero DEVICE part means the partner amplitudes
+        live on device i ^ f_g — ONE ppermute per bank pairs the devices
+        up. Terms group by their flip signature; each group reduces via
+        the blocked MXU sign-table matmuls of
+        :func:`qubism_tpu.ops.measure._blocked_pair_reduce` (bounded
+        temps at any term count), with per-bank/per-device +/- sign
+        vectors applied to the (k,) partials. One psum ends it.
+        ``phys_paulis`` are in PHYSICAL bit order."""
+        from ..ops.measure import (_blocked_pair_reduce, _exp_masks,
+                                   _flip_canon, _parity_pm1, _sign_masks,
+                                   _sign_tables_traced)
 
-        C = self.C
-        R = self.Rm
-        srow, scol, fc = _pauli_tables(lflip, lsign, m)
-        srow_d = jnp.asarray(srow)
-        scol_d = jnp.asarray(scol)
-        lane_p = jnp.asarray(_lane_flip_matrix(C, fc)) if fc else None
-        bank_sign = [(-1.0 if bin(s & sb).count("1") % 2 else 1.0)
-                     for s in range(1 << w)]
+        d, w, m = self.d, self.w, self.m
+        C, Rm = self.C, self.Rm
+        infos = []
+        for p in phys_paulis:
+            fg = sg = fb = sb = 0
+            for q in range(d):
+                if p[q] in "XY":
+                    fg |= 1 << (d - 1 - q)
+                if p[q] in "YZ":
+                    sg |= 1 << (d - 1 - q)
+            for q in range(d, d + w):
+                if p[q] in "XY":
+                    fb |= 1 << (w - 1 - (q - d))
+                if p[q] in "YZ":
+                    sb |= 1 << (w - 1 - (q - d))
+            pl = p[d + w:]
+            row_mask, grp_mask, lo_mask = _exp_masks(pl, m, C)
+            smask = _sign_masks([q for q, ch in enumerate(pl)
+                                 if ch in "YZ"], m, C)
+            infos.append((fg, sg, fb, sb, row_mask, grp_mask, lo_mask,
+                          smask))
+
+        groups: dict[tuple, list[int]] = {}
+        for j, info in enumerate(infos):
+            groups.setdefault((info[0], info[2], info[4], info[5],
+                               info[6]), []).append(j)
+        glist = [(k, tuple(idxs)) for k, idxs in groups.items()]
+        order = tuple(j for _, idxs in glist for j in idxs)
 
         def body(banks):
-            tr_tot = jnp.float32(0.0)
-            ti_tot = jnp.float32(0.0)
-            s_tab = srow_d[:, None] * scol_d[None, :]
-            for s in range(1 << w):
-                ar = banks[s][0].reshape(-1)
-                ai = banks[s][1].reshape(-1)
-                part = banks[s ^ fb]
-                br = _flip_bits(part[0].reshape(-1), m, lflip, lane_p)
-                bi = _flip_bits(part[1].reshape(-1), m, lflip, lane_p)
-                if fg:
-                    perm = [(i, i ^ fg) for i in range(1 << d)]
-                    br = jax.lax.ppermute(br, AXIS, perm)
-                    bi = jax.lax.ppermute(bi, AXIS, perm)
-                pr = (br * ar + bi * ai).reshape(R, C)  # Re(conj(b) a)
-                pi = (br * ai - bi * ar).reshape(R, C)  # Im(conj(b) a)
-                tr_tot += bank_sign[s] * jnp.sum(pr * s_tab)
-                ti_tot += bank_sign[s] * jnp.sum(pi * s_tab)
-            if sg:
-                idx = jax.lax.axis_index(AXIS)
-                bits = jnp.int32(0)
-                x = idx & sg
-                for _ in range(d):
-                    bits = bits + (x & 1)
-                    x = x >> 1
-                sign = jnp.where(bits % 2 == 1, -1.0, 1.0)
-                tr_tot, ti_tot = tr_tot * sign, ti_tot * sign
-            return (jax.lax.psum(tr_tot, AXIS),
-                    jax.lax.psum(ti_tot, AXIS))
+            trs, tis = [], []
+            for (fg, fb, row_mask, grp_mask, lo_mask), idxs in glist:
+                kg = len(idxs)
+                srow_g, scol_g = _sign_tables_traced(
+                    [infos[j][7] for j in idxs], Rm, C)
+                lo_p = (jnp.asarray(_lane_flip_matrix(min(128, C), lo_mask))
+                        if lo_mask else None)
+                diag = (fg == 0 and fb == 0 and row_mask == 0
+                        and grp_mask == 0 and lo_mask == 0)
+                tr_acc = jnp.zeros((kg,), jnp.float32)
+                ti_acc = jnp.zeros((kg,), jnp.float32)
+                for s in range(1 << w):
+                    ar, ai = banks[s]
+                    if diag:
+                        br = bi = None
+                    else:
+                        xr, xi = banks[s ^ fb]
+                        br = _flip_canon(xr, row_mask, grp_mask, lo_p)
+                        bi = _flip_canon(xi, row_mask, grp_mask, lo_p)
+                        if fg:
+                            perm = [(i, i ^ fg) for i in range(1 << d)]
+                            br = jax.lax.ppermute(br, AXIS, perm)
+                            bi = jax.lax.ppermute(bi, AXIS, perm)
+                    tr, ti = _blocked_pair_reduce(ar, ai, br, bi,
+                                                  srow_g, scol_g)
+                    bsign = jnp.asarray(np.array(
+                        [-1.0 if bin(s & infos[j][3]).count("1") % 2
+                         else 1.0 for j in idxs], np.float32))
+                    tr_acc = tr_acc + bsign * tr
+                    ti_acc = ti_acc + bsign * ti
+                if any(infos[j][1] for j in idxs):
+                    sgs = jnp.asarray([infos[j][1] for j in idxs],
+                                      jnp.int32)
+                    dsign = _parity_pm1(
+                        jax.lax.axis_index(AXIS).astype(jnp.int32) & sgs)
+                    tr_acc = tr_acc * dsign
+                    ti_acc = ti_acc * dsign
+                trs.append(tr_acc)
+                tis.append(ti_acc)
+            return (jax.lax.psum(jnp.concatenate(trs), AXIS),
+                    jax.lax.psum(jnp.concatenate(tis), AXIS))
 
-        return body
+        return body, order
 
     def _to_phys_pauli(self, pauli: str) -> str:
         pauli = pauli.upper()
@@ -911,34 +935,32 @@ class ShardedSim:
     def expectation(self, pauli: str) -> float:
         """Pauli-string expectation (logical qubit order, I/X/Y/Z)."""
         phys_pauli = self._to_phys_pauli(pauli)
-        tr, ti = self._expectation_fn(phys_pauli)(self.banks)
+        tr, ti = jax.device_get(self._expectation_fn(phys_pauli)(self.banks))
         # count on the PHYSICAL string: _to_phys_pauli uppercased it
         # (counting the raw input would drop the i^{#Y} factor for
         # lowercase 'y'), and relabeling preserves the letter multiset
         n_y = sum(1 for c in phys_pauli if c == "Y")
-        val = complex(float(tr), float(ti)) * (1j ** n_y)
+        val = complex(float(tr[0]), float(ti[0])) * (1j ** n_y)
         return float(val.real)
 
     def expectation_sum(self, terms) -> float:
         """<psi| sum_j c_j P_j |psi> for ``terms = [(coef, pauli), ...]``
-        in ONE shard_map dispatch (the VQE/Hamiltonian shape) — per-term
-        reductions share the state reads and psum together."""
+        in ONE shard_map dispatch (the VQE/Hamiltonian shape): terms group
+        by flip signature and reduce via blocked MXU sign-table matmuls —
+        bounded temps at any term count (see _expectation_sum_body)."""
         phys_paulis = tuple(self._to_phys_pauli(p) for _, p in terms)
         key = ("expectsum", phys_paulis)
         if key not in self._cache:
-            bodies = [self._expectation_body(p) for p in phys_paulis]
-
-            def body(banks):
-                return tuple(b(banks) for b in bodies)
-
-            self._cache[key] = self._smap(
-                body, out_specs=tuple((P(), P()) for _ in bodies),
-                donate=False)
-        vals = jax.device_get(self._cache[key](self.banks))
+            body, order = self._expectation_sum_body(phys_paulis)
+            self._cache[key] = (self._smap(body, out_specs=(P(), P()),
+                                           donate=False), order)
+        fn, order = self._cache[key]
+        tr, ti = (np.asarray(x) for x in jax.device_get(fn(self.banks)))
         total = 0.0
-        for (coef, pauli), (tr, ti) in zip(terms, vals):
-            n_y = sum(1 for c in pauli.upper() if c == "Y")
-            total += coef * (complex(float(tr), float(ti)) * (1j ** n_y)).real
+        for pos, j in enumerate(order):
+            n_y = sum(1 for c in phys_paulis[j] if c == "Y")
+            val = complex(float(tr[pos]), float(ti[pos])) * (1j ** n_y)
+            total += terms[j][0] * val.real
         return float(total)
 
     # -- sampling ----------------------------------------------------------------

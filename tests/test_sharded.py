@@ -227,6 +227,36 @@ def test_sharded_expectation_after_relabel_swap(mesh):
         assert abs(sim.expectation(pauli) - expected) < 1e-5, pauli
 
 
+def test_sharded_expectation_wide_local_block(mesh):
+    """m > 7 local qubits (C = 2048 canonical layout): the expectation
+    body must use the PHYSICAL lane width — the pre-fix code built 128-wide
+    sign tables against (Rm, 2048) blocks and crashed on every realistic
+    size. Covers diag, row-flip, group-flip and lane-flip local targets
+    plus device/bank-bit paths."""
+    from qubism_tpu.ops.measure import expectation_pauli
+
+    n = 15  # d=3 on the 8-device mesh -> m=12, C=2048, Rm=2
+    prims = brickwork_prims(n, depth=2, seed=9)
+    sim = ShardedSim(n, mesh)
+    sim.apply(prims)
+    ref_planes = CompiledCircuit(n, prims, use_pallas=False)(zero_state(n))
+    for pauli in ("Z" + "I" * (n - 1),          # device-bit Z
+                  "X" + "I" * (n - 1),          # device-bit X -> ppermute
+                  "I" * 3 + "Z" + "I" * (n - 4),  # local row bit
+                  "I" * 3 + "X" + "I" * (n - 4),  # local row flip
+                  "I" * (n - 1) + "X",          # lane lo flip
+                  "I" * (n - 4) + "Y" + "I" * 3,  # lane group flip
+                  "Z" * n,                      # all-Z diag
+                  "XY" + "I" * (n - 4) + "ZX"):  # mixed everything
+        expected = expectation_pauli(ref_planes, n, pauli)
+        assert abs(sim.expectation(pauli) - expected) < 1e-4, pauli
+    # the grouped sum path at m > 7
+    terms = [(0.7, "Z" * n), (-0.3, "X" + "I" * (n - 1)),
+             (1.1, "I" * (n - 1) + "Z"), (0.25, "I" * (n - 2) + "XY")]
+    ref = sum(c * expectation_pauli(ref_planes, n, p) for c, p in terms)
+    assert abs(sim.expectation_sum(terms) - ref) < 1e-4
+
+
 # -- per-device sub-shard banks (the 33-34q representation) --------------------
 
 
