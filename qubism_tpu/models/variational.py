@@ -39,7 +39,7 @@ from ..core.gates import Prim
 from ..ops.apply import (_sort_targets, apply_gate_lane_traced,
                          apply_gate_row_traced, diag_factor_traced,
                          expand_diag_traced, plan_view, zero_state, _COL)
-from ..ops.measure import _check_pauli, _expectation_pair_body
+from ..ops.measure import _check_pauli
 
 
 # ---------------------------------------------------------------------------
@@ -325,12 +325,38 @@ def state_fn(ansatz: Ansatz):
 
 
 def _terms_energy(planes, n, terms, paulis):
+    """Traced, differentiable <psi|sum c_j P_j|psi>: terms group by flip
+    mask and reduce via the blocked MXU sign-table path (bounded temps at
+    any term count — the per-term reductions OOM past n~27), with sign
+    tables generated on device (no big trace constants)."""
+    from ..ops.measure import (_blocked_pair_reduce, _canon_width,
+                               _exp_masks, _flip_canon, _lane_flip_matrix,
+                               _sign_masks, _sign_tables_traced)
+
+    C = _canon_width(planes, n)
+    R = (1 << n) // C
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for j, p in enumerate(paulis):
+        groups.setdefault(_exp_masks(p, n, C), []).append(j)
+    ar = planes[0].reshape(R, C)
+    ai = planes[1].reshape(R, C)
     e = jnp.float32(0.0)
-    for (coef, _), p in zip(terms, paulis):
-        tr, ti = _expectation_pair_body(p, n, planes, planes)
-        k = sum(1 for c in p if c == "Y") % 4
-        val = (tr, -ti, -tr, ti)[k]  # Re((tr + i*ti) * i^k)
-        e = e + jnp.float32(coef) * val
+    for (row_mask, grp_mask, lo_mask), idxs in groups.items():
+        smasks = [_sign_masks([q for q, ch in enumerate(paulis[j])
+                               if ch in "YZ"], n, C) for j in idxs]
+        srow_g, scol_g = _sign_tables_traced(smasks, R, C)
+        lo_p = (jnp.asarray(_lane_flip_matrix(min(128, C), lo_mask))
+                if lo_mask else None)
+        if row_mask or grp_mask or lo_mask:
+            br = _flip_canon(ar, row_mask, grp_mask, lo_p)
+            bi = _flip_canon(ai, row_mask, grp_mask, lo_p)
+        else:
+            br = bi = None                      # diagonal shortcut (b is a)
+        tr, ti = _blocked_pair_reduce(ar, ai, br, bi, srow_g, scol_g)
+        for pos, j in enumerate(idxs):
+            k = sum(1 for c in paulis[j] if c == "Y") % 4
+            val = (tr[pos], -ti[pos], -tr[pos], ti[pos])[k]
+            e = e + jnp.float32(terms[j][0]) * val
     return e
 
 

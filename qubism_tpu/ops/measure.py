@@ -251,10 +251,24 @@ def measure_qubits(planes: Planes, key: jax.Array, qubits: tuple[int, ...],
     a threshold). Returns (outcomes (k,), planes', key')."""
     qubits = tuple(qubits)
     if (not config.force_sequential_measure
-            and 0 < len(qubits) <= _MEASURE_TABLE_MAX
+            and len(qubits) > 0
             and len(set(qubits)) == len(qubits)):
-        return _measure_table_impl(planes, key, qubits, n,
-                                   config.reference_sqrt_born)
+        if len(qubits) <= _MEASURE_TABLE_MAX:
+            return _measure_table_impl(planes, key, qubits, n,
+                                       config.reference_sqrt_born)
+        # wide measurement (e.g. a whole 28-bit register readout): chunks
+        # of <= _MEASURE_TABLE_MAX qubits, each one ~2-sweep table
+        # dispatch on the progressively collapsed state — the stream
+        # semantics (key-split order, conditional Born masses) compose
+        # exactly like the sequential path, at ~2 sweeps per 16 qubits
+        # instead of 2 per qubit
+        outs = []
+        for i in range(0, len(qubits), _MEASURE_TABLE_MAX):
+            o, planes, key = _measure_table_impl(
+                planes, key, qubits[i:i + _MEASURE_TABLE_MAX], n,
+                config.reference_sqrt_born)
+            outs.append(o)
+        return jnp.concatenate(outs), planes, key
     return _measure_seq_impl(planes, key, qubits, n,
                              config.reference_sqrt_born)
 

@@ -189,6 +189,37 @@ def test_measure_qubits_table_matches_sequential(n, qubits, sqrt_born):
         assert np.array_equal(np.asarray(k1), np.asarray(k2))
 
 
+def test_measure_qubits_chunked_wide_matches_sequential():
+    """Measuring > _MEASURE_TABLE_MAX qubits goes through chunked table
+    dispatches whose outcomes and collapsed state must match
+    collapse-as-you-go for the same key."""
+    import jax
+    import numpy as np
+
+    from qubism_tpu.ops import measure as M
+    from qubism_tpu.ops.apply import complex_from_planes, planes_from_complex
+
+    n = 9
+    rng = np.random.default_rng(31)
+    qubits = tuple(np.random.default_rng(7).permutation(n))  # all 9 qubits
+    assert len(qubits) > 2
+    for seed in range(6):
+        v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+        v /= np.linalg.norm(v)
+        key = jax.random.PRNGKey(seed)
+        import unittest.mock as mock
+
+        o1, p1, k1 = M._measure_seq_impl(
+            planes_from_complex(v), key, qubits, n, False)
+        with mock.patch.object(M, "_MEASURE_TABLE_MAX", 4):
+            o2, p2, k2 = M.measure_qubits(
+                planes_from_complex(v), key, qubits, n)
+        assert np.array_equal(np.asarray(o1), np.asarray(o2)), seed
+        a, b = complex_from_planes(p1), complex_from_planes(p2)
+        assert np.linalg.norm(a - b) < 1e-5, seed
+        assert np.array_equal(np.asarray(k1), np.asarray(k2))
+
+
 def test_force_sequential_measure_escape_hatch():
     """config.force_sequential_measure pins measure_qubits to the per-qubit
     stream (cross-version bit-for-bit seeded reproducibility; ADVICE r2)."""
