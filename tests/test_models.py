@@ -322,6 +322,35 @@ def test_expectation_pauli_sum_virtual_matches():
     assert abs(got - ref) < 1e-5
 
 
+def test_expectation_pauli_sum_random_fuzz():
+    """Random Pauli sums on random states vs the dense-matrix oracle:
+    exercises every flip-group shape (diag, row/group/lane flips, shared
+    and distinct masks, repeated strings) through the blocked reduction."""
+    import jax.numpy as jnp
+
+    from qubism_tpu.ops.measure import expectation_pauli_sum
+
+    rng = np.random.default_rng(17)
+    n = 9
+    for trial in range(6):
+        v = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+        v /= np.linalg.norm(v)
+        from qubism_tpu.ops.apply import planes_from_complex
+
+        re, im = planes_from_complex(v)
+        planes = (jnp.asarray(re), jnp.asarray(im))
+        k = int(rng.integers(1, 24))
+        terms = []
+        for _ in range(k):
+            p = "".join(rng.choice(list("IXYZ"), p=[0.55, 0.15, 0.15, 0.15])
+                        for _ in range(n))
+            terms.append((float(rng.normal()), p))
+        ref = sum(c * float(np.real(v.conj() @ dense_pauli(p) @ v))
+                  for c, p in terms)
+        got = expectation_pauli_sum(planes, n, terms)
+        assert abs(got - ref) < 1e-4 * max(1.0, abs(ref)), (trial, ref, got)
+
+
 def test_expectation_pauli_sum_blocked_multistep(monkeypatch):
     """The blocked MXU reduction with steps > 1 (forced via a 1-row block)
     must match the per-string loop — covers the scan carry across row
