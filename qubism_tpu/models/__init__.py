@@ -17,6 +17,13 @@ from .variational import (  # noqa: F401
     value_and_grad_fn,
     vqe_minimize,
 )
+from .dynamics import (  # noqa: F401
+    evolve,
+    evolve_observed,
+    pauli_rotation_prim,
+    trotter_prims,
+    trotter_step_prims,
+)
 from .hamiltonians import (  # noqa: F401
     h2_minimal,
     heisenberg_xxz,

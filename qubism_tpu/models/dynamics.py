@@ -1,0 +1,182 @@
+"""Trotterized Hamiltonian dynamics: |psi(t)> = exp(-iHt) |psi(0)>.
+
+The reference has no time-evolution capability at all (its only dynamics
+is gate application, src/Qubism/QGate.hs:79-84); this module is a
+beyond-reference capability that falls out of the TPU engine design: the
+``(coef, pauli_string)`` terms that :mod:`qubism_tpu.models.hamiltonians`
+emits are exponentiated term-by-term into rotation prims
+``exp(-i theta/2 P)`` and composed into first- or second-order (Strang)
+Trotter steps — plain :class:`~qubism_tpu.core.gates.Prim` streams, so the
+fusion engine, virtual shards, the mesh path, sampling and the Pauli-sum
+expectation machinery all apply unchanged.
+
+Pure Z-strings exponentiate to *diagonal* prims (the fusion layer folds
+whole ladders of them into one streaming pass), so e.g. a TFIM Trotter
+step is one diagonal pass + one 1q-layer pass regardless of chain length.
+
+Error model (standard Trotter bounds): first order O(t^2/steps), Strang
+O(t^3/steps^2) per total evolution — tests pin both rates against a dense
+``expm`` oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..core.gates import Prim
+
+_P1 = {
+    "X": np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex),
+    "Y": np.array([[0.0, -1.0j], [1.0j, 0.0]], dtype=complex),
+    "Z": np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex),
+}
+
+# dense rotation prims materialize 2^k x 2^k hosts-side matrices; past
+# this support size the term should be split (or the Hamiltonian is not
+# local in any meaningful sense)
+_MAX_SUPPORT = 6
+
+
+def _support(pauli: str) -> tuple[tuple[int, ...], str]:
+    """(targets, compact letters) for the non-identity positions.
+
+    ``pauli[q]`` acts on qubit q (qubit 0 = most significant index bit,
+    matching the expectation surfaces, SURVEY.md section 2.4.4)."""
+    targets = tuple(q for q, c in enumerate(pauli) if c != "I")
+    letters = "".join(pauli[q] for q in targets)
+    for c in letters:
+        if c not in "XYZ":
+            raise ValueError(f"bad Pauli letter {c!r} in {pauli!r}")
+    return targets, letters
+
+
+def pauli_rotation_prim(theta: float, pauli: str) -> Prim | None:
+    """``exp(-i theta/2 * P)`` as one Prim on P's support.
+
+    Since P^2 = I this is exactly ``cos(theta/2) I - i sin(theta/2) P`` —
+    no matrix exponential needed. Pure Z-strings (and the empty string)
+    produce a *diagonal* prim: entry ``exp(-i theta/2 * (-1)^parity)``.
+    Returns None for an identity string (a global phase the simulator
+    does not track — same convention as the reference's gate algebra)."""
+    targets, letters = _support(pauli)
+    if not targets:
+        return None
+    k = len(targets)
+    if k > _MAX_SUPPORT:
+        raise ValueError(
+            f"Pauli term {pauli!r} has weight {k} > {_MAX_SUPPORT}; "
+            f"split the term or coarse-grain the Hamiltonian")
+    half = 0.5 * theta
+    if set(letters) == {"Z"}:
+        idx = np.arange(1 << k)
+        parity = np.zeros(1 << k, dtype=np.int64)
+        for b in range(k):
+            parity ^= (idx >> (k - 1 - b)) & 1
+        sign = 1.0 - 2.0 * parity  # +1 even parity, -1 odd
+        d = np.exp(-1.0j * half * sign)
+        return Prim(d, targets, diag=True)
+    p = _P1[letters[0]]
+    for c in letters[1:]:
+        p = np.kron(p, _P1[c])
+    u = math.cos(half) * np.eye(1 << k, dtype=complex) \
+        - 1.0j * math.sin(half) * p
+    return Prim(u, targets)
+
+
+def trotter_step_prims(terms, dt: float, order: int = 2) -> list[Prim]:
+    """One Trotter step of ``exp(-i dt * sum_j c_j P_j)``.
+
+    order=1: Lie product  prod_j exp(-i c_j dt P_j).
+    order=2: Strang split prod_j exp(-i c_j dt/2 P_j) * (reversed prod).
+    Terms are exponentiated in the given order — group commuting terms
+    adjacently (as the :mod:`hamiltonians` builders already do) so the
+    fusion layer folds them into shared passes."""
+    if order == 1:
+        seq = [(2.0 * c * dt, p) for c, p in terms]
+    elif order == 2:
+        half = [(c * dt, p) for c, p in terms]
+        seq = half + half[::-1]
+    else:
+        raise ValueError(f"order must be 1 or 2, got {order}")
+    out = []
+    for theta, p in seq:
+        prim = pauli_rotation_prim(theta, p)
+        if prim is not None:
+            out.append(prim)
+    return out
+
+
+def trotter_prims(terms, t: float, steps: int, order: int = 2) -> list[Prim]:
+    """The full ``exp(-iHt)`` circuit: ``steps`` repeated Trotter steps.
+
+    The step stream is replicated host-side (prims are tiny host arrays;
+    the engine jits per fused chunk, and identical chunks share the
+    compile cache), so deep evolutions cost compile time O(one step)."""
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    step = trotter_step_prims(terms, t / steps, order)
+    return step * steps
+
+
+def _own_planes(planes, n: int):
+    """A private copy of ``planes``: the fused executor donates its input
+    buffers (in-place chains), which would silently invalidate the
+    caller's StateVec. One streaming copy is noise against any multi-step
+    evolution."""
+    import jax.numpy as jnp
+
+    del n
+    return tuple(jnp.array(p, copy=True) for p in planes)
+
+
+def evolve(state, terms, t: float, steps: int, order: int = 2,
+           **compile_kwargs):
+    """Evolve a :class:`~qubism_tpu.core.statevec.StateVec` under the
+    Pauli-sum Hamiltonian ``terms`` for time ``t``: returns psi(t).
+
+    Runs the prims through :class:`~qubism_tpu.ops.fusion.CompiledCircuit`
+    (single-chip representation; for n > 29 build the circuit yourself
+    with ``virtual_shards`` or use the mesh path)."""
+    from ..core.statevec import StateVec
+    from ..ops.fusion import CompiledCircuit
+
+    n = state.n
+    circ = CompiledCircuit(n, trotter_prims(terms, t, steps, order),
+                           virtual_shards=0, **compile_kwargs)
+    return StateVec(n, circ(_own_planes(state.planes, n)))
+
+
+def evolve_observed(state, terms, observables, t: float, steps: int,
+                    order: int = 2, record_every: int = 1,
+                    **compile_kwargs):
+    """Evolve while recording observables: returns ``(times, values,
+    final_state)`` with ``values[i][j] = <obs_j>(times[i])``.
+
+    Each observable is a Pauli-sum ``[(coef, pauli), ...]`` (a bare
+    string means ``[(1.0, string)]``). One compiled segment of
+    ``record_every`` Trotter steps is reused across the whole sweep, and
+    the t=0 point is included."""
+    from ..core.statevec import StateVec
+    from ..ops.fusion import CompiledCircuit
+
+    obs = [[(1.0, o)] if isinstance(o, str) else list(o)
+           for o in observables]
+    n = state.n
+    if steps % record_every:
+        raise ValueError("record_every must divide steps")
+    dt_seg = t * record_every / steps
+    seg = CompiledCircuit(
+        n, trotter_prims(terms, dt_seg, record_every, order),
+        virtual_shards=0, **compile_kwargs)
+    times = [0.0]
+    values = [[state.expectation_sum(o) for o in obs]]
+    cur = _own_planes(state.planes, n)
+    n_seg = steps // record_every
+    for i in range(n_seg):
+        cur = seg(cur)
+        sv = StateVec(n, cur)
+        times.append(dt_seg * (i + 1))
+        values.append([sv.expectation_sum(o) for o in obs])
+    return np.array(times), np.array(values), StateVec(n, cur)
