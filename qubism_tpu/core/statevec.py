@@ -145,6 +145,64 @@ class StateVec:
 
         return entanglement_entropy(self.planes, self.n, subset, base)
 
+    # -- amplitude queries -----------------------------------------------------
+
+    def _basis_index(self, bits) -> int:
+        """Basis index from an int, a '0110' string, or a bit sequence
+        (qubit 0 first = most significant index bit, matching Show)."""
+        if isinstance(bits, str):
+            if len(bits) != self.n or set(bits) - {"0", "1"}:
+                raise ValueError(f"bitstring {bits!r} is not {self.n} of 0/1")
+            idx = int(bits, 2)
+        elif isinstance(bits, (int, np.integer)):
+            idx = int(bits)
+        else:
+            seq = list(bits)
+            if len(seq) != self.n:
+                raise ValueError(f"expected {self.n} bits, got {len(seq)}")
+            idx = 0
+            for b in seq:
+                idx = (idx << 1) | (int(b) & 1)
+        if not 0 <= idx < (1 << self.n):
+            raise ValueError(f"basis index {idx} out of range for n={self.n}")
+        return idx
+
+    def amplitude(self, bits) -> complex:
+        """One amplitude <b|psi> — a scalar device read, NOT a full
+        2^n transfer (usable at any n the state itself fits)."""
+        idx = self._basis_index(bits)
+        re, im = self.planes
+        if re.ndim == 2:
+            r, c = divmod(idx, re.shape[1])
+            return complex(float(re[r, c]), float(im[r, c]))
+        return complex(float(re[idx]), float(im[idx]))
+
+    def probability(self, bits) -> float:
+        """Born probability |<b|psi>|^2 of one basis state."""
+        a = self.amplitude(bits)
+        return a.real * a.real + a.imag * a.imag
+
+    def probs(self) -> np.ndarray:
+        """The full Born distribution as a host (2^n,) float64 array.
+        Guarded: past n=26 this is a multi-GiB host transfer — use
+        :meth:`sample` / :meth:`probability` instead."""
+        if self.n > 26:
+            raise ValueError(
+                f"probs() materializes 2^{self.n} host floats; sample() or "
+                f"probability(bits) scale to large n")
+        a = self.amps
+        return (a.real * a.real + a.imag * a.imag)
+
+    def sample(self, shots: int, key: jax.Array | None = None,
+               seed: int | None = None) -> dict[str, int]:
+        """Non-destructive shot sampling: {bitstring: count} via the
+        hierarchical device sampler (the state is NOT collapsed)."""
+        from ..ops import sample as _sample
+
+        if key is None:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+        return _sample.sample_counts(self.planes, self.n, shots, key)
+
     # -- measurement ---------------------------------------------------------
 
     def prob_one(self, i: int) -> float:

@@ -131,3 +131,63 @@ def test_adjoint_conjugates():
     adj = sv.adjoint()
     assert np.allclose(adj.amps, np.conj(sv.amps), atol=1e-7)
     assert np.isclose(sv.adjoint().inner(sv.adjoint()), 1.0)
+
+
+# -- amplitude queries / sampling conveniences --------------------------------
+
+def _bell():
+    return StateVec.from_amplitudes(
+        np.array([1, 0, 0, 1], dtype=complex) / np.sqrt(2))
+
+
+def test_amplitude_accepts_int_string_and_bits(rng):
+    sv = rand_state(rng, 3)
+    amps = np.asarray(sv.amps)
+    for idx in range(8):
+        s = format(idx, "03b")
+        a = sv.amplitude(idx)
+        assert a == pytest.approx(amps[idx], abs=1e-6)
+        assert sv.amplitude(s) == pytest.approx(a, abs=1e-12)
+        assert sv.amplitude([int(c) for c in s]) == pytest.approx(a, abs=1e-12)
+
+
+def test_amplitude_bad_inputs():
+    sv = _bell()
+    with pytest.raises(ValueError):
+        sv.amplitude("012")
+    with pytest.raises(ValueError):
+        sv.amplitude("0")
+    with pytest.raises(ValueError):
+        sv.amplitude(4)
+    with pytest.raises(ValueError):
+        sv.amplitude([0, 1, 1])
+
+
+def test_probability_and_probs(rng):
+    sv = rand_state(rng, 4)
+    probs = sv.probs()
+    assert probs.sum() == pytest.approx(1.0, abs=1e-5)
+    for idx in (0, 7, 15):
+        assert sv.probability(idx) == pytest.approx(probs[idx], abs=1e-6)
+
+
+def test_probs_guard():
+    sv = StateVec.zero(2)
+    object.__setattr__(sv, "n", 27)  # shape check would OOM; fake the guard
+    with pytest.raises(ValueError, match="probs"):
+        sv.probs()
+
+
+def test_sample_is_nondestructive_and_born():
+    sv = _bell()
+    counts = sv.sample(4096, seed=3)
+    assert set(counts) <= {"00", "11"}
+    assert sum(counts.values()) == 4096
+    assert abs(counts.get("00", 0) - 2048) < 4 * np.sqrt(1024)
+    # the state is untouched
+    assert sv.probability("00") == pytest.approx(0.5, abs=1e-6)
+
+
+def test_sample_seed_reproducible():
+    sv = _bell()
+    assert sv.sample(256, seed=9) == sv.sample(256, seed=9)
