@@ -20,6 +20,9 @@ from .variational import (  # noqa: F401
 from .dynamics import (  # noqa: F401
     evolve,
     evolve_observed,
+    imaginary_time_evolve,
+    ite_step_prims,
+    pauli_exp_prim,
     pauli_rotation_prim,
     trotter_prims,
     trotter_step_prims,

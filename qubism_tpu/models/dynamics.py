@@ -85,6 +85,85 @@ def pauli_rotation_prim(theta: float, pauli: str) -> Prim | None:
     return Prim(u, targets)
 
 
+def pauli_exp_prim(a: float, pauli: str) -> Prim | None:
+    """``exp(-a * P)`` (a real) as one NON-unitary Prim on P's support:
+    ``cosh(a) I - sinh(a) P``. The engine applies arbitrary matrices, so
+    imaginary-time factors ride the same kernels as real-time rotations;
+    pure Z-strings are diagonal (entries ``exp(-a * (+-1))``). None for
+    the identity string (a scalar rescale the per-step normalization
+    absorbs anyway)."""
+    targets, letters = _support(pauli)
+    if not targets:
+        return None
+    k = len(targets)
+    if k > _MAX_SUPPORT:
+        raise ValueError(
+            f"Pauli term {pauli!r} has weight {k} > {_MAX_SUPPORT}; "
+            f"split the term or coarse-grain the Hamiltonian")
+    if set(letters) == {"Z"}:
+        idx = np.arange(1 << k)
+        parity = np.zeros(1 << k, dtype=np.int64)
+        for b in range(k):
+            parity ^= (idx >> (k - 1 - b)) & 1
+        sign = 1.0 - 2.0 * parity
+        return Prim(np.exp(-a * sign).astype(complex), targets, diag=True)
+    p = _P1[letters[0]]
+    for c in letters[1:]:
+        p = np.kron(p, _P1[c])
+    u = math.cosh(a) * np.eye(1 << k, dtype=complex) - math.sinh(a) * p
+    return Prim(u, targets)
+
+
+def ite_step_prims(terms, dtau: float, order: int = 2) -> list[Prim]:
+    """One imaginary-time Trotter step of ``exp(-dtau * sum_j c_j P_j)``
+    (same first-order / Strang splittings as :func:`trotter_step_prims`)."""
+    if order == 1:
+        seq = [(c * dtau, p) for c, p in terms]
+    elif order == 2:
+        half = [(c * dtau / 2.0, p) for c, p in terms]
+        seq = half + half[::-1]
+    else:
+        raise ValueError(f"order must be 1 or 2, got {order}")
+    out = []
+    for a, p in seq:
+        prim = pauli_exp_prim(a, p)
+        if prim is not None:
+            out.append(prim)
+    return out
+
+
+def imaginary_time_evolve(state, terms, tau: float, steps: int,
+                          order: int = 2, record_energy: bool = False,
+                          **compile_kwargs):
+    """Ground-state projection by imaginary-time evolution:
+    ``psi(tau) = exp(-tau H) psi0 / ||...||`` suppresses every excited
+    component by ``exp(-tau (E_k - E_0))``, so for any psi0 with nonzero
+    ground-state overlap the energy ``<H>(tau)`` converges to E_0 from
+    above. A variational-free ground-state solver on the same engine as
+    the VQE path (models/variational.py) — useful as its independent
+    cross-check.
+
+    The state is renormalized after every step (the factors are
+    non-unitary; float32 planes under/overflow otherwise). Returns
+    ``(final_state, energies)`` where ``energies[i] = <H>`` after step i
+    (computed only when ``record_energy``; else an empty list)."""
+    from ..core.statevec import StateVec
+    from ..ops.fusion import CompiledCircuit
+
+    n = state.n
+    step = CompiledCircuit(n, ite_step_prims(terms, tau / steps, order),
+                           virtual_shards=0, **compile_kwargs)
+    cur = StateVec(n, step(_own_planes(state.planes, n))).normalize()
+    energies = []
+    if record_energy:
+        energies.append(cur.expectation_sum(terms))
+    for _ in range(steps - 1):
+        cur = StateVec(n, step(cur.planes)).normalize()
+        if record_energy:
+            energies.append(cur.expectation_sum(terms))
+    return cur, energies
+
+
 def trotter_step_prims(terms, dt: float, order: int = 2) -> list[Prim]:
     """One Trotter step of ``exp(-i dt * sum_j c_j P_j)``.
 

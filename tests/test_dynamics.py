@@ -198,3 +198,63 @@ def test_evolve_does_not_invalidate_input_state():
     _ = evolve(sv, terms, 0.3, 4)
     # the original state must still be readable (no donated-buffer error)
     assert sv.amps[0] == pytest.approx(1.0, abs=1e-6)
+
+
+# -- imaginary-time evolution ---------------------------------------------------
+
+from qubism_tpu.models.dynamics import (imaginary_time_evolve,  # noqa: E402
+                                        ite_step_prims, pauli_exp_prim)
+
+
+@pytest.mark.parametrize("pauli", ["XX", "ZZ", "XY", "ZIZ", "Y"])
+def test_pauli_exp_prim_is_exact(pauli):
+    a = 0.37
+    prim = pauli_exp_prim(a, pauli)
+    n = len(pauli)
+    got = _prim_dense(prim, n)
+    w, v = np.linalg.eigh(_dense_pauli(pauli))
+    want = (v * np.exp(-a * w)) @ v.conj().T
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_pauli_exp_prim_z_is_diag_identity_none():
+    assert pauli_exp_prim(0.2, "ZZI").diag
+    assert pauli_exp_prim(0.2, "II") is None
+    with pytest.raises(ValueError, match="order"):
+        ite_step_prims([(1.0, "X")], 0.1, order=3)
+
+
+def test_ite_matches_dense_projection():
+    """The Trotterized exp(-tau H) matches the dense operator (normalized)."""
+    n = 3
+    terms, _ = tfim(n, j=1.1, h=0.7)
+    psi0 = _random_state(n, seed=2)
+    tau, steps = 0.6, 48
+    want = _expm_herm(_dense_h(terms, n), -1j * tau) @ psi0  # exp(-tau H)
+    want = want / np.linalg.norm(want)
+    got, _ = imaginary_time_evolve(StateVec.from_amplitudes(psi0), terms,
+                                   tau, steps)
+    assert np.linalg.norm(got.amps - want) < 2e-3
+
+
+def test_ite_converges_to_ground_state():
+    n = 5
+    terms, _ = tfim(n, j=1.0, h=1.0)
+    h = _dense_h(terms, n)
+    e0 = np.linalg.eigvalsh(h)[0]
+    sv, energies = imaginary_time_evolve(StateVec.zero(n), terms,
+                                         tau=6.0, steps=120,
+                                         record_energy=True)
+    assert energies[-1] == pytest.approx(e0, abs=2e-2)
+    # monotone decrease up to Trotter/f32 noise
+    e = np.array(energies)
+    assert np.all(np.diff(e) < 1e-3)
+    # agrees with the variational surface's independent energy
+    assert sv.expectation_sum(terms) == pytest.approx(e0, abs=2e-2)
+
+
+def test_ite_input_state_survives():
+    sv = StateVec.zero(3)
+    terms, _ = tfim(3)
+    imaginary_time_evolve(sv, terms, 0.5, 4)
+    assert sv.amps[0] == pytest.approx(1.0, abs=1e-6)
