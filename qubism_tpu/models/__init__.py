@@ -47,6 +47,13 @@ from .circuits import (  # noqa: F401
     qft_qasm,
     ring_edges,
 )
+from .xeb import (  # noqa: F401
+    counts_to_indices,
+    linear_xeb,
+    log_xeb,
+    sampled_probabilities,
+    xeb_stderr,
+)
 from .trajectories import (  # noqa: F401
     ChannelOp,
     run_trajectories,
