@@ -47,6 +47,11 @@ from .circuits import (  # noqa: F401
     qft_qasm,
     ring_edges,
 )
+from .shor import (  # noqa: F401
+    estimate_order,
+    shor_factor,
+    shor_order_prims,
+)
 from .xeb import (  # noqa: F401
     counts_to_indices,
     linear_xeb,
