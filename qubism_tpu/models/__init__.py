@@ -47,6 +47,13 @@ from .circuits import (  # noqa: F401
     qft_qasm,
     ring_edges,
 )
+from .amplitude import (  # noqa: F401
+    amplitude_exact,
+    grover_iterate_prims,
+    invert_prims,
+    mlae_estimate,
+    reflection_prim,
+)
 from .shor import (  # noqa: F401
     estimate_order,
     shor_factor,
