@@ -54,6 +54,14 @@ from .amplitude import (  # noqa: F401
     mlae_estimate,
     reflection_prim,
 )
+from .rb import (  # noqa: F401
+    clifford_group,
+    fit_rb,
+    rb_experiment,
+    rb_prims,
+    rb_sequence,
+    rb_survivals,
+)
 from .shor import (  # noqa: F401
     estimate_order,
     shor_factor,
