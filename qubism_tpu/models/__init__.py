@@ -54,6 +54,13 @@ from .amplitude import (  # noqa: F401
     mlae_estimate,
     reflection_prim,
 )
+from .qv import (  # noqa: F401
+    haar_su4,
+    heavy_set,
+    measured_quantum_volume,
+    qv_experiment,
+    qv_prims,
+)
 from .rb import (  # noqa: F401
     clifford_group,
     fit_rb,
