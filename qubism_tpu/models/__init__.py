@@ -64,6 +64,7 @@ from .qv import (  # noqa: F401
 from .rb import (  # noqa: F401
     clifford_group,
     fit_rb,
+    irb_experiment,
     rb_experiment,
     rb_prims,
     rb_sequence,

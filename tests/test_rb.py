@@ -103,3 +103,36 @@ def test_rb_trajectories_agrees_with_density():
     for e, s in zip(exact, est):
         sigma = math.sqrt(e * (1 - e) / 768) + 1e-9
         assert abs(e - s) < 5 * sigma + 0.02, (e, s)
+
+
+def test_interleaved_rb_recovers_gate_error():
+    """IRB with depolarizing background (alpha1) and a private depolarizing
+    channel on the interleaved gate (alpha2): every interleaved step decays
+    by alpha1^2 * alpha2 exactly (G is a physical gate, so it carries the
+    background channel too), and r_G = (1 - alpha1*alpha2)/2 — the full
+    error attributed to G."""
+    from qubism_tpu.models.rb import irb_experiment
+
+    p1, p2 = 0.02, 0.05
+    a1 = 1 - 4 * p1 / 3
+    a2 = 1 - 4 * p2 / 3
+    alpha_ref, alpha_int, r_gate = irb_experiment(
+        1, gate_idx=3, kraus=depolarizing(p1), gate_kraus=depolarizing(p2),
+        ms=(1, 2, 4), n_seq=3, seed=1)
+    assert abs(alpha_ref - a1) < 1e-6
+    assert abs(alpha_int - a1 * a1 * a2) < 1e-6
+    assert abs(r_gate - 0.5 * (1 - a1 * a2)) < 1e-6
+
+
+def test_interleaved_rb_clean_gate_measures_background():
+    """A noiseless interleaved gate still picks up the background channel:
+    r_G = (1 - alpha1)/2, i.e. one extra gate's worth of noise."""
+    from qubism_tpu.models.rb import irb_experiment
+
+    p = 0.03
+    a = 1 - 4 * p / 3
+    alpha_ref, alpha_int, r_gate = irb_experiment(
+        1, gate_idx=7, kraus=depolarizing(p), gate_kraus=None,
+        ms=(1, 2, 4), n_seq=3, seed=2)
+    assert abs(alpha_int - a * a) < 1e-6
+    assert abs(r_gate - 0.5 * (1 - a)) < 1e-6
