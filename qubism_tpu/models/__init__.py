@@ -54,6 +54,12 @@ from .amplitude import (  # noqa: F401
     mlae_estimate,
     reflection_prim,
 )
+from .mitigation import (  # noqa: F401
+    fold_prims,
+    mitigate_counts,
+    mitigate_z_expectation,
+    zne_expectation,
+)
 from .qv import (  # noqa: F401
     haar_su4,
     heavy_set,
