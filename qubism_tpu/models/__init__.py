@@ -81,6 +81,16 @@ from .shor import (  # noqa: F401
     shor_factor,
     shor_order_prims,
 )
+from .tomography import (  # noqa: F401
+    choi_from_kraus,
+    exact_state_tomography,
+    fidelity,
+    process_fidelity,
+    process_tomography,
+    project_to_physical,
+    reconstruct_state,
+    sampled_state_tomography,
+)
 from .xeb import (  # noqa: F401
     counts_to_indices,
     linear_xeb,
