@@ -75,6 +75,7 @@ from .rb import (  # noqa: F401
     rb_prims,
     rb_sequence,
     rb_survivals,
+    simultaneous_rb_survivals,
 )
 from .shor import (  # noqa: F401
     estimate_order,

@@ -136,3 +136,45 @@ def test_interleaved_rb_clean_gate_measures_background():
         ms=(1, 2, 4), n_seq=3, seed=2)
     assert abs(alpha_int - a * a) < 1e-6
     assert abs(r_gate - 0.5 * (1 - a)) < 1e-6
+
+
+def test_clifford_words_reconstruct_group():
+    from qubism_tpu.models.rb import clifford_words, clifford_group, _canon
+    import numpy as _np
+
+    group = clifford_group(1)
+    words = clifford_words()
+    _H1 = _np.array([[1, 1], [1, -1]], dtype=complex) / _np.sqrt(2)
+    _S1 = _np.diag([1, 1j]).astype(complex)
+    gens = {"h": _H1, "s": _S1}
+    assert len(words) == 24
+    for i, w in enumerate(words):
+        u = _np.eye(2, dtype=complex)
+        for g in w:
+            u = gens[g] @ u
+        assert _canon(u) == _canon(group[i]), (i, w)
+
+
+def test_simultaneous_rb_at_scale_on_frames():
+    """Simultaneous 1q RB on 64 qubits rides the Pauli-frame executor as
+    ONE program; every qubit's survival matches the exact per-gate-count
+    depolarizing law within 5-sigma binomial bands."""
+    from qubism_tpu.models.rb import simultaneous_rb_survivals
+
+    n, m, p, T = 64, 4, 0.02, 2048
+    surv, expected, used_frames = simultaneous_rb_survivals(n, m, p,
+                                                            ntraj=T, seed=6)
+    assert used_frames
+    assert surv.shape == (n,)
+    sigma = np.sqrt(expected * (1 - expected) / T)
+    assert (np.abs(surv - expected) < 5 * sigma + 1e-9).all(), (
+        np.abs(surv - expected).max(), sigma.max())
+
+
+def test_simultaneous_rb_noise_free_is_perfect():
+    from qubism_tpu.models.rb import simultaneous_rb_survivals
+
+    surv, expected, _ = simultaneous_rb_survivals(16, 3, 0.0, ntraj=64,
+                                                  seed=2)
+    assert np.allclose(surv, 1.0)
+    assert np.allclose(expected, 1.0)
