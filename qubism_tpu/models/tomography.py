@@ -143,6 +143,43 @@ def sampled_state_tomography(prims, n: int, shots: int = 2048,
     return out
 
 
+# -- direct fidelity estimation (Flammia-Liu PRL 106 230501) ---------------------
+
+
+def characteristic_fn(prims, n: int) -> dict[str, float]:
+    """chi(P) = <psi|P|psi> for every Pauli string, for the pure state
+    prepared by ``prims`` (n <= 5; sum of chi^2 / 2^n = 1 for pure states)."""
+    if n > 5:
+        raise ValueError("characteristic_fn: n <= 5 (4^n expectations)")
+    c = CompiledCircuit(n, list(prims))
+    amps = c.state_to_complex(c(c.init_state()))
+    return {p: float(np.real(amps.conj() @ (pauli_matrix(p) @ amps)))
+            for p in pauli_strings(n)}
+
+
+def direct_fidelity_estimate(prims, n: int, noisy_expectation_fn,
+                             n_paulis: int = 64, seed: int = 0,
+                             chi_cut: float = 1e-9):
+    """Flammia-Liu DFE of F = <psi|rho|psi> against the pure target
+    prepared by ``prims``: sample Pauli strings P with probability
+    chi_psi(P)^2 / 2^n, measure <P> on the device
+    (``noisy_expectation_fn(pauli) -> float``), and average the ratio
+    chi_rho(P)/chi_psi(P).  Needs O(1/eps^2) Paulis independent of n —
+    never full tomography.  Returns (estimate, stderr)."""
+    chi = characteristic_fn(prims, n)
+    labels = [p for p, v in chi.items() if abs(v) > chi_cut]
+    weights = np.array([chi[p] ** 2 for p in labels], dtype=np.float64)
+    weights /= weights.sum()
+    rng = np.random.default_rng(seed)
+    picks = rng.choice(len(labels), size=n_paulis, p=weights)
+    vals = np.array([noisy_expectation_fn(labels[i]) / chi[labels[i]]
+                     for i in picks], dtype=np.float64)
+    est = float(vals.mean())
+    se = float(vals.std(ddof=1) / math.sqrt(n_paulis)) if n_paulis > 1 else \
+        float("inf")
+    return est, se
+
+
 # -- process tomography ----------------------------------------------------------
 
 # 1q IC input states |s><s| and the complex weights expressing the matrix

@@ -125,3 +125,46 @@ def test_pauli_strings_count():
     assert len(pauli_strings(3)) == 64
     with pytest.raises(ValueError):
         exact_state_tomography(DensityMatrix(6))
+
+
+def test_characteristic_fn_pure_state_norm():
+    from qubism_tpu.models.tomography import characteristic_fn
+
+    n = 3
+    chi = characteristic_fn(ghz_prims(n), n)
+    # purity: sum chi^2 = 2^n; and chi(I..I) = 1
+    assert abs(sum(v * v for v in chi.values()) - 2 ** n) < 1e-4
+    assert abs(chi["I" * n] - 1.0) < 1e-6
+    # GHZ stabilizers appear with chi = +-1
+    assert abs(chi["XXX"] - 1.0) < 1e-5
+    assert abs(chi["ZZI"] - 1.0) < 1e-5
+
+
+def test_direct_fidelity_estimate_matches_overlap():
+    """DFE of a depolarized GHZ state converges to the exact overlap
+    <psi|rho|psi> computed from the density engine."""
+    from qubism_tpu.models.tomography import direct_fidelity_estimate
+    from qubism_tpu.ops.fusion import CompiledCircuit as _CC
+
+    n = 3
+    prims = ghz_prims(n)
+    rho = DensityMatrix(n).apply(prims)
+    for q in range(n):
+        rho = rho.apply_channel(depolarizing(0.05), (q,))
+    c = _CC(n, prims)
+    psi = c.state_to_complex(c(c.init_state()))
+    exact = float(np.real(psi.conj() @ rho.matrix() @ psi))
+    est, se = direct_fidelity_estimate(
+        prims, n, lambda p: rho.expectation(p), n_paulis=96, seed=1)
+    assert abs(est - exact) < max(5 * se, 0.02), (est, exact, se)
+
+
+def test_direct_fidelity_noiseless_is_one():
+    from qubism_tpu.models.tomography import direct_fidelity_estimate
+
+    n = 2
+    rho = DensityMatrix(n).apply(ghz_prims(n))
+    est, se = direct_fidelity_estimate(
+        ghz_prims(n), n, lambda p: rho.expectation(p), n_paulis=16, seed=0)
+    assert abs(est - 1.0) < 1e-5
+    assert se < 1e-5
