@@ -746,7 +746,11 @@ class CompiledCircuit:
             if self.v > 0:
                 chunk_passes = 8
             else:
-                chunk_passes = len(self.ops) if n <= 22 else 8
+                # 16 puts a whole QFT-28 (12 passes) in ONE dispatch:
+                # measured 0.1146 vs 0.1207 s at 8 (each extra dispatch
+                # costs ~6-9 ms through the remote tunnel; trace-derived
+                # device time is 89 ms — experiments/roofline_r04.json)
+                chunk_passes = len(self.ops) if n <= 22 else 16
         self.chunk_passes = max(1, chunk_passes)
         self._planner = OpPlanner()
         # keep the async dispatch queue bounded on large states (temporaries
