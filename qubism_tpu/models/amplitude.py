@@ -143,7 +143,7 @@ def mlae_estimate(a_prims, n: int, good, schedule=None, shots: int = 128,
     """Maximum-likelihood amplitude estimation.
 
     ``schedule`` defaults to the exponential Suzuki schedule
-    [0, 1, 2, 4, ..., 2^{K-1}] with K=7.  Shots are drawn from the engine's
+    [0, 1, 2, 4, 8, 16, 32] — 7 points, max power 2^5.  Shots are drawn from the engine's
     exact per-circuit Bernoulli (binomial draws on the host PRNG — the
     good/bad marginal of the engine's own sampler), seeded for
     reproducibility.  The likelihood is maximized on a dense theta grid and

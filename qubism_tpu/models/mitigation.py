@@ -47,6 +47,22 @@ def fold_prims(prims, scale: int) -> list[Prim]:
     return out
 
 
+def _check_noise_placement(prims, kraus1, kraus2):
+    """Noise attaches only to 1- and 2-target prims; a wider prim (e.g. an
+    amplitude.py whole-register reflection) would silently stay noiseless —
+    folding would then not amplify it and the extrapolation would mitigate
+    a different noise model than intended (ADVICE r3). Refuse loudly."""
+    if kraus1 is None and kraus2 is None:
+        return
+    for p in prims:
+        if len(p.targets) > 2:
+            raise ValueError(
+                f"zne_expectation: prim with {len(p.targets)} targets has no "
+                "noise placement (kraus1/kraus2 cover 1q/2q gates only); "
+                "decompose it into 1q/2q prims or run it noiseless "
+                "explicitly with kraus1=kraus2=None")
+
+
 def _noisy_expectation_density(prims, n: int, pauli: str, kraus1, kraus2):
     rho = DensityMatrix(n)
     for p in prims:
@@ -127,7 +143,13 @@ def zne_expectation(prims, n: int, pauli: str, kraus1=None, kraus2=None,
                     executor: str = "density", ntraj: int = 1024,
                     seed: int = 0):
     """Zero-noise-extrapolated <pauli>.  Returns (estimate, raw_values)
-    where raw_values are the measured expectations at each fold scale."""
+    where raw_values are the measured expectations at each fold scale.
+
+    Noise placement: ``kraus1``/``kraus2`` attach after every 1-/2-target
+    prim respectively; prims with more than 2 targets are rejected when
+    noise is set (they would stay silently noiseless and break the
+    fold-amplification premise — decompose them first)."""
+    _check_noise_placement(prims, kraus1, kraus2)
     vals = []
     for i, s in enumerate(scales):
         folded = fold_prims(prims, s)

@@ -122,6 +122,10 @@ def qv_experiment(m: int, n_circuits: int = 20, shots: int | None = None,
     masses (no sampling noise); an integer draws per-circuit binomial
     counts like hardware would."""
     rng = np.random.default_rng(seed)
+    # separate generator for the binomial shot draws: sharing rng would make
+    # shots=None and shots=N at the same seed execute DIFFERENT circuits,
+    # breaking exact-vs-sampled comparisons at a fixed seed (ADVICE r3)
+    shot_rng = np.random.default_rng(seed + 1)
     hops = []
     for k in range(n_circuits):
         prims = qv_prims(m, rng)
@@ -137,7 +141,7 @@ def qv_experiment(m: int, n_circuits: int = 20, shots: int | None = None,
             raise ValueError(f"unknown executor {executor!r}")
         h = heavy_mass(out, heavy)
         if shots is not None:
-            h = rng.binomial(shots, min(max(h, 0.0), 1.0)) / shots
+            h = shot_rng.binomial(shots, min(max(h, 0.0), 1.0)) / shots
         hops.append(h)
     hops_arr = np.asarray(hops, dtype=np.float64)
     mean = float(hops_arr.mean())
