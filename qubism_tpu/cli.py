@@ -14,6 +14,7 @@ flags.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .config import config
@@ -95,6 +96,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    metavar="DIR",
                    help="extra directory to search for include files "
                         "(after the includer-relative path; repeatable)")
+    p.add_argument("--include-base", metavar="DIR", default=None,
+                   help="directory REPL 'include' statements resolve "
+                        "against (default: the current directory; file "
+                        "mode always resolves relative to the includer, "
+                        "matching the reference Parser.hs:244-247). "
+                        "Changeable mid-session with ':cd DIR'")
     p.add_argument("--verbose", action="store_true",
                    help="per-event timing + fusion statistics to stderr")
     return p
@@ -457,8 +464,15 @@ class Repl:
 
     PROMPT = "QASM> "
 
-    def __init__(self, seed: int | None = None, out=None):
-        self.pstate: ParserState = initial_state(None)
+    def __init__(self, seed: int | None = None, out=None,
+                 include_base: str | None = None):
+        # REPL lines have no source file, so 'include' resolves relative to
+        # ``include_base`` (default: the current directory — matching the
+        # reference only when launched from the project dir, Parser.hs:244).
+        # A pseudo file path inside that dir makes the includer-relative
+        # rule do the work; ':cd DIR' rebases it mid-session.
+        base = os.path.abspath(include_base or os.getcwd())
+        self.pstate: ParserState = initial_state(os.path.join(base, "<repl>"))
         self.prog: ProgState = blank_state(seed)
         self.out = out or sys.stdout
 
@@ -467,6 +481,17 @@ class Repl:
         stripped = text.strip()
         if stripped == ":q":
             return False
+        if stripped.startswith(":cd"):
+            arg = stripped[3:].strip()
+            base = os.path.abspath(arg or os.getcwd())
+            if not os.path.isdir(base):
+                print(f"qubism: :cd: no such directory: {base}",
+                      file=self.out)
+                return True
+            self.pstate = ParserState(dict(self.pstate.id_table),
+                                      os.path.join(base, "<repl>"))
+            print(f"include base: {base}", file=self.out)
+            return True
         if stripped.startswith(":save ") or stripped.startswith(":load "):
             return self._checkpoint_cmd(stripped)
         if stripped.startswith(":observable ") or stripped.startswith(":obs "):
@@ -542,7 +567,8 @@ def main(argv=None) -> int:
                          backend=args.backend, chi=args.chi,
                          noise=args.noise, trajectories=args.trajectories,
                          observables=args.observable)
-    Repl(seed=args.seed).run()
+    Repl(seed=args.seed,
+         include_base=getattr(args, "include_base", None)).run()
     return 0
 
 

@@ -327,7 +327,8 @@ class TrajectoryProgram:
         return 2 << max(self.n, 1)
 
     def run_vals(self, ntraj: int, seed: int | None = None, key=None,
-                 return_states: bool = False, mesh=None):
+                 return_states: bool = False, mesh=None,
+                 max_live_words: int | None = None):
         """Run ``ntraj`` trajectories. Returns a dict creg name ->
         (ntraj, size) int32 outcome BIT arrays (column k = creg bit k,
         LSB-first — exact at any register width), plus the stacked
@@ -339,7 +340,11 @@ class TrajectoryProgram:
         count or 1-axis Mesh, see :func:`resolve_traj_mesh`) shards the
         batch axis over D devices — per-trajectory results are
         identical to the unsharded run with the same key (sharding only
-        places lanes; padding keys never reach the output)."""
+        places lanes; padding keys never reach the output).
+        ``max_live_words`` overrides the ~2 GiB default live-state cap
+        (``_MAX_LIVE``) per device — raise it on chips with HBM headroom
+        to cut dispatch count at large n (the n=26 bench runs 8
+        trajectories/dispatch at 2^30 words OOM-free on a 16 GB v5e)."""
         if key is None:
             key = jax.random.PRNGKey(0 if seed is None else seed)
         m = resolve_traj_mesh(mesh)
@@ -367,7 +372,8 @@ class TrajectoryProgram:
             # cache the jitted callable: rebuilding it per call would
             # retrace + recompile the WHOLE program every run_vals
             self._fn_cache[cache_key] = fn
-        per = max(1, self._MAX_LIVE // self._traj_live_cost())
+        cap = self._MAX_LIVE if max_live_words is None else max_live_words
+        per = max(1, cap // self._traj_live_cost())
         batch = max(d, min(padded, per * d) // d * d)
         chunks = []                            # per-shape jit cache: at most
         for lo in range(0, padded, batch):     # one extra compile for a tail

@@ -95,6 +95,29 @@ def test_repl_include():
     assert str(r.prog.cregs["c"]) == "1"
 
 
+def test_repl_include_base_and_cd():
+    # --include-base makes bare REPL 'include' names resolve against the
+    # given dir (instead of only the cwd); :cd rebases mid-session
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    assert r.line(f":cd {EXAMPLES}")
+    assert "include base" in out.getvalue()
+    assert r.line('include "qelib1.inc";')
+    assert r.line("qreg q[1]; creg c[1]; x q[0]; measure q[0] -> c[0];")
+    assert str(r.prog.cregs["c"]) == "1"
+
+    out2 = io.StringIO()
+    r2 = Repl(seed=0, out=out2, include_base=EXAMPLES)
+    assert r2.line('include "qelib1.inc";')
+    assert r2.line("qreg q[1]; creg c[1]; x q[0]; measure q[0] -> c[0];")
+    assert str(r2.prog.cregs["c"]) == "1"
+
+    out3 = io.StringIO()
+    r3 = Repl(seed=0, out=out3)
+    assert r3.line(":cd /definitely/not/a/dir")
+    assert "no such directory" in out3.getvalue()
+
+
 def test_repl_run_loop_with_stdin():
     out = io.StringIO()
     r = Repl(seed=0, out=out)
