@@ -542,8 +542,9 @@ def main():
         t0 = time.time()
         bits = sim.sample(8192)
         dt = time.time() - t0
+        # 8192 fair-coin shots: 3 sigma = 0.0166
         ok = bool((bits == bits[:, :1]).all()
-                  and 0.45 < bits[:, 0].mean() < 0.55)
+                  and abs(bits[:, 0].mean() - 0.5) < 0.0166)
         extra["stab1000q_8192shots_s"] = round(dt, 3)
         extra["stab1000q_ghz_ok"] = ok
     except Exception as e:
@@ -557,19 +558,91 @@ def main():
 
         _h = _np.array([[1, 1], [1, -1]]) / _np.sqrt(2)
         _cx = _np.eye(4)[[0, 1, 3, 2]].astype(complex)
+        _ghz40 = ([Prim(_h.astype(complex), (0,))]
+                  + [Prim(_cx, (q, q + 1)) for q in range(39)])
+        # warm: a throwaway run compiles the tape/sample jits (VERDICT r3
+        # weak #3 — the old probe timed compilation, not the engine)
+        MPSSim(40, chi=4, seed=0).apply(_ghz40).sample(64)
         t0 = time.time()
-        msim = MPSSim(40, chi=4, seed=0).apply(
-            [Prim(_h.astype(complex), (0,))]
-            + [Prim(_cx, (q, q + 1)) for q in range(39)])
+        msim = MPSSim(40, chi=4, seed=0).apply(_ghz40)
         bits = msim.sample(512)
         dt = time.time() - t0
+        # 512 shots at p=0.5: 3 sigma = 0.0663
         ok = bool(msim.trunc_error == 0.0 and (bits == bits[:, :1]).all()
-                  and 0.35 < bits[:, 0].mean() < 0.65)
+                  and abs(bits[:, 0].mean() - 0.5) < 0.0663)
         extra["mps40q_ghz_sample_s"] = round(dt, 3)
         extra["mps40q_ghz_ok"] = ok
     except Exception as e:
         log(f"mps probe failed: {type(e).__name__}: {str(e)[:200]}")
         extra["mps40q_ghz_sample_s"] = None
+    try:
+        # the README's claimed MPS regime, measured: a 100-qubit depth-4
+        # random brickwork (nearest-neighbour CZ bricks + random SU(2)s).
+        # chi=16 is EXACT here (any bipartition is crossed by <= 4 brick
+        # CZs, so Schmidt rank <= 2^4), pinned by trunc_error == 0 and by
+        # <Z_0> against a dense 12-qubit LIGHT-CONE oracle: gates outside
+        # qubit 0's backward cone cancel in the partial trace, so the
+        # truncated-circuit marginal is exact (depth 4 reaches <= 5 sites).
+        import numpy as _np
+
+        from qubism_tpu.models.circuits import brickwork_prims
+        from qubism_tpu.mps import MPSSim
+        from qubism_tpu.ops.apply import zero_state
+        from qubism_tpu.ops.fusion import CompiledCircuit
+        from qubism_tpu.ops.measure import expectation_pauli
+
+        n_m, depth_m = 100, 4
+        prims_m = brickwork_prims(n_m, depth_m, seed=5)
+        K = 12
+        cone = [p for p in prims_m if all(t < K for t in p.targets)]
+        st = CompiledCircuit(K, cone, optimize=False)(zero_state(K))
+        z0_want = expectation_pauli(st, K, "Z" + "I" * (K - 1))
+        del st
+
+        msim = MPSSim(n_m, chi=16, seed=0).apply(prims_m)  # warm
+        z0 = msim.expectation("Z" + "I" * (n_m - 1))
+        msim.sample(64)
+        trunc = msim.trunc_error
+        t0 = time.time()
+        msim2 = MPSSim(n_m, chi=16, seed=0).apply(prims_m)
+        bits = msim2.sample(256)
+        dt = time.time() - t0
+        extra["mps100q_d4_sample_s"] = round(dt, 3)
+        extra["mps100q_ok"] = bool(trunc == 0.0
+                                   and abs(z0 - z0_want) < 1e-4)
+    except Exception as e:
+        log(f"mps100 probe failed: {type(e).__name__}: {str(e)[:200]}")
+        extra["mps100q_d4_sample_s"] = None
+    if on_tpu:
+        try:
+            # 100q NOISY non-Clifford via MPS trajectories (README's
+            # "50-100+ qubit noisy" claim, measured): depolarizing 0.001,
+            # chi=16, 64 trajectories. Pin: the qubit-0 outcome frequency
+            # must sit within 3 sigma + a noise-bias allowance of the
+            # noiseless light-cone marginal (only ~17 cone sites carry
+            # noise into this marginal, each shifting it O(p))
+            from qubism_tpu.models.circuits import brickwork_qasm
+            from qubism_tpu.mps.noise import MPSTrajectoryProgram
+            from qubism_tpu.qasm.parser import parse_openqasm
+
+            src = brickwork_qasm(n_m, depth_m, seed=5)
+            fake = os.path.join(HERE, "examples", "<bench>.qasm")
+            mprog = MPSTrajectoryProgram(parse_openqasm(fake, src),
+                                         noise="depolarizing:0.001", chi=16)
+            mprog.run_vals(64, seed=0)   # warm
+            t0 = time.time()
+            mbits = mprog.run_vals(64, seed=1)["c"]
+            dt = time.time() - t0
+            p0 = float(mbits[:, 0].mean())
+            p0_want = (1.0 - float(z0_want)) / 2.0
+            sigma = (p0_want * (1 - p0_want) / 64) ** 0.5
+            extra["mps100q_noisy_64traj_s"] = round(dt, 3)
+            extra["mps100q_noisy_p0"] = round(p0, 4)
+            extra["mps100q_noisy_ok"] = bool(
+                abs(p0 - p0_want) < 3 * sigma + 0.04)
+        except Exception as e:
+            log(f"mps100 noisy probe failed: {type(e).__name__}: {str(e)[:200]}")
+            extra["mps100q_noisy_64traj_s"] = None
     try:
         # noisy trajectories: 16q GHZ + depolarizing, 512 per-shot re-runs
         # (gates, channels, measurement) as vmapped device programs
@@ -586,15 +659,59 @@ def main():
         t0 = time.time()
         bits = tprog.run_vals(512, seed=1)["c"]
         dt = time.time() - t0
-        clean = (bits == bits[:, :1]).all(axis=1).mean()
+        cleanmask = (bits == bits[:, :1]).all(axis=1)
+        clean = cleanmask.mean()
         extra["traj16q_512shots_s"] = round(dt, 3)
-        # 31 noise sites; Z errors are invisible in the Z basis, so
-        # clean GHZ fraction ~ (1 - 2p/3)^31 ~ 0.96
+        # 31 noise sites; Z errors are invisible in the Z basis, so clean
+        # GHZ fraction = (1 - 2p/3)^31 = 0.9595; 3-sigma analytic window
+        # at 512 shots (+0.002 slack for rare double-flip cancellations)
+        p_clean = (1 - 2 * 0.002 / 3) ** 31
+        sig = (p_clean * (1 - p_clean) / 512) ** 0.5
         extra["traj16q_clean_frac"] = round(float(clean), 3)
-        extra["traj16q_ok"] = bool(0.90 < clean < 0.995)
+        ok = abs(float(clean) - p_clean) < 3 * sig + 0.002
+        # among clean trajectories, all-zeros vs all-ones is a fair coin:
+        # chi^2 with 1 dof (< 16 ~ 4-sigma-equivalent tail)
+        n0 = int((cleanmask & (bits[:, 0] == 0)).sum())
+        n1 = int(cleanmask.sum()) - n0
+        chi2 = (n0 - n1) ** 2 / max(n0 + n1, 1)
+        extra["traj16q_clean_split_chi2"] = round(chi2, 2)
+        extra["traj16q_ok"] = bool(ok and chi2 < 16.0)
     except Exception as e:
         log(f"trajectory probe failed: {type(e).__name__}: {str(e)[:200]}")
         extra["traj16q_512shots_s"] = None
+    if on_tpu:
+        try:
+            # dense MCWF at the memory edge (VERDICT r3 item 6): n=26, 256
+            # trajectories. One trajectory's planes are 0.5 GiB; the vmapped
+            # program's HLO temporaries measure ~4x that per trajectory, so
+            # 4/dispatch (max_live_words=2^29) is the documented OOM-free
+            # max on a 16 GB v5e — 8/dispatch was measured to need 17.6 GB.
+            from qubism_tpu.qasm.parser import parse_openqasm
+            from qubism_tpu.run.noisy import TrajectoryProgram
+
+            n_t = 26
+            lines = [f"qreg q[{n_t}]; creg c[{n_t}];",
+                     "U(1.5707963267948966, 0, 3.141592653589793) q[0];"]
+            lines += [f"CX q[{q}], q[{q + 1}];" for q in range(n_t - 1)]
+            lines += ["measure q -> c;"]
+            t26 = TrajectoryProgram(
+                parse_openqasm("<bench>", "\n".join(lines)),
+                noise="depolarizing:0.002")
+            t26.run_vals(256, seed=0, max_live_words=1 << 29)  # warm
+            t0 = time.time()
+            bits = t26.run_vals(256, seed=1, max_live_words=1 << 29)["c"]
+            dt = time.time() - t0
+            clean = float((bits == bits[:, :1]).all(axis=1).mean())
+            # 51 sites: clean = (1 - 2p/3)^51 = 0.9343; 3 sigma at 256
+            p_c = (1 - 2 * 0.002 / 3) ** 51
+            sig = (p_c * (1 - p_c) / 256) ** 0.5
+            extra["traj26q_256shots_s"] = round(dt, 3)
+            extra["traj26q_clean_frac"] = round(clean, 3)
+            extra["traj26q_max_batch"] = 4
+            extra["traj26q_ok"] = bool(abs(clean - p_c) < 3 * sig + 0.002)
+        except Exception as e:
+            log(f"traj26 probe failed: {type(e).__name__}: {str(e)[:200]}")
+            extra["traj26q_256shots_s"] = None
     try:
         # Pauli-frame executor: 300-qubit noisy Clifford GHZ, 8192
         # trajectories as (T, n/32)-bit frames + one affine matmul
@@ -613,11 +730,23 @@ def main():
         t0 = time.time()
         fbits = fprog.run_vals(8192, seed=1)["c"]
         dt = time.time() - t0
-        clean = (fbits == fbits[:, :1]).all(axis=1).mean()
+        cleanmask = (fbits == fbits[:, :1]).all(axis=1)
+        clean = float(cleanmask.mean())
         extra["frames300q_8192shots_s"] = round(dt, 3)
-        # 599 sites; Z errors invisible in Z basis: clean ~ (1-2p/3)^599
-        extra["frames300q_ok"] = bool(fprog.used_frames
-                                      and 0.5 < clean < 0.85)
+        # 599 sites; Z errors invisible in Z basis: clean = (1-2p/3)^599
+        # = 0.6706; 3-sigma analytic window at 8192 shots (+0.005 slack
+        # for double-flip cancellations)
+        p_c = (1 - 2 * 0.001 / 3) ** 599
+        sig = (p_c * (1 - p_c) / 8192) ** 0.5
+        extra["frames300q_clean_frac"] = round(clean, 4)
+        ok = abs(clean - p_c) < 3 * sig + 0.005
+        # clean all-zeros vs all-ones: fair-coin chi^2 (1 dof)
+        n0 = int((cleanmask & (fbits[:, 0] == 0)).sum())
+        n1 = int(cleanmask.sum()) - n0
+        chi2 = (n0 - n1) ** 2 / max(n0 + n1, 1)
+        extra["frames300q_clean_split_chi2"] = round(chi2, 2)
+        extra["frames300q_ok"] = bool(fprog.used_frames and ok
+                                      and chi2 < 16.0)
     except Exception as e:
         log(f"frame probe failed: {type(e).__name__}: {str(e)[:200]}")
         extra["frames300q_8192shots_s"] = None

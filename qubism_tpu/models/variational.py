@@ -576,7 +576,11 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
                 planes = _apply_op(planes, op, theta, n)
             return planes
 
-        return jax.jit(f)
+        # donate the state: each value flows through the host loop exactly
+        # once, and aliasing keeps the sweep near the ~4-state floor at
+        # large n (an undonated 40-op segment measured 30 GiB of HLO
+        # temps at n=28 — an XLA compile-time OOM on a 16 GB chip)
+        return jax.jit(f, donate_argnums=(1,))
 
     def _bwd(seg):
         def f(theta, phi, lam):
@@ -585,7 +589,7 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
                 phi, lam, g = _adjoint_bwd_step(op, theta, phi, lam, g, n)
             return phi, lam, g
 
-        return jax.jit(f)
+        return jax.jit(f, donate_argnums=(1, 2))
 
     fwd_fns = [_fwd(s) for s in segs]
     bwd_fns = [_bwd(s) for s in segs]

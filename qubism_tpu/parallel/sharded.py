@@ -115,8 +115,10 @@ class ShardedSim:
         #: at multi-GiB per-device shapes (same rationale as
         #: CompiledCircuit.chunk_passes)
         #: (16 matches CompiledCircuit: a QFT-28 segment then lands in ONE
-        #: dispatch — each extra dispatch costs ~6-9 ms through the tunnel)
-        self._chunk_passes = 16 if self.m + self.w > 22 else 10 ** 9
+        #: dispatch — each extra dispatch costs ~6-9 ms through the tunnel;
+        #: at 30+ local qubits stay at 8 for compile-time/-memory sanity)
+        self._chunk_passes = (8 if self.m + self.w >= 30 else
+                              16 if self.m + self.w > 22 else 10 ** 9)
         #: bound the async dispatch queue at large per-device states: a
         #: queued-but-not-executed chunk pins BOTH its input and output
         #: buffers through the remote runtime, so when the per-device state

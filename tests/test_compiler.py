@@ -383,6 +383,7 @@ def _fuzz_program(rng, qelib):
     return "\n".join(lines) + "\n", n
 
 
+@pytest.mark.slow
 def test_fuzz_all_paths_match_interpreter():
     """Randomized differential test across ALL execution paths: random
     multi-register qelib1 programs (user gates, reset, mid-circuit

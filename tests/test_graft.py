@@ -69,6 +69,7 @@ def _driver_like_env() -> dict:
     return env
 
 
+@pytest.mark.slow
 def test_dryrun_self_provisions_like_driver():
     """Backend already initialized with 1 device -> dryrun must still pass."""
     code = (
@@ -85,6 +86,7 @@ def test_dryrun_self_provisions_like_driver():
     )
 
 
+@pytest.mark.slow
 def test_dryrun_does_not_pin_parent_to_cpu():
     """Fresh process: the dryrun must succeed via the subprocess virtual
     mesh WITHOUT forcing the parent's backend to CPU (a real multi-chip

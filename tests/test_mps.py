@@ -368,6 +368,7 @@ def test_mps_trajectories_routed_cx_and_trunc_error():
     assert disc.shape == (256,) and np.all(disc < 1e-6)
 
 
+@pytest.mark.slow
 def test_mps_trajectories_forty_qubits():
     """40-qubit noisy GHZ at chi=4: the bounded-entanglement regime no
     dense trajectory program can reach (2^40 amplitudes per shot)."""
@@ -403,6 +404,7 @@ def test_mps_trajectories_unknown_channel_rejected():
     assert len(prog.kraus4s) == 2
 
 
+@pytest.mark.slow
 def test_mps_trajectories_amplitude_damping_match_density():
     """Amplitude damping (STATE-DEPENDENT Kraus branching — the _OP_K1Q
     in-scan MCWF path) on an entangled non-Clifford circuit, pinned
@@ -460,6 +462,7 @@ def test_mps_trajectories_mixed_pauli_and_damping():
         got, exact)
 
 
+@pytest.mark.slow
 def test_mps_damping_estimator_large_n_sane():
     """ad at 24 qubits, chi=4 (past the dense-trajectory comfort zone):
     <Z...Z> on a GHZ line decays but stays in [-1, 1]; trunc_error and

@@ -71,6 +71,7 @@ def test_reset_is_projection():
     assert (vals["c"] == 0).all()
 
 
+@pytest.mark.slow
 def test_entangled_reset_projects_partner_on_every_engine():
     """Reference reset = projection onto |0> (NOT measure-then-flip):
     resetting one half of a Bell pair must leave the ENTANGLED PARTNER
@@ -504,6 +505,7 @@ def test_unitary_mix_fast_path_selected():
     assert kinds == ["umix", "kraus", "umix", "umix"]
 
 
+@pytest.mark.slow
 def test_dep2_descending_targets():
     """2q channels fire on gates written with DESCENDING targets too
     (`CX q[2], q[0]` at row-qubit n): the dense applier needs ascending
@@ -576,6 +578,7 @@ def test_mesh_estimators_bit_identical():
     assert pa == pb
 
 
+@pytest.mark.slow
 def test_mesh_stabilizer_and_mps_engines():
     from qubism_tpu import MPSTrajectoryProgram, StabilizerTrajectoryProgram
 
@@ -627,6 +630,7 @@ def test_t1_t2_example_recovers_gamma():
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.slow
 def test_fuzz_noisy_engines_vs_density(seed):
     """Randomized differential across the sampled noise executors: a
     random non-Clifford circuit (u3 + CX, DESCENDING targets included)

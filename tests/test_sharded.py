@@ -441,6 +441,7 @@ def test_qaoa_energy_on_mesh(mesh):
 
 
 @pytest.mark.parametrize("banks", [0, 2])
+@pytest.mark.slow
 def test_mesh_batched_measurement_matches_per_qubit(mesh, banks):
     """measure_qubits (one dispatch: psum'd marginal table + ancestral
     draws + joint projection) must produce the same outcomes and collapsed

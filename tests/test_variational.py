@@ -411,6 +411,7 @@ def test_vmap_batched_energies_and_grads():
         assert np.allclose(np.asarray(grads[i]), gi, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_segmented_adjoint_matches_whole_program():
     """segment_size-chunked adjoint (bounded-HLO jits composed on the
     host) returns the same energy/grad as the single-program version, and
