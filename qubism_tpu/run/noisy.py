@@ -328,7 +328,8 @@ class TrajectoryProgram:
 
     def run_vals(self, ntraj: int, seed: int | None = None, key=None,
                  return_states: bool = False, mesh=None,
-                 max_live_words: int | None = None):
+                 max_live_words: int | None = None,
+                 engine: str = "vmap"):
         """Run ``ntraj`` trajectories. Returns a dict creg name ->
         (ntraj, size) int32 outcome BIT arrays (column k = creg bit k,
         LSB-first — exact at any register width), plus the stacked
@@ -344,7 +345,29 @@ class TrajectoryProgram:
         ``max_live_words`` overrides the ~2 GiB default live-state cap
         (``_MAX_LIVE``) per device — raise it on chips with HBM headroom
         to cut dispatch count at large n (the n=26 bench runs 8
-        trajectories/dispatch at 2^30 words OOM-free on a 16 GB v5e)."""
+        trajectories/dispatch at 2^30 words OOM-free on a 16 GB v5e).
+
+        ``engine="fused"`` runs mixture-noise sampling workloads through
+        the canonical-layout Pallas kernels with host-realized noise
+        (``run/traj_fused.py``) — ~50x fewer state sweeps per trajectory
+        at large n; raises :class:`~..run.traj_fused.FusedUnsupported`
+        for programs needing in-trace stochastics (state-dependent Kraus,
+        feed-forward), and its random stream is its own (statistically
+        equivalent, not bit-identical to the vmapped engine's).
+        ``engine="auto"`` tries fused and silently falls back to vmap."""
+        if engine not in ("vmap", "fused", "auto"):
+            raise ValueError(f"unknown engine {engine!r}")
+        if engine in ("fused", "auto") and not return_states and mesh is None:
+            from .traj_fused import FusedUnsupported, run_vals_fused
+
+            try:
+                return run_vals_fused(self, ntraj, seed=seed)
+            except FusedUnsupported:
+                if engine == "fused":
+                    raise
+        elif engine == "fused":
+            raise ValueError(
+                "engine='fused' does not support return_states or mesh")
         if key is None:
             key = jax.random.PRNGKey(0 if seed is None else seed)
         m = resolve_traj_mesh(mesh)

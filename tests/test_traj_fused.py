@@ -1,0 +1,143 @@
+"""Fused-Pallas trajectory engine (run/traj_fused.py): structure-stable
+realized-noise execution must match the vmapped engine statistically, the
+DensityMatrix oracle exactly on deterministic channels, and refuse programs
+that need in-trace stochastics."""
+
+import numpy as np
+import pytest
+
+from qubism_tpu.qasm.parser import parse_openqasm
+from qubism_tpu.run.noisy import DensityProgram, TrajectoryProgram
+from qubism_tpu.run.traj_fused import FusedTrajectories, FusedUnsupported
+
+X = np.array([[0, 1], [1, 0]], dtype=complex)
+
+PI = 3.141592653589793
+H_GATE = f"U(1.5707963267948966, 0, {PI})"
+X_GATE = f"U({PI}, 0, {PI})"
+
+
+def parse(src):
+    return parse_openqasm("<test>", src)
+
+
+def ghz_src(n):
+    lines = [f"qreg q[{n}]; creg c[{n}];", f"{H_GATE} q[0];"]
+    lines += [f"CX q[{q}], q[{q + 1}];" for q in range(n - 1)]
+    lines += ["measure q -> c;"]
+    return "\n".join(lines)
+
+
+def test_noiseless_ghz_matches_born():
+    tp = TrajectoryProgram(parse(ghz_src(6)))
+    bits = FusedTrajectories(tp).run_vals(400, seed=3)["c"]
+    assert (bits == bits[:, :1]).all()          # perfect GHZ correlations
+    frac = bits[:, 0].mean()
+    assert abs(frac - 0.5) < 4 * (0.25 / 400) ** 0.5
+
+
+def test_deterministic_forced_x_matches_density():
+    # a single-Kraus "always X" channel is a deterministic unitary mixture:
+    # the fused engine's realized stream must match the exact density
+    # matrix oracle bit for bit
+    src = (f"qreg q[3]; creg c[3];\n{X_GATE} q[0];\nCX q[0], q[1];\n"
+           "measure q -> c;")
+    noise = [("x!", [X])]
+    bits = FusedTrajectories(
+        TrajectoryProgram(parse(src), noise=noise)).run_vals(16, seed=0)["c"]
+    assert (bits == bits[0]).all()  # deterministic
+    dp = DensityProgram(parse(src), noise=noise)
+    _, cregs = dp.run(seed=0)
+    want = [int(b) for b in str(cregs["c"])]
+    # CReg __str__ prints bit 0 first (LSB-first, reference CReg.hs:24-25)
+    assert list(bits[0]) == want
+
+
+def test_fused_matches_vmap_statistically():
+    n, T = 6, 1500
+    tp1 = TrajectoryProgram(parse(ghz_src(n)), noise="depolarizing:0.05")
+    tp2 = TrajectoryProgram(parse(ghz_src(n)), noise="depolarizing:0.05")
+    fused = FusedTrajectories(tp1).run_vals(T, seed=1)["c"]
+    vmap = tp2.run_vals(T, seed=2)["c"]
+    cf, cv = [(b == b[:, :1]).all(axis=1).mean() for b in (fused, vmap)]
+    # both estimate the same clean-GHZ probability; 4-sigma two-sample gate
+    sig = (cf * (1 - cf) / T + cv * (1 - cv) / T) ** 0.5
+    assert abs(cf - cv) < 4 * max(sig, 1e-3), (cf, cv)
+    # per-bit means agree too
+    mf, mv = fused.mean(axis=0), vmap.mean(axis=0)
+    assert np.abs(mf - mv).max() < 4 * (0.25 / T) ** 0.5 + 0.02
+
+
+def test_straddling_and_descending_cx():
+    # CX with descending targets exercises the SWAP-conjugated 2q-channel
+    # variant; targets far apart exercise the row/lane straddle kernel
+    n = 10
+    src = (f"qreg q[{n}]; creg c[{n}];\n{X_GATE} q[8];\n"
+           "CX q[8], q[2];\n"          # descending, straddling
+           "measure q -> c;")
+    tp = TrajectoryProgram(parse(src), noise="dep2:0.0001")
+    bits = FusedTrajectories(tp).run_vals(64, seed=0)["c"]
+    # with p ~ 1e-4, nearly every trajectory is the clean |..1..1..> state
+    want = np.zeros(n, dtype=np.int32)
+    want[8] = want[2] = 1
+    clean = (bits == want).all(axis=1).mean()
+    assert clean > 0.95
+
+
+def test_readout_error_flip_rate():
+    src = f"qreg q[2]; creg c[2];\n{X_GATE} q[0];\nmeasure q -> c;"
+    tp = TrajectoryProgram(parse(src), noise="readout:0.25")
+    bits = FusedTrajectories(tp).run_vals(2000, seed=5)["c"]
+    # true bits are (1, 0); each reported bit flips with p=0.25
+    assert abs((1 - bits[:, 0]).mean() - 0.25) < 0.05
+    assert abs(bits[:, 1].mean() - 0.25) < 0.05
+
+
+def test_engine_flag_and_fallbacks():
+    tp = TrajectoryProgram(parse(ghz_src(4)), noise="depolarizing:0.01")
+    out = tp.run_vals(32, seed=0, engine="fused")
+    assert out["c"].shape == (32, 4)
+    # state-dependent Kraus (amplitude damping) cannot take the fused path
+    tp_ad = TrajectoryProgram(parse(ghz_src(4)), noise="ad:0.1")
+    with pytest.raises(FusedUnsupported):
+        tp_ad.run_vals(8, seed=0, engine="fused")
+    # ... but engine="auto" silently falls back to the vmapped engine
+    out = tp_ad.run_vals(8, seed=0, engine="auto")
+    assert out["c"].shape == (8, 4)
+    # feed-forward programs are also vmap-only
+    src = (f"qreg q[2]; creg c[1]; creg d[1];\n{H_GATE} q[0];\n"
+           "measure q[0] -> c[0];\n"
+           f"if (c == 1) {X_GATE} q[1];\n"
+           "measure q[1] -> d[0];")
+    tp_ff = TrajectoryProgram(parse(src), noise="depolarizing:0.01")
+    with pytest.raises(FusedUnsupported):
+        tp_ff.run_vals(8, seed=0, engine="fused")
+    out = tp_ff.run_vals(8, seed=0, engine="auto")
+    assert out["d"].shape == (8, 1)
+
+
+def test_fused_seed_reproducible():
+    tp = TrajectoryProgram(parse(ghz_src(5)), noise="depolarizing:0.1")
+    plan = FusedTrajectories(tp)
+    a = plan.run_vals(64, seed=9)["c"]
+    b = plan.run_vals(64, seed=9)["c"]
+    assert (a == b).all()
+    c = plan.run_vals(64, seed=10)["c"]
+    assert (a != c).any()
+
+
+def test_chunking_structure_is_content_stable():
+    # the whole point: two different realizations share ALL compiled
+    # programs (same chunk fns, same operand shapes)
+    tp = TrajectoryProgram(parse(ghz_src(8)), noise="depolarizing:0.2")
+    plan = FusedTrajectories(tp)
+    rng1 = np.random.default_rng(1)
+    rng2 = np.random.default_rng(2)
+    ops1 = plan._realize_operands(rng1)
+    ops2 = plan._realize_operands(rng2)
+    shapes = lambda pc: [[np.asarray(o).shape for o in ops] for ops in pc]
+    assert shapes(ops1) == shapes(ops2)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for ch1, ch2 in zip(ops1, ops2) for a, b in zip(ch1, ch2))
+    assert changed  # realizations actually differ
