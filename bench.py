@@ -523,6 +523,39 @@ def main():
         except Exception as e:
             log(f"variational probe failed: {type(e).__name__}: {str(e)[:200]}")
             extra["qaoa20_adjoint_vg_s"] = None
+        try:
+            # the adjoint sweep at ENGINE scale (VERDICT r3 item 5): n=28
+            # QAOA ring, constant-memory reverse sweep on 2 GiB states,
+            # verified against a central finite difference on one coord
+            nq, p = 28, 2
+            edges = [(i, (i + 1) % nq) for i in range(nq)]
+            ans = qaoa_maxcut_ansatz(nq, edges, p)
+            terms, const = maxcut_terms(nq, edges)
+            neg = [(-c, s) for c, s in terms]
+            vg = adjoint_value_and_grad_fn(ans, neg, constant=-const,
+                                           segment_size=40)
+            theta = _np.full(2 * p, 0.25, dtype=_np.float32)
+            e, g = vg(theta)
+            g = _np.asarray(g)
+            t0 = time.time()
+            e, g2 = vg(theta)
+            g2 = _np.asarray(g2)
+            dt = time.time() - t0
+            eps = 1e-3
+            tp = theta.copy(); tp[0] += eps
+            tm = theta.copy(); tm[0] -= eps
+            ep, _ = vg(tp)
+            em, _ = vg(tm)
+            fd = (float(ep) - float(em)) / (2 * eps)
+            extra["qaoa28_adjoint_vg_s"] = round(dt, 3)
+            extra["qaoa28_grad_ok"] = bool(
+                _np.isfinite(g2).all() and abs(g2[0] - fd) < 1e-2
+                and _np.abs(g2 - g).max() < 1e-5)
+            del vg
+            gc.collect()
+        except Exception as e:
+            log(f"qaoa28 probe failed: {type(e).__name__}: {str(e)[:200]}")
+            extra["qaoa28_adjoint_vg_s"] = None
 
     # alternative-engine probes (no reference analogue / no baseline bar;
     # documents the measured speed of the Clifford + MPS regimes)
@@ -697,18 +730,27 @@ def main():
             t26 = TrajectoryProgram(
                 parse_openqasm("<bench>", "\n".join(lines)),
                 noise="depolarizing:0.002")
-            t26.run_vals(256, seed=0, max_live_words=1 << 29)  # warm
+            t26.run_vals(16, seed=0, engine="fused")  # warm
             t0 = time.time()
-            bits = t26.run_vals(256, seed=1, max_live_words=1 << 29)["c"]
+            bits = t26.run_vals(256, seed=1, engine="fused")["c"]
             dt = time.time() - t0
             clean = float((bits == bits[:, :1]).all(axis=1).mean())
             # 51 sites: clean = (1 - 2p/3)^51 = 0.9343; 3 sigma at 256
             p_c = (1 - 2 * 0.002 / 3) ** 51
             sig = (p_c * (1 - p_c) / 256) ** 0.5
-            extra["traj26q_256shots_s"] = round(dt, 3)
+            extra["traj26q_fused_256shots_s"] = round(dt, 3)
             extra["traj26q_clean_frac"] = round(clean, 3)
-            extra["traj26q_max_batch"] = 4
             extra["traj26q_ok"] = bool(abs(clean - p_c) < 3 * sig + 0.002)
+            # the vmapped engine at the same size, few shots (it measured
+            # 4.7 s/trajectory in round 4 — the fused engine's baseline);
+            # batch 4/dispatch = the documented OOM-free max on 16 GB
+            # (batch 8 needs 17.6 GB of HLO temps)
+            t26.run_vals(8, seed=0, max_live_words=1 << 29)  # warm
+            t0 = time.time()
+            t26.run_vals(8, seed=1, max_live_words=1 << 29)
+            extra["traj26q_vmap_ms_per_traj"] = round(
+                (time.time() - t0) / 8 * 1e3, 1)
+            extra["traj26q_vmap_max_batch"] = 4
         except Exception as e:
             log(f"traj26 probe failed: {type(e).__name__}: {str(e)[:200]}")
             extra["traj26q_256shots_s"] = None

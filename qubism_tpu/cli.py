@@ -102,6 +102,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "mode always resolves relative to the includer, "
                         "matching the reference Parser.hs:244-247). "
                         "Changeable mid-session with ':cd DIR'")
+    p.add_argument("--traj-engine", choices=["vmap", "fused", "auto"],
+                   default="vmap",
+                   help="trajectory executor for --noise on the statevector "
+                        "backend: 'vmap' (default; bit-identical with "
+                        "--mesh at a seed), 'fused' (host-realized mixture "
+                        "noise through the Pallas kernels — ~50x fewer "
+                        "state sweeps at large n; errors on ineligible "
+                        "programs), 'auto' (fused when eligible)")
     p.add_argument("--verbose", action="store_true",
                    help="per-event timing + fusion statistics to stderr")
     return p
@@ -153,7 +161,7 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
               backend: str = "statevector", chi: int = 32,
               noise: str | None = None,
               trajectories: int | None = None,
-              observables=()) -> int:
+              observables=(), traj_engine: str = "vmap") -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -232,8 +240,18 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                       "--observable)", file=out)
                 return 2
             try:
-                counts = (prog.counts(ntraj, seed=seed, mesh=mesh)
-                          if prog.creg_names else {})
+                # --traj-engine fused/auto routes eligible mixture-noise
+                # sampling programs through the fused-Pallas trajectory
+                # engine (run/traj_fused.py) — ~50x fewer state sweeps at
+                # large n. Default stays "vmap": its stream is what the
+                # mesh path reproduces bit-identically at a given seed.
+                if type(prog) is TrajectoryProgram and mesh is None:
+                    counts = (prog.counts(ntraj, seed=seed,
+                                          engine=traj_engine)
+                              if prog.creg_names else {})
+                else:
+                    counts = (prog.counts(ntraj, seed=seed, mesh=mesh)
+                              if prog.creg_names else {})
             except Exception:
                 from .mps import NotAdjacentError
                 from .stabilizer import NotCliffordError
@@ -566,7 +584,8 @@ def main(argv=None) -> int:
                          fuse_width=args.fuse_width, mesh=args.mesh,
                          backend=args.backend, chi=args.chi,
                          noise=args.noise, trajectories=args.trajectories,
-                         observables=args.observable)
+                         observables=args.observable,
+                         traj_engine=args.traj_engine)
     Repl(seed=args.seed,
          include_base=getattr(args, "include_base", None)).run()
     return 0

@@ -357,7 +357,14 @@ class TrajectoryProgram:
         ``engine="auto"`` tries fused and silently falls back to vmap."""
         if engine not in ("vmap", "fused", "auto"):
             raise ValueError(f"unknown engine {engine!r}")
-        if engine in ("fused", "auto") and not return_states and mesh is None:
+        if engine == "fused" and type(self) is not TrajectoryProgram:
+            # subclasses (MPS/stabilizer trajectories) re-use this host
+            # API but their states are not dense canonical planes
+            raise ValueError(
+                f"engine='fused' applies to the dense state-vector "
+                f"engine, not {type(self).__name__}")
+        if (engine in ("fused", "auto") and type(self) is TrajectoryProgram
+                and not return_states and mesh is None):
             from .traj_fused import FusedUnsupported, run_vals_fused
 
             try:
@@ -515,11 +522,14 @@ class TrajectoryProgram:
         return float(mean), float(stderr)
 
     def counts(self, ntraj: int, seed: int | None = None, key=None,
-               mesh=None):
+               mesh=None, engine: str = "vmap"):
         """Joint classical-register outcome histogram over trajectories:
         {"c=0110 d=1": count}, bits rendered LSB-first like the
         reference's CReg Show."""
-        vals = self.run_vals(ntraj, seed=seed, key=key, mesh=mesh)
+        # subclasses override run_vals without the engine kwarg; only
+        # thread it through when a non-default engine was requested
+        kw = {} if engine == "vmap" else {"engine": engine}
+        vals = self.run_vals(ntraj, seed=seed, key=key, mesh=mesh, **kw)
         rows = []
         for t in range(ntraj):
             parts = [f"{c}={CReg.of(vals[c][t])}" for c in self.creg_names]
