@@ -532,8 +532,11 @@ def main():
             ans = qaoa_maxcut_ansatz(nq, edges, p)
             terms, const = maxcut_terms(nq, edges)
             neg = [(-c, s) for c, s in terms]
+            # seg=16 + the per-op schedule barriers keep each program's
+            # assigned HBM under the chip (unpinned segments measured
+            # 28-32 GiB assigned for 16 ops — compile-time OOM)
             vg = adjoint_value_and_grad_fn(ans, neg, constant=-const,
-                                           segment_size=40)
+                                           segment_size=16)
             theta = _np.full(2 * p, 0.25, dtype=_np.float32)
             e, g = vg(theta)
             g = _np.asarray(g)

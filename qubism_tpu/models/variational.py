@@ -311,14 +311,46 @@ def _apply_op(planes, op, theta, n):
 # ---------------------------------------------------------------------------
 
 
-def state_fn(ansatz: Ansatz):
+def _amp_sharding(mesh):
+    """NamedSharding partitioning the flat amplitude axis over ``mesh``'s
+    first axis (top log2(D) qubits live on the device axis — the same
+    amplitude-sharding layout as ``parallel.ShardedSim``), or None."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as _P
+    return NamedSharding(mesh, _P(mesh.axis_names[0]))
+
+
+def _cstr(planes, sharding):
+    """Pin (re, im) planes to the amplitude sharding inside a trace.
+
+    Semantically the identity — GSPMD inserts whatever collectives the
+    surrounding ops need (measured on the QAOA pipeline: lax.rev on a
+    device bit lowers to a collective-permute, energy reductions to one
+    all-reduce; no all-gathers) — but it guarantees every intermediate
+    state stays 2^n/D per device, which is the point of running on a
+    mesh."""
+    if sharding is None:
+        return planes
+    return (jax.lax.with_sharding_constraint(planes[0], sharding),
+            jax.lax.with_sharding_constraint(planes[1], sharding))
+
+
+def state_fn(ansatz: Ansatz, mesh=None):
     """``theta -> (re, im) planes``: the traced, differentiable state
-    preparation. Jit-compatible; compose freely."""
+    preparation. Jit-compatible; compose freely.
+
+    ``mesh``: a ``jax.sharding.Mesh`` shards the state's amplitude axis
+    over the mesh's first axis for the WHOLE pipeline (see
+    :func:`_cstr`) — variational circuits then differentiate at sizes no
+    single device can hold."""
+    sh = _amp_sharding(mesh)
 
     def run(theta):
-        planes = zero_state(ansatz.n)
+        planes = _cstr(zero_state(ansatz.n), sh)
         for op in ansatz.ops:
-            planes = _apply_op(planes, op, theta, ansatz.n)
+            planes = _cstr(_apply_op(planes, op, theta, ansatz.n), sh)
         return planes
 
     return run
@@ -360,12 +392,13 @@ def _terms_energy(planes, n, terms, paulis):
     return e
 
 
-def energy_fn(ansatz: Ansatz, terms, constant: float = 0.0):
+def energy_fn(ansatz: Ansatz, terms, constant: float = 0.0, mesh=None):
     """``theta -> <psi(theta)| sum_j c_j P_j |psi(theta)> + constant`` as a
     pure traced function (differentiable; wrap in jit/grad at will).
-    ``terms`` = [(coef, pauli_string), ...]."""
+    ``terms`` = [(coef, pauli_string), ...]. ``mesh`` shards the state
+    (see :func:`state_fn`); gradients flow through the collectives."""
     paulis = tuple(_check_pauli(p, ansatz.n) for _, p in terms)
-    run = state_fn(ansatz)
+    run = state_fn(ansatz, mesh=mesh)
 
     def energy(theta):
         planes = run(theta)
@@ -375,15 +408,18 @@ def energy_fn(ansatz: Ansatz, terms, constant: float = 0.0):
     return energy
 
 
-def value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0):
-    """Jitted ``theta -> (energy, dE/dtheta)`` — one compiled program."""
-    return jax.jit(jax.value_and_grad(energy_fn(ansatz, terms, constant)))
+def value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
+                      mesh=None):
+    """Jitted ``theta -> (energy, dE/dtheta)`` — one compiled program
+    (one SPMD program over ``mesh`` when given)."""
+    return jax.jit(jax.value_and_grad(
+        energy_fn(ansatz, terms, constant, mesh=mesh)))
 
 
 def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
                  optimizer=None, constant: float = 0.0,
                  grad: str = "auto", scan: bool = True,
-                 segment_size: int | None = None):
+                 segment_size: int | None = None, mesh=None):
     """Gradient-descent VQE. The ENTIRE optimization — ``steps`` iterations
     of value_and_grad + optax update — compiles into one ``lax.scan``
     device program: a full VQE run is a single dispatch.
@@ -404,9 +440,9 @@ def vqe_minimize(ansatz: Ansatz, terms, theta0, steps: int = 200,
     opt = optimizer if optimizer is not None else optax.adam(0.1)
     if grad == "adjoint":
         vg = adjoint_value_and_grad_fn(ansatz, terms, constant,
-                                       segment_size=segment_size)
+                                       segment_size=segment_size, mesh=mesh)
     elif grad == "auto":
-        vg = jax.value_and_grad(energy_fn(ansatz, terms, constant))
+        vg = jax.value_and_grad(energy_fn(ansatz, terms, constant, mesh=mesh))
     else:
         raise ValueError(f"grad must be 'auto' or 'adjoint', got {grad!r}")
 
@@ -507,10 +543,71 @@ def _builder_jvp(name, args, i):
     return da, db
 
 
-def _adjoint_bwd_step(op, theta, phi, lam, g, n):
-    """One reverse-sweep step: un-apply ``op`` from phi, contract this op's
-    parameter gradients against lam, un-apply from lam. Returns
-    (phi', lam', g')."""
+#: Pauli generator of each one-parameter builder, as (coef, chars-on-targets)
+#: terms with U(t) = e^{i eta(t)} exp(-i t G) — the global phase eta drops
+#: out of every gradient (2 Re<lam|ic|phi> = 2c Re(iE) = 0 since the
+#: overlap is the real energy). Controlled gates expand their projector:
+#: P1 (x) A = ((I-Z)/2) (x) A; the I(x)A piece of crz/cphase is itself a
+#: Pauli term, NOT a phase, so it stays.
+_GEN = {
+    "rx": ((0.5, "X"),), "ry": ((0.5, "Y"),), "rz": ((0.5, "Z"),),
+    "rzz": ((0.5, "ZZ"),), "rxx": ((0.5, "XX"),), "ryy": ((0.5, "YY"),),
+    "phase": ((0.5, "Z"),),                      # diag(1,e^{il}): G=-(I-Z)/2
+    "cphase": ((0.25, "IZ"), (0.25, "ZI"), (-0.25, "ZZ")),   # G = -P1(x)P1
+    "crz": ((0.25, "IZ"), (-0.25, "ZZ")),        # G = P1 (x) Z/2
+    "crx": ((0.25, "IX"), (-0.25, "ZX")),        # G = P1 (x) X/2
+    "cry": ((0.25, "IY"), (-0.25, "ZY")),        # G = P1 (x) Y/2
+}
+
+
+def _gen_terms(op, n):
+    """``_GEN[op.name]`` expanded to n-qubit Pauli strings on
+    ``op.targets`` (targets[0] = first char = MSB of the gate index)."""
+    out = []
+    for coef, chars in _GEN[op.name]:
+        s = ["I"] * n
+        for t, ch in zip(op.targets, chars):
+            s[t] = ch
+        out.append((coef, "".join(s)))
+    return tuple(out)
+
+
+def _adjoint_bwd_step(op, theta, phi, lam, g, n, barrier=False):
+    """One reverse-sweep step: contract this op's parameter gradient
+    against lam, then un-apply ``op`` from phi and lam. Returns
+    (phi', lam', g').
+
+    One-parameter gates are Pauli exponentials U = e^{i eta} exp(-i s
+    theta_j G) (generator table :data:`_GEN`), so ``dU/dtheta|psi_before>
+    = -i s G |psi_after>`` and the gradient is ``2 s Im <lam|G phi>`` —
+    one cheap Pauli-sum pass (a sign flip for Z-strings) + one reduction,
+    instead of materializing dU and a full dense apply. Multi-parameter
+    builders (u3) keep the exact dense-JVP path.
+
+    ``barrier=True`` (the segmented large-n mode) pins the schedule with
+    ``optimization_barrier``s: without them XLA's scheduler floats the
+    gradient reductions to the end of the segment, holding EVERY step's
+    phi alive at once (measured at n=28: 28-32 GiB assigned for a 16-op
+    segment on a 16 GiB chip — a compile-time OOM — and ~290 s of
+    scheduler/memory-assignment retries even when a program fits;
+    barriers bound the live set at the per-step peak and compile in
+    seconds). Left off for the small-n single-program path, where
+    cross-op fusion freedom is worth more than bounded liveness."""
+    if isinstance(op, PGate) and op.name in _GEN and len(op.pidx) == 1:
+        from ..ops.measure import apply_pauli_sum_traced
+        gr, gi = apply_pauli_sum_traced(phi, _gen_terms(op, n), n)
+        contrib = 2.0 * jnp.float32(op.scale) * (
+            jnp.vdot(lam[0], gi) - jnp.vdot(lam[1], gr))
+        g = g.at[op.pidx[0]].add(contrib)
+        if barrier:
+            # mid-step barrier: the G phi temp must be DEAD before the
+            # dagger applications allocate their outputs
+            phi, lam, g = jax.lax.optimization_barrier((phi, lam, g))
+        phi = _apply_op_dag(phi, op, theta, n)
+        lam = _apply_op_dag(lam, op, theta, n)
+        if barrier:
+            phi, lam, g = jax.lax.optimization_barrier((phi, lam, g))
+        return phi, lam, g
     phi = _apply_op_dag(phi, op, theta, n)  # psi before this op
     if isinstance(op, PGate):
         args = [op.scale * theta[j] for j in op.pidx]
@@ -527,11 +624,13 @@ def _adjoint_bwd_step(op, theta, phi, lam, g, n):
                              + jnp.vdot(lam[1], dphi[1]))
             g = g.at[j].add(jnp.float32(op.scale) * contrib)
     lam = _apply_op_dag(lam, op, theta, n)
+    if barrier:
+        phi, lam, g = jax.lax.optimization_barrier((phi, lam, g))
     return phi, lam, g
 
 
 def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
-                              segment_size: int | None = None):
+                              segment_size: int | None = None, mesh=None):
     """``theta -> (energy, dE/dtheta)`` by the ADJOINT method
     (PennyLane-lightning style): one forward sweep, then a reverse sweep
     that un-applies each gate and contracts ``2 Re <lam| dU/dtheta |psi>``
@@ -546,23 +645,31 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
     bounded jitted segments composed on the host — compile memory stays
     flat in depth, at a few extra dispatches per step. The returned
     callable then carries ``_host_composed = True`` (``vqe_minimize``
-    drops to its host loop automatically)."""
+    drops to its host loop automatically).
+
+    ``mesh`` shards phi AND lam over the mesh's first axis (see
+    :func:`state_fn`), so the ~4-state working set is 4 * 2^n/D per
+    device: with the constant-depth memory of the adjoint sweep this is
+    the largest-n gradient path in the framework (n = 32 on a v5e-8 is
+    4 GiB per chip per state)."""
     paulis = tuple(_check_pauli(p, ansatz.n) for _, p in terms)
     checked = tuple((c, p) for (c, _), p in zip(terms, paulis))
     from ..ops.measure import apply_pauli_sum_traced
 
     n = ansatz.n
+    sh = _amp_sharding(mesh)
 
     if segment_size is None:
         def vg(theta):
-            phi = zero_state(n)
+            phi = _cstr(zero_state(n), sh)
             for op in ansatz.ops:
-                phi = _apply_op(phi, op, theta, n)
+                phi = _cstr(_apply_op(phi, op, theta, n), sh)
             e = _terms_energy(phi, n, terms, paulis) + jnp.float32(constant)
-            lam = apply_pauli_sum_traced(phi, checked, n)
+            lam = _cstr(apply_pauli_sum_traced(phi, checked, n), sh)
             g = jnp.zeros(ansatz.num_params, jnp.float32)
             for op in reversed(ansatz.ops):
                 phi, lam, g = _adjoint_bwd_step(op, theta, phi, lam, g, n)
+                phi, lam = _cstr(phi, sh), _cstr(lam, sh)
             return e, g
 
         return jax.jit(vg)
@@ -573,7 +680,11 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
     def _fwd(seg):
         def f(theta, planes):
             for op in seg:
-                planes = _apply_op(planes, op, theta, n)
+                planes = _cstr(_apply_op(planes, op, theta, n), sh)
+                # per-op schedule pin (see _adjoint_bwd_step's barrier
+                # note): an unpinned 16-op forward segment at n=28 spent
+                # ~290 s in compile-time scheduling retries; pinned, 5 s
+                planes = jax.lax.optimization_barrier(planes)
             return planes
 
         # donate the state: each value flows through the host loop exactly
@@ -586,7 +697,9 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
         def f(theta, phi, lam):
             g = jnp.zeros(ansatz.num_params, jnp.float32)
             for op in reversed(seg):
-                phi, lam, g = _adjoint_bwd_step(op, theta, phi, lam, g, n)
+                phi, lam, g = _adjoint_bwd_step(op, theta, phi, lam, g, n,
+                                                barrier=True)
+                phi, lam = _cstr(phi, sh), _cstr(lam, sh)
             return phi, lam, g
 
         return jax.jit(f, donate_argnums=(1, 2))
@@ -597,11 +710,16 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
     @jax.jit
     def head(planes):
         e = _terms_energy(planes, n, terms, paulis) + jnp.float32(constant)
-        return e, apply_pauli_sum_traced(planes, checked, n)
+        return e, _cstr(apply_pauli_sum_traced(planes, checked, n), sh)
 
     def vg_segmented(theta):
         theta = jnp.asarray(theta, dtype=jnp.float32)
-        planes = fwd_fns[0](theta, zero_state(n))
+        init = zero_state(n)
+        if sh is not None:
+            # materialize the seed SHARDED so the first donated dispatch
+            # (and via donation every later one) carries the layout
+            init = (jax.device_put(init[0], sh), jax.device_put(init[1], sh))
+        planes = fwd_fns[0](theta, init)
         for f in fwd_fns[1:]:
             planes = f(theta, planes)
         e, lam = head(planes)

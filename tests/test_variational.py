@@ -464,3 +464,110 @@ def test_tfim_hva_reaches_ground_state():
     theta, hist = vqe_minimize(ans, terms, theta0, steps=400)
     final = float(energy_fn(ans, terms)(theta))
     assert final - exact < 1e-2, (final, exact)
+
+
+# -- mesh-sharded gradients (GSPMD over the amplitude axis) ---------------------
+
+
+def _mesh8():
+    from qubism_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(8)
+
+
+def test_mesh_energy_and_grad_match_single_device():
+    """energy_fn(mesh=...) partitions the whole differentiable pipeline
+    over an 8-device mesh (amplitude axis sharded, GSPMD-inserted
+    collectives) and reproduces the unsharded value AND gradient."""
+    nq, p = 8, 2
+    edges = [(i, (i + 1) % nq) for i in range(nq)]
+    ans = qaoa_maxcut_ansatz(nq, edges, p)
+    terms, const = maxcut_terms(nq, edges)
+    neg = [(-c, s) for c, s in terms]
+    theta = jax.numpy.asarray(
+        np.random.default_rng(3).uniform(-1, 1, 2 * p).astype(np.float32))
+    e0, g0 = value_and_grad_fn(ans, neg, constant=-const)(theta)
+    e1, g1 = value_and_grad_fn(ans, neg, constant=-const,
+                               mesh=_mesh8())(theta)
+    assert abs(float(e0) - float(e1)) < 1e-5
+    assert np.allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
+
+
+def test_mesh_sharding_uses_permutes_not_gathers():
+    """The compiled sharded energy program communicates by
+    collective-permute (device-bit revs) and all-reduce (the energy psum)
+    — never an all-gather, which would mean a replicated 2^n temp.
+    Requires the device bits to live in the ROW axis (n >= _COL +
+    log2(D)); below that the lane-matmul path contracts the sharded axis
+    and GSPMD must gather."""
+    import re
+
+    nq = 10  # _COL=7 lane qubits + 3 device bits
+    ans = qaoa_maxcut_ansatz(nq, [(i, (i + 1) % nq) for i in range(nq)], 1)
+    terms = [(0.5, "Z" + "I" * (nq - 1)), (-0.25, "I" * (nq - 2) + "XZ")]
+    theta = jax.numpy.zeros(ans.num_params, jax.numpy.float32)
+    fn = jax.jit(energy_fn(ans, terms, mesh=_mesh8()))
+    txt = fn.lower(theta).compile().as_text()
+    assert "all-gather" not in txt, "sharded energy replicated the state"
+    assert re.search(r"collective-permute|all-reduce", txt)
+
+
+def test_mesh_adjoint_matches_single_device():
+    """The constant-memory adjoint sweep runs sharded (phi and lam both
+    2^n/D per device) in BOTH compile modes and matches the unsharded
+    gradients."""
+    from qubism_tpu.models.variational import adjoint_value_and_grad_fn
+
+    ans = hea_ansatz(5, 2)
+    terms = [(0.7, "ZZIII"), (-0.4, "XIYII"), (0.3, "IIZXI"),
+             (0.2, "IIIZZ")]
+    theta = jax.numpy.asarray(np.random.default_rng(9).uniform(
+        -math.pi, math.pi, ans.num_params).astype(np.float32))
+    e0, g0 = adjoint_value_and_grad_fn(ans, terms, constant=0.2)(theta)
+    for seg in (None, 7):
+        vg = adjoint_value_and_grad_fn(ans, terms, constant=0.2,
+                                       segment_size=seg, mesh=_mesh8())
+        e1, g1 = vg(theta)
+        assert abs(float(e0) - float(e1)) < 1e-5, (seg, float(e0), float(e1))
+        assert np.allclose(np.asarray(g0), np.asarray(g1), atol=1e-4), seg
+
+
+def test_mesh_vqe_minimize_matches_single_device():
+    """A full sharded VQE optimization (one SPMD scan program) tracks the
+    unsharded energy history. (Thetas are NOT compared: float-ulp noise
+    between the two compiled programs diverges chaotically over adam
+    steps in a landscape with symmetric minima — the energies agree.)"""
+    ans = hea_ansatz(4, 1)
+    terms = [(0.6, "ZZII"), (0.4, "IZZI"), (-0.3, "XIIX")]
+    theta0 = np.full(ans.num_params, 0.15, dtype=np.float32)
+    t0, h0 = vqe_minimize(ans, terms, theta0, steps=30)
+    t1, h1 = vqe_minimize(ans, terms, theta0, steps=30, mesh=_mesh8())
+    assert np.allclose(np.asarray(h0), np.asarray(h1), atol=2e-4)
+    e0 = float(energy_fn(ans, terms)(t0))
+    e1 = float(energy_fn(ans, terms)(t1))
+    assert abs(e0 - e1) < 5e-3
+
+
+def test_generator_adjoint_step_every_builder():
+    """The Pauli-generator gradient shortcut (_GEN: dU/dtheta = -i s G U)
+    matches plain autodiff for EVERY one-parameter builder, including the
+    controlled gates whose generator expands the P1 projector, plus u3 on
+    the dense-JVP fallback."""
+    from qubism_tpu.models.variational import adjoint_value_and_grad_fn
+
+    ops = (PGate("rx", (0,), (0,)), PGate("ry", (1,), (1,)),
+           PGate("rz", (2,), (2,)), PGate("phase", (0,), (3,)),
+           PGate("rzz", (0, 2), (4,), scale=2.0),
+           PGate("rxx", (1, 2), (5,)), PGate("ryy", (0, 1), (6,)),
+           PGate("cphase", (0, 1), (7,)), PGate("crz", (1, 2), (8,)),
+           PGate("crx", (2, 0), (9,)), PGate("cry", (0, 2), (10,)),
+           PGate("u3", (1,), (11, 12, 13)))
+    ans = Ansatz(3, ops, 14)
+    terms = [(0.8, "ZXI"), (-0.5, "IYZ"), (0.3, "ZZZ")]
+    theta = jax.numpy.asarray(np.random.default_rng(17).uniform(
+        -math.pi, math.pi, 14).astype(np.float32))
+    e0, g0 = jax.jit(jax.value_and_grad(energy_fn(ans, terms)))(theta)
+    e1, g1 = adjoint_value_and_grad_fn(ans, terms)(theta)
+    assert abs(float(e0) - float(e1)) < 1e-5
+    assert np.allclose(np.asarray(g0), np.asarray(g1), atol=2e-4), (
+        np.asarray(g0), np.asarray(g1))
