@@ -532,13 +532,21 @@ def main():
             ans = qaoa_maxcut_ansatz(nq, edges, p)
             terms, const = maxcut_terms(nq, edges)
             neg = [(-c, s) for c, s in terms]
-            # seg=16 + the per-op schedule barriers keep each program's
-            # assigned HBM under the chip (unpinned segments measured
-            # 28-32 GiB assigned for 16 ops — compile-time OOM)
+            # auto routes to the Pallas adjoint engine at this size
+            # (runtime-theta kernel operands; models/adjoint_engine.py);
+            # segment_size=16 is the XLA-path fallback config, where the
+            # per-op schedule barriers keep assigned HBM under the chip
             vg = adjoint_value_and_grad_fn(ans, neg, constant=-const,
                                            segment_size=16)
             theta = _np.full(2 * p, 0.25, dtype=_np.float32)
-            e, g = vg(theta)
+            try:
+                e, g = vg(theta)
+            except Exception as pe:
+                log(f"qaoa28 pallas engine failed, XLA fallback: "
+                    f"{type(pe).__name__}: {str(pe)[:120]}")
+                vg = adjoint_value_and_grad_fn(ans, neg, constant=-const,
+                                               segment_size=16, engine="xla")
+                e, g = vg(theta)
             g = _np.asarray(g)
             t0 = time.time()
             e, g2 = vg(theta)
@@ -551,6 +559,7 @@ def main():
             em, _ = vg(tm)
             fd = (float(ep) - float(em)) / (2 * eps)
             extra["qaoa28_adjoint_vg_s"] = round(dt, 3)
+            extra["qaoa28_engine"] = getattr(vg, "_engine", "xla")
             extra["qaoa28_grad_ok"] = bool(
                 _np.isfinite(g2).all() and abs(g2[0] - fd) < 1e-2
                 and _np.abs(g2 - g).max() < 1e-5)

@@ -630,7 +630,8 @@ def _adjoint_bwd_step(op, theta, phi, lam, g, n, barrier=False):
 
 
 def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
-                              segment_size: int | None = None, mesh=None):
+                              segment_size: int | None = None, mesh=None,
+                              engine: str = "auto"):
     """``theta -> (energy, dE/dtheta)`` by the ADJOINT method
     (PennyLane-lightning style): one forward sweep, then a reverse sweep
     that un-applies each gate and contracts ``2 Re <lam| dU/dtheta |psi>``
@@ -651,12 +652,28 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
     :func:`state_fn`), so the ~4-state working set is 4 * 2^n/D per
     device: with the constant-depth memory of the adjoint sweep this is
     the largest-n gradient path in the framework (n = 32 on a v5e-8 is
-    4 GiB per chip per state)."""
+    4 GiB per chip per state).
+
+    ``engine``: "pallas" runs the sweep through the canonical-layout
+    Pallas kernels with theta entering as runtime operands
+    (:mod:`.adjoint_engine` — one compile for every theta, DMA-bound
+    passes; single-device only, requires every op to have a Pallas
+    lowering); "xla" is the traced applier path above; "auto" picks
+    pallas at n >= 14 when applicable (where the XLA rev/elementwise
+    lowering measured ~15x off the streaming floor)."""
     paulis = tuple(_check_pauli(p, ansatz.n) for _, p in terms)
     checked = tuple((c, p) for (c, _), p in zip(terms, paulis))
     from ..ops.measure import apply_pauli_sum_traced
 
     n = ansatz.n
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError(f"engine must be auto|xla|pallas, got {engine!r}")
+    if engine != "xla" and mesh is None:
+        from .adjoint_engine import pallas_adjoint_value_and_grad_fn, supports
+        if engine == "pallas" or (n >= 14 and supports(ansatz)):
+            return pallas_adjoint_value_and_grad_fn(ansatz, terms, constant)
+    elif engine == "pallas":
+        raise ValueError("engine='pallas' is single-device; drop mesh=")
     sh = _amp_sharding(mesh)
 
     if segment_size is None:
@@ -730,6 +747,7 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
         return e, g
 
     vg_segmented._host_composed = True
+    vg_segmented._engine = "xla"
     return vg_segmented
 
 

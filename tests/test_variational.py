@@ -571,3 +571,89 @@ def test_generator_adjoint_step_every_builder():
     assert abs(float(e0) - float(e1)) < 1e-5
     assert np.allclose(np.asarray(g0), np.asarray(g1), atol=2e-4), (
         np.asarray(g0), np.asarray(g1))
+
+
+# -- Pallas adjoint engine (models/adjoint_engine.py) ---------------------------
+
+
+def test_pallas_adjoint_qaoa_matches_xla():
+    """The Pallas-kernel adjoint sweep (runtime-theta operands through
+    the canonical-layout kernels) returns the same energy/grad as the
+    traced-XLA sweep on a QAOA ansatz: H prims (1q fixed), rzz cost
+    layers (traced diag), rx mixers (traced 1q)."""
+    from qubism_tpu.models.variational import (adjoint_value_and_grad_fn,
+                                               qaoa_maxcut_ansatz)
+    from qubism_tpu.models.adjoint_engine import supports
+
+    n = 6
+    edges = [(i, (i + 1) % n) for i in range(n)] + [(0, 3), (1, 4)]
+    ans = qaoa_maxcut_ansatz(n, edges, p_layers=2)
+    assert supports(ans)
+    terms = [(1.0, "".join("Z" if q in (i, j) else "I" for q in range(n)))
+             for i, j in edges]
+    theta = jax.numpy.asarray(np.random.default_rng(5).uniform(
+        -math.pi, math.pi, ans.num_params).astype(np.float32))
+    e0, g0 = adjoint_value_and_grad_fn(ans, terms, constant=0.25,
+                                       engine="xla")(theta)
+    vg = adjoint_value_and_grad_fn(ans, terms, constant=0.25,
+                                   engine="pallas")
+    assert vg._host_composed
+    e1, g1 = vg(theta)
+    assert abs(float(e0) - float(e1)) < 1e-4, (float(e0), float(e1))
+    assert np.allclose(np.asarray(g0), np.asarray(g1), atol=5e-4), (
+        np.asarray(g0), np.asarray(g1))
+
+
+def test_pallas_adjoint_hea_and_chunking():
+    """HEA (disjoint ry+rz runs + CNOT-ring dense prims) on the Pallas
+    engine matches XLA for several units_per_chunk, including chunk
+    boundaries inside a layer."""
+    from qubism_tpu.models.variational import adjoint_value_and_grad_fn
+    from qubism_tpu.models.adjoint_engine import (
+        pallas_adjoint_value_and_grad_fn, supports)
+
+    ans = hea_ansatz(4, 2)
+    assert supports(ans)
+    terms = [(0.7, "ZZII"), (-0.4, "IXXI"), (0.3, "IIYZ"), (0.2, "XIIX")]
+    theta = jax.numpy.asarray(np.random.default_rng(9).uniform(
+        -math.pi, math.pi, ans.num_params).astype(np.float32))
+    e0, g0 = adjoint_value_and_grad_fn(ans, terms, engine="xla")(theta)
+    for upc in (1, 3, 100):
+        e1, g1 = pallas_adjoint_value_and_grad_fn(
+            ans, terms, units_per_chunk=upc)(theta)
+        assert abs(float(e0) - float(e1)) < 1e-4, upc
+        assert np.allclose(np.asarray(g0), np.asarray(g1), atol=5e-4), upc
+
+
+def test_pallas_adjoint_unsupported_falls_back():
+    """Traced dense 2q gates (cry) have no Pallas lowering: supports()
+    is False, engine='pallas' raises, engine='auto' silently uses the
+    XLA sweep and still returns correct gradients."""
+    from qubism_tpu.models.variational import adjoint_value_and_grad_fn
+    from qubism_tpu.models.adjoint_engine import supports
+
+    ops = (PGate("ry", (0,), (0,)), PGate("cry", (0, 2), (1,)),
+           PGate("rzz", (1, 2), (2,)))
+    ans = Ansatz(3, ops, 3)
+    assert not supports(ans)
+    # u3 is 1q but multi-parameter (dense-JVP gradient only): no lowering
+    assert not supports(Ansatz(2, (PGate("u3", (0,), (0, 1, 2)),), 3))
+    with pytest.raises(ValueError, match="Pallas lowering"):
+        adjoint_value_and_grad_fn(ans, [(1.0, "ZZI")], engine="pallas")(
+            jax.numpy.zeros(3))
+    terms = [(1.0, "ZZI"), (0.4, "XIY")]
+    theta = jax.numpy.asarray(np.random.default_rng(3).uniform(
+        -math.pi, math.pi, 3).astype(np.float32))
+    e0, g0 = jax.jit(jax.value_and_grad(energy_fn(ans, terms)))(theta)
+    e1, g1 = adjoint_value_and_grad_fn(ans, terms, engine="auto")(theta)
+    assert abs(float(e0) - float(e1)) < 1e-5
+    assert np.allclose(np.asarray(g0), np.asarray(g1), atol=2e-4)
+
+
+def test_pallas_adjoint_mesh_rejected():
+    from qubism_tpu.models.variational import adjoint_value_and_grad_fn
+
+    ans = hea_ansatz(3, 1)
+    with pytest.raises(ValueError, match="single-device"):
+        adjoint_value_and_grad_fn(ans, [(1.0, "ZZI")], mesh=_mesh8(),
+                                  engine="pallas")
