@@ -336,6 +336,47 @@ def _apply_unit(planes, unit, theta, n: int, dag: bool = False):
 # ---------------------------------------------------------------------------
 
 
+def _scan_single_flip(ar, ai, br0, bi0, cls: str, C: int, flips, srms, scms):
+    """(tr, ti) vectors for MANY flip groups of identical structure (one
+    term each, one nonzero flip-mask component): ONE ``lax.scan`` whose
+    body compiles once — the flip mask and the sign masks enter as
+    scanned runtime operands. An rx/ry mixer layer at n=28 otherwise
+    lowers ~n structurally identical gather+reduce graphs (measured:
+    minutes of XLA compile for one backward chunk); the scan also
+    serializes the full-state flipped temps for free (no
+    optimization_barrier pinning needed)."""
+    from ..ops.measure import _blocked_pair_reduce, _parity_pm1
+
+    R = ar.shape[0]
+    w = min(128, C)
+    G = C // w
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(_, xs):
+        fm, rm, cm = xs
+        if cls == "row":
+            idx = jax.lax.iota(jnp.int32, R) ^ fm
+            br, bi = br0[idx], bi0[idx]
+        elif cls == "grp":
+            idx = jax.lax.iota(jnp.int32, G) ^ fm
+            br = br0.reshape(R, G, w)[:, idx, :].reshape(R, C)
+            bi = bi0.reshape(R, G, w)[:, idx, :].reshape(R, C)
+        else:  # "lo": in-tile lane flip as an XOR permutation matmul
+            a = jax.lax.iota(jnp.int32, w)
+            P = ((a[:, None] ^ fm) == a[None, :]).astype(jnp.float32)
+            br = jnp.dot(br0.reshape(R, G, w), P, precision=hi).reshape(R, C)
+            bi = jnp.dot(bi0.reshape(R, G, w), P, precision=hi).reshape(R, C)
+        srow = _parity_pm1(jax.lax.iota(jnp.int32, R)[:, None] & rm)
+        scol = _parity_pm1(jax.lax.iota(jnp.int32, C)[:, None] & cm)
+        tr, ti = _blocked_pair_reduce(ar, ai, br, bi, srow, scol)
+        return None, (tr[0], ti[0])
+
+    xs = (jnp.asarray(flips, jnp.int32), jnp.asarray(srms, jnp.int32),
+          jnp.asarray(scms, jnp.int32))
+    _, (trs, tis) = jax.lax.scan(body, None, xs)
+    return trs, tis
+
+
 def _pair_pauli_values(a_planes, b_planes, n: int, paulis):
     """Per-string complex ``<b|P_j|a>`` for MANY Pauli strings in one
     blocked MXU sign-table sweep per flip group — the two-state
@@ -357,7 +398,43 @@ def _pair_pauli_values(a_planes, b_planes, n: int, paulis):
     bi0 = b_planes[1].reshape(R, C)
     re = [None] * len(paulis)
     im = [None] * len(paulis)
-    for (row_mask, grp_mask, lo_mask), idxs in groups.items():
+
+    def _finish(j, tr, ti):
+        k = sum(1 for c in paulis[j] if c == "Y") % 4
+        re[j] = (tr, -ti, -tr, ti)[k]
+        im[j] = (ti, tr, -ti, -tr)[k]
+
+    # Batch the dominant shape — one-term groups whose flip mask lives in
+    # a single class (a whole rx/ry mixer layer is n such groups, one per
+    # qubit) — into ONE lax.scan per class: the body compiles once
+    # instead of n times (minutes of XLA compile per backward chunk at
+    # n=28) and the scan serializes the state-sized flipped temps.
+    batched: dict[str, list[tuple[int, int]]] = {"row": [], "grp": [],
+                                                 "lo": []}
+    rest = []
+    for key, idxs in groups.items():
+        nz = [m for m in key if m]
+        if len(idxs) == 1 and len(nz) == 1:
+            cls = "row" if key[0] else ("grp" if key[1] else "lo")
+            batched[cls].append((nz[0], idxs[0]))
+        else:
+            rest.append((key, idxs))
+    for cls, ents in batched.items():
+        if len(ents) < 2:
+            for fm, j in ents:
+                key = {"row": (fm, 0, 0), "grp": (0, fm, 0),
+                       "lo": (0, 0, fm)}[cls]
+                rest.append((key, [j]))
+            continue
+        srms, scms = zip(*(_sign_masks(
+            [q for q, ch in enumerate(paulis[j]) if ch in "YZ"], n, C)
+            for _, j in ents))
+        trs, tis = _scan_single_flip(ar, ai, br0, bi0, cls, C,
+                                     [f for f, _ in ents], srms, scms)
+        for pos, (_, j) in enumerate(ents):
+            _finish(j, trs[pos], tis[pos])
+
+    for (row_mask, grp_mask, lo_mask), idxs in rest:
         smasks = [_sign_masks([q for q, ch in enumerate(paulis[j])
                                if ch in "YZ"], n, C) for j in idxs]
         srow_g, scol_g = _sign_tables_traced(smasks, R, C)
@@ -375,9 +452,7 @@ def _pair_pauli_values(a_planes, b_planes, n: int, paulis):
         # blowups past the chip)
         br0, bi0, tr, ti = jax.lax.optimization_barrier((br0, bi0, tr, ti))
         for pos, j in enumerate(idxs):
-            k = sum(1 for c in paulis[j] if c == "Y") % 4
-            re[j] = (tr[pos], -ti[pos], -tr[pos], ti[pos])[k]
-            im[j] = (ti[pos], tr[pos], -ti[pos], -tr[pos])[k]
+            _finish(j, tr[pos], ti[pos])
     return re, im
 
 
@@ -460,22 +535,46 @@ def pallas_adjoint_value_and_grad_fn(ansatz, terms, constant: float = 0.0,
     fwd_fns = [_fwd(c) for c in chunks]
     bwd_fns = [_bwd(c) for c in chunks]
 
-    @jax.jit
-    def head(planes):
-        from ..ops.measure import apply_pauli_traced
+    all_diag = all(all(ch in "IZ" for ch in p) for p in paulis)
 
-        e = _terms_energy(planes, n, terms, paulis) + jnp.float32(constant)
-        # lam = H|phi> with per-term schedule pins (the shared
-        # apply_pauli_sum_traced leaves every term's full-state temp
-        # schedulable in parallel)
-        out_r = out_i = None
-        for coef, pauli in checked:
-            pr, pi = apply_pauli_traced(planes, pauli, n)
-            c = jnp.float32(coef)
-            out_r = c * pr if out_r is None else out_r + c * pr
-            out_i = c * pi if out_i is None else out_i + c * pi
-            out_r, out_i = jax.lax.optimization_barrier((out_r, out_i))
-        return e, (out_r.reshape(R, C), out_i.reshape(R, C))
+    if all_diag:
+        # Diagonal H (the QAOA/Ising shape): lam(x) = w(x) phi(x) with the
+        # theta-independent weight table w = srow diag(c) scol^T built by
+        # ONE (R, k) @ (k, C) MXU matmul — and <phi|H|phi> is the same
+        # table contracted with |phi|^2, so the whole head is one pass
+        # over the state instead of one apply_pauli_traced per term.
+        from ..ops.measure import _sign_masks, _sign_tables_traced
+
+        smasks = tuple(_sign_masks(
+            [q for q, ch in enumerate(p) if ch == "Z"], n, C)
+            for p in paulis)
+        coefs = np.asarray([c for c, _ in checked], np.float32)
+
+        @jax.jit
+        def head(planes):
+            pr, pi = planes
+            srow_g, scol_g = _sign_tables_traced(smasks, R, C)
+            w = jnp.dot(srow_g * jnp.asarray(coefs)[None, :], scol_g.T,
+                        precision=jax.lax.Precision.HIGHEST)
+            e = jnp.sum(jnp.sum(w * (pr * pr + pi * pi), axis=1))
+            return e + jnp.float32(constant), (w * pr, w * pi)
+    else:
+        @jax.jit
+        def head(planes):
+            from ..ops.measure import apply_pauli_traced
+
+            e = _terms_energy(planes, n, terms, paulis) + jnp.float32(constant)
+            # lam = H|phi> with per-term schedule pins (the shared
+            # apply_pauli_sum_traced leaves every term's full-state temp
+            # schedulable in parallel)
+            out_r = out_i = None
+            for coef, pauli in checked:
+                pr, pi = apply_pauli_traced(planes, pauli, n)
+                c = jnp.float32(coef)
+                out_r = c * pr if out_r is None else out_r + c * pr
+                out_i = c * pi if out_i is None else out_i + c * pi
+                out_r, out_i = jax.lax.optimization_barrier((out_r, out_i))
+            return e, (out_r.reshape(R, C), out_i.reshape(R, C))
 
     def _init():
         re = jnp.zeros((R, C), jnp.float32).at[0, 0].set(1.0)

@@ -625,6 +625,34 @@ def test_pallas_adjoint_hea_and_chunking():
         assert np.allclose(np.asarray(g0), np.asarray(g1), atol=5e-4), upc
 
 
+def test_pallas_adjoint_wide_canon_flip_classes():
+    """n=12 puts the canonical layout at C=2048 (R=2): X-generator flip
+    bits then land in all three flip classes — row (pos >= 11), lane
+    group (7..10), in-tile (0..6) — so the batched single-flip scan in
+    _pair_pauli_values (row/grp/lo branches) and the diagonal-H head are
+    all exercised against the XLA sweep. n=6 tests only see lo flips."""
+    from qubism_tpu.models.variational import (adjoint_value_and_grad_fn,
+                                               maxcut_terms)
+    from qubism_tpu.models.adjoint_engine import supports
+
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    ans = qaoa_maxcut_ansatz(n, edges, p_layers=1)
+    assert supports(ans)
+    terms, const = maxcut_terms(n, edges)
+    neg = [(-c, s) for c, s in terms]
+    theta = jax.numpy.asarray(np.random.default_rng(11).uniform(
+        -math.pi, math.pi, ans.num_params).astype(np.float32))
+    e0, g0 = adjoint_value_and_grad_fn(ans, neg, constant=-const,
+                                       engine="xla")(theta)
+    vg = adjoint_value_and_grad_fn(ans, neg, constant=-const,
+                                   engine="pallas")
+    e1, g1 = vg(theta)
+    assert abs(float(e0) - float(e1)) < 1e-4, (float(e0), float(e1))
+    assert np.allclose(np.asarray(g0), np.asarray(g1), atol=5e-4), (
+        np.asarray(g0), np.asarray(g1))
+
+
 def test_pallas_adjoint_unsupported_falls_back():
     """Traced dense 2q gates (cry) have no Pallas lowering: supports()
     is False, engine='pallas' raises, engine='auto' silently uses the
