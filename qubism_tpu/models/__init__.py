@@ -82,6 +82,13 @@ from .shor import (  # noqa: F401
     shor_factor,
     shor_order_prims,
 )
+from .estimation import (  # noqa: F401
+    EnergyEstimator,
+    estimate_energy_fn,
+    estimate_pauli_sum,
+    qwc_groups,
+    spsa_minimize,
+)
 from .tomography import (  # noqa: F401
     choi_from_kraus,
     exact_state_tomography,
