@@ -89,6 +89,12 @@ from .estimation import (  # noqa: F401
     qwc_groups,
     spsa_minimize,
 )
+from .shadows import (  # noqa: F401
+    ShadowRecord,
+    shadow_expectation,
+    shadow_pauli_sum,
+    shadow_snapshots,
+)
 from .tomography import (  # noqa: F401
     choi_from_kraus,
     exact_state_tomography,
