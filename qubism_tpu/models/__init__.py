@@ -18,10 +18,12 @@ from .variational import (  # noqa: F401
     vqe_minimize,
 )
 from .dynamics import (  # noqa: F401
+    dissipator_kraus,
     evolve,
     evolve_observed,
     imaginary_time_evolve,
     ite_step_prims,
+    lindblad_evolve,
     pauli_exp_prim,
     pauli_rotation_prim,
     trotter_prims,

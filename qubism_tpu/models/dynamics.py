@@ -259,3 +259,99 @@ def evolve_observed(state, terms, observables, t: float, steps: int,
         times.append(dt_seg * (i + 1))
         values.append([sv.expectation_sum(o) for o in obs])
     return np.array(times), np.array(values), StateVec(n, cur)
+
+
+# ---------------------------------------------------------------------------
+# Open-system (Lindblad) dynamics on the density engine
+# ---------------------------------------------------------------------------
+
+
+def _expm(a: np.ndarray) -> np.ndarray:
+    """Matrix exponential by scaling-and-squaring + Taylor (host-side,
+    dependency-free; the inputs are tiny 4^k x 4^k superoperators)."""
+    a = np.asarray(a, dtype=np.complex128)
+    nrm = float(np.linalg.norm(a, 1))
+    s = max(0, int(math.ceil(math.log2(nrm))) + 1) if nrm > 0 else 0
+    x = a / (1 << s)
+    term = np.eye(a.shape[0], dtype=np.complex128)
+    out = term.copy()
+    for k in range(1, 24):
+        term = term @ x / k
+        out += term
+    for _ in range(s):
+        out = out @ out
+    return out
+
+
+def dissipator_kraus(l_op: np.ndarray, rate: float,
+                     dt: float) -> list[np.ndarray]:
+    """The EXACT Kraus decomposition of ``exp(dt * D_L)`` for one
+    k-local jump operator, ``D_L(rho) = rate (L rho L^dag -
+    {L^dag L, rho}/2)``: exponentiate the (4^k, 4^k) superoperator
+    host-side (row-major vec: ``vec(A X B) = (A kron B^T) vec(X)``),
+    reshuffle to the Choi matrix, and eigendecompose. Each factor is
+    CPTP by construction, so the integrator below preserves trace
+    exactly at any step size."""
+    L = np.asarray(l_op, dtype=np.complex128)
+    d = L.shape[0]
+    ldl = L.conj().T @ L
+    eye = np.eye(d, dtype=np.complex128)
+    sup = rate * (np.kron(L, np.conj(L))
+                  - 0.5 * np.kron(ldl, eye)
+                  - 0.5 * np.kron(eye, ldl.T))
+    e = _expm(sup * dt)
+    # J[(m,i),(n,j)] = E[(m,n),(i,j)]  (Choi reshuffle, row-major vec)
+    choi = e.reshape(d, d, d, d).transpose(0, 2, 1, 3).reshape(d * d, d * d)
+    w, v = np.linalg.eigh((choi + choi.conj().T) / 2.0)
+    kraus = [math.sqrt(float(lam)) * v[:, a].reshape(d, d)
+             for a, lam in enumerate(w) if lam > 1e-12]
+    return kraus
+
+
+def lindblad_evolve(rho, h_terms, collapse, t: float, steps: int,
+                    order: int = 2, observables=None):
+    """Integrate the Lindblad master equation ``drho/dt = -i[H, rho] +
+    sum_a rate_a D_{L_a}(rho)`` on the density engine.
+
+    Strang-split into exact CPTP factors: per step, each dissipator's
+    exact half-step channel (:func:`dissipator_kraus` via
+    ``DensityMatrix.apply_channel``), the unitary Trotter step of the
+    Pauli-sum ``h_terms`` (:func:`trotter_step_prims`, ``order`` 1 or
+    2), then the dissipator half-steps in reverse. Trace is preserved
+    to machine precision at ANY step count; the splitting error is
+    O(t^3/steps^2) against the exact solution.
+
+    ``collapse``: iterable of ``(rate, l_matrix, targets)`` with
+    ``l_matrix`` a (2^k, 2^k) jump operator on ``targets`` (an int or
+    tuple). ``observables``: optional Pauli strings; when given,
+    returns ``(rho, values)`` with ``values[s][j] = <P_j>`` after step
+    s (t=0 included, shape (steps+1, len(observables))); else returns
+    ``rho``. Evolves in place (the density engine's convention).
+
+    Engine extension: the reference has no mixed states at all; this is
+    the QuTiP-``mesolve`` shape on the vectorized 2^2n TPU engine, with
+    every factor an existing channel/prim application (no new kernels).
+    """
+    dt = t / steps
+    halves = []
+    for rate, l_op, targets in collapse:
+        if isinstance(targets, int):
+            targets = (targets,)
+        halves.append((tuple(targets),
+                       dissipator_kraus(l_op, float(rate), dt / 2.0)))
+    hstep = trotter_step_prims(h_terms, dt, order) if h_terms else []
+    values = None
+    if observables is not None:
+        values = [[rho.expectation(p) for p in observables]]
+    for _ in range(steps):
+        for tg, kr in halves:
+            rho.apply_channel(kr, tg)
+        if hstep:
+            rho.apply(hstep)
+        for tg, kr in reversed(halves):
+            rho.apply_channel(kr, tg)
+        if values is not None:
+            values.append([rho.expectation(p) for p in observables])
+    if values is not None:
+        return rho, np.asarray(values)
+    return rho
