@@ -24,6 +24,8 @@ from .dynamics import (  # noqa: F401
     imaginary_time_evolve,
     ite_step_prims,
     lindblad_evolve,
+    lindblad_mcwf,
+    lindblad_step_program,
     pauli_exp_prim,
     pauli_rotation_prim,
     trotter_prims,

@@ -152,3 +152,51 @@ def test_purity_decreases_trace_stays():
                     1.0, steps=20)
     assert rho.purity() < p0 - 0.05
     assert rho.trace() == pytest.approx(1.0, abs=1e-4)
+
+
+# -- MCWF unraveling --------------------------------------------------------------
+
+
+def test_mcwf_matches_exact_density():
+    # damped Rabi at n=1: trajectory means converge to lindblad_evolve
+    from qubism_tpu.models.dynamics import lindblad_mcwf
+
+    omega, rate, t = 2.0, 0.5, 1.2
+    h_terms = [(omega / 2.0, "X")]
+    rho = DensityMatrix(1).apply(Prim(_X, (0,)))
+    lindblad_evolve(rho, h_terms, [(rate, _SM, 0)], t, steps=60)
+    want = rho.expectation("Z")
+    _, est = lindblad_mcwf(1, [Prim(_X, (0,))], h_terms,
+                           [(rate, _SM, 0)], t, steps=60, ntraj=800,
+                           observables=["Z"], seed=2)
+    mean, se = est[0]
+    assert se > 0.0
+    assert abs(mean - want) < 4 * se + 0.01
+
+
+def test_mcwf_two_qubit_dephasing():
+    from qubism_tpu.models.dynamics import lindblad_mcwf
+
+    rate, t = 0.4, 0.7
+    rho = DensityMatrix(2).apply([Prim(_H, (0,)), Prim(_H, (1,))])
+    lindblad_evolve(rho, [(1.0, "ZZ")], [(rate, _Z, 0)], t, steps=40)
+    _, est = lindblad_mcwf(2, [Prim(_H, (0,)), Prim(_H, (1,))],
+                           [(1.0, "ZZ")], [(rate, _Z, 0)], t, steps=40,
+                           ntraj=600, observables=["XX", "ZI"], seed=5)
+    for pauli, (mean, se) in zip(["XX", "ZI"], est):
+        assert abs(mean - rho.expectation(pauli)) < 4 * se + 0.02, pauli
+
+
+def test_mcwf_scales_to_ten_qubits():
+    # the point of the unraveling: n=10 (rho would be 2^20) runs light
+    from qubism_tpu.models.dynamics import lindblad_mcwf
+
+    h_terms = [(0.5, "Z" + "I" * 9)]
+    planes, est = lindblad_mcwf(10, [Prim(_H, (0,))], h_terms,
+                                [(0.3, _SM, 0)], 0.5, steps=5, ntraj=32,
+                                observables=["Z" + "I" * 9], seed=1)
+    assert planes[0].shape == (32, 1 << 10)
+    mean, se = est[0]
+    assert np.isfinite(mean) and np.isfinite(se)
+    # sigma- decay pushes <Z> up from 0 toward +1 (|0> is the sink)
+    assert mean > 0.0
