@@ -157,6 +157,7 @@ def test_purity_decreases_trace_stays():
 # -- MCWF unraveling --------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_mcwf_matches_exact_density():
     # damped Rabi at n=1: trajectory means converge to lindblad_evolve
     from qubism_tpu.models.dynamics import lindblad_mcwf
@@ -174,6 +175,7 @@ def test_mcwf_matches_exact_density():
     assert abs(mean - want) < 4 * se + 0.01
 
 
+@pytest.mark.slow
 def test_mcwf_two_qubit_dephasing():
     from qubism_tpu.models.dynamics import lindblad_mcwf
 
