@@ -18,6 +18,7 @@ from .variational import (  # noqa: F401
     vqe_minimize,
 )
 from .dynamics import (  # noqa: F401
+    correlation_observed,
     dissipator_kraus,
     evolve,
     evolve_observed,
@@ -28,6 +29,7 @@ from .dynamics import (  # noqa: F401
     lindblad_step_program,
     pauli_exp_prim,
     pauli_rotation_prim,
+    spectral_function,
     trotter_prims,
     trotter_step_prims,
 )

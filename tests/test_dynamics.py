@@ -258,3 +258,68 @@ def test_ite_input_state_survives():
     terms, _ = tfim(3)
     imaginary_time_evolve(sv, terms, 0.5, 4)
     assert sv.amps[0] == pytest.approx(1.0, abs=1e-6)
+
+
+# -- dynamic correlation functions ------------------------------------------------
+
+
+def test_correlation_single_qubit_phase():
+    # H = -(w/2) Z: |0> is the ground state (E = -w/2), X connects it to
+    # |1> (E = +w/2), so C(t) = <X(t)X> = e^{-i w t} exactly (diagonal
+    # Trotter factors are exact)
+    from qubism_tpu.models.dynamics import correlation_observed
+
+    w, t, steps = 2.0, 3.0, 48
+    times, corr = correlation_observed(StateVec.zero(1), [(-w / 2.0, "Z")],
+                                       "X", "X", t, steps)
+    assert len(times) == steps + 1
+    want = np.exp(-1j * w * times)
+    assert np.allclose(corr, want, atol=1e-5)
+
+
+def test_correlation_matches_dense_oracle():
+    # 3-qubit XXZ chain, C(t) = <psi| Z1(t) X0 |psi> from a random state:
+    # dense expm oracle
+    from qubism_tpu.models.dynamics import _expm, correlation_observed
+    from qubism_tpu.models.hamiltonians import heisenberg_xxz
+    from qubism_tpu.models.tomography import pauli_matrix
+
+    n, t, steps = 3, 1.0, 400
+    terms = heisenberg_xxz(n, jxy=1.0, jz=0.7)
+    if isinstance(terms, tuple):
+        terms = terms[0]
+    rng = np.random.default_rng(5)
+    psi0 = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    psi0 /= np.linalg.norm(psi0)
+    times, corr = correlation_observed(StateVec.from_amplitudes(psi0),
+                                       terms, "IZI", "XII", t, steps,
+                                       record_every=100)
+    h = sum(c * pauli_matrix(p) for c, p in terms)
+    a = pauli_matrix("IZI")
+    b = pauli_matrix("XII")
+    for tk, ck in zip(times, corr):
+        u = _expm(-1j * h * tk)
+        want = psi0.conj() @ (u.conj().T @ a @ u @ b @ psi0)
+        assert abs(ck - want) < 2e-3, (tk, ck, want)
+
+
+def test_spectral_peak_at_excitation_energy():
+    from qubism_tpu.models.dynamics import (correlation_observed,
+                                            spectral_function)
+
+    w = 3.0
+    # long record for frequency resolution; exact factors (diagonal H)
+    times, corr = correlation_observed(StateVec.zero(1), [(-w / 2.0, "Z")],
+                                       "X", "X", 2.0 * np.pi * 8 / w, 256)
+    omegas, s = spectral_function(times, corr)
+    peak = float(omegas[int(np.argmax(np.abs(s)))])
+    # resolution = 2 pi / t_max = w / 8
+    assert abs(peak - w) < w / 8 + 1e-9
+
+
+def test_correlation_rejects_bad_record_every():
+    from qubism_tpu.models.dynamics import correlation_observed
+
+    with pytest.raises(ValueError):
+        correlation_observed(StateVec.zero(1), [(1.0, "Z")], "X", "X",
+                             1.0, 10, record_every=3)
