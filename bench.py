@@ -765,7 +765,7 @@ def main():
             extra["traj26q_vmap_max_batch"] = 4
         except Exception as e:
             log(f"traj26 probe failed: {type(e).__name__}: {str(e)[:200]}")
-            extra["traj26q_256shots_s"] = None
+            extra["traj26q_fused_256shots_s"] = None
     try:
         # Pauli-frame executor: 300-qubit noisy Clifford GHZ, 8192
         # trajectories as (T, n/32)-bit frames + one affine matmul

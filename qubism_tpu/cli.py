@@ -250,6 +250,16 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                                           engine=traj_engine)
                               if prog.creg_names else {})
                 else:
+                    # the fused engine has no mesh path and no MPS/
+                    # stabilizer form: an EXPLICIT request must error
+                    # (the flag documents "errors on ineligible
+                    # programs"), not silently run another engine
+                    if traj_engine == "fused":
+                        why = ("--mesh" if mesh is not None
+                               else type(prog).__name__)
+                        print(f"qubism: --traj-engine fused is "
+                              f"incompatible with {why}", file=out)
+                        return 2
                     counts = (prog.counts(ntraj, seed=seed, mesh=mesh)
                               if prog.creg_names else {})
             except Exception:
@@ -499,7 +509,7 @@ class Repl:
         stripped = text.strip()
         if stripped == ":q":
             return False
-        if stripped.startswith(":cd"):
+        if stripped == ":cd" or stripped.startswith(":cd "):
             arg = stripped[3:].strip()
             base = os.path.abspath(arg or os.getcwd())
             if not os.path.isdir(base):

@@ -275,17 +275,40 @@ class ShardedSim:
 
         h = hashlib.blake2b(digest_size=16)
         for p in prims:
-            h.update(np.ascontiguousarray(p.u).tobytes())
-            h.update(bytes((1 if p.diag else 0,)))
+            u = np.ascontiguousarray(p.u)
+            # length/shape prefixes delimit the variable-size fields:
+            # without them, distinct prim streams could concatenate to
+            # the same byte stream and alias a wrong lowered segment
+            h.update(np.asarray(u.shape, np.int16).tobytes())
+            h.update(u.tobytes())
+            h.update(bytes((1 if p.diag else 0, len(p.targets))))
             h.update(np.asarray(
                 [self.perm[q] for q in p.targets], np.int16).tobytes())
         return h.digest()
 
+    #: content-keyed lowered segments pin uploaded operand arrays in HBM;
+    #: value-varying workloads (parameter sweeps, per-seed random
+    #: circuits) mint a new key per distinct matrix set, so this cache
+    #: must evict — LRU, unlike the structure-keyed jit cache whose key
+    #: space is bounded by program shapes
+    _LOWERED_LRU = 32
+
     def _lower_segment_cached(self, prims):
-        key = ("lowered", self._segment_content_key(prims))
-        if key not in self._cache:
-            self._cache[key] = self._lower_segment(prims)
-        return self._cache[key]
+        import collections
+
+        lru = getattr(self, "_lowered_lru", None)
+        if lru is None:
+            lru = self._lowered_lru = collections.OrderedDict()
+        key = self._segment_content_key(prims)
+        hit = lru.get(key)
+        if hit is not None:
+            lru.move_to_end(key)
+            return hit
+        val = self._lower_segment(prims)
+        lru[key] = val
+        if len(lru) > self._LOWERED_LRU:
+            lru.popitem(last=False)
+        return val
 
     def _lower_segment(self, prims):
         """Lower a run of prims (dense targets already off the device bits

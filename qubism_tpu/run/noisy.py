@@ -367,8 +367,16 @@ class TrajectoryProgram:
                 and not return_states and mesh is None):
             from .traj_fused import FusedUnsupported, run_vals_fused
 
+            # the fused engine consumes a host seed, not a PRNG key: an
+            # explicit key must still change the stream (fold its data
+            # into the seed) instead of being silently dropped
+            fseed = seed
+            if key is not None:
+                data = np.asarray(jax.random.key_data(key), np.uint32)
+                fseed = int(np.bitwise_xor.reduce(data.ravel())
+                            ^ np.uint32(0 if seed is None else seed))
             try:
-                return run_vals_fused(self, ntraj, seed=seed)
+                return run_vals_fused(self, ntraj, seed=fseed)
             except FusedUnsupported:
                 if engine == "fused":
                     raise
@@ -526,9 +534,17 @@ class TrajectoryProgram:
         """Joint classical-register outcome histogram over trajectories:
         {"c=0110 d=1": count}, bits rendered LSB-first like the
         reference's CReg Show."""
-        # subclasses override run_vals without the engine kwarg; only
-        # thread it through when a non-default engine was requested
-        kw = {} if engine == "vmap" else {"engine": engine}
+        # subclasses override run_vals without the engine kwarg; thread
+        # it through only for the dense program (where fused/auto mean
+        # something) — "auto" on an MPS/stabilizer program is already at
+        # its engine, "fused" there is the documented ValueError
+        if engine == "fused" and type(self) is not TrajectoryProgram:
+            raise ValueError(
+                f"engine='fused' applies to the dense state-vector "
+                f"engine, not {type(self).__name__}")
+        kw = ({"engine": engine}
+              if engine != "vmap" and type(self) is TrajectoryProgram
+              else {})
         vals = self.run_vals(ntraj, seed=seed, key=key, mesh=mesh, **kw)
         rows = []
         for t in range(ntraj):

@@ -509,3 +509,39 @@ def test_trajectory_mesh_flag(tmp_path, capsys):
     assert eval_file(str(f), noise="dep:0.02", trajectories=8,
                      mesh=4096) == 2
     assert "device" in capsys.readouterr().out
+
+
+def test_traj_engine_fused_errors_on_ineligible_configs(tmp_path, capsys):
+    # an EXPLICIT --traj-engine fused must error (rc 2) where the fused
+    # engine cannot run — --mesh and non-dense backends — instead of
+    # silently using another engine (regression)
+    f = tmp_path / "tf.qasm"
+    f.write_text("""
+        qreg q[2]; creg c[2];
+        U(1.5707963267948966, 0, 3.141592653589793) q[0];
+        CX q[0], q[1];
+        measure q -> c;
+    """)
+    code = eval_file(str(f), seed=0, noise="depolarizing:0.01",
+                     trajectories=16, traj_engine="fused", mesh=1)
+    assert code == 2
+    assert "incompatible" in capsys.readouterr().out
+    code = eval_file(str(f), seed=0, backend="stabilizer",
+                     noise="depolarizing:0.01", trajectories=16,
+                     traj_engine="fused")
+    assert code == 2
+    assert "incompatible" in capsys.readouterr().out
+    # eligible config still runs
+    code = eval_file(str(f), seed=0, noise="depolarizing:0.01",
+                     trajectories=16, traj_engine="fused")
+    assert code == 0
+
+
+def test_repl_cd_prefix_does_not_swallow_other_commands():
+    # ":cdX" is NOT :cd — it must fall through to the QASM parser (and
+    # fail there), leaving the include base untouched
+    out = io.StringIO()
+    r = Repl(seed=0, out=out)
+    assert r.line(":cdump")  # unknown -> parse error, REPL continues
+    assert "include base" not in out.getvalue()
+    assert r.line(":cd") or True  # bare :cd rebases to the cwd

@@ -141,3 +141,30 @@ def test_chunking_structure_is_content_stable():
         not np.allclose(np.asarray(a), np.asarray(b))
         for ch1, ch2 in zip(ops1, ops2) for a, b in zip(ch1, ch2))
     assert changed  # realizations actually differ
+
+
+def test_fused_key_argument_changes_stream():
+    # run_vals(key=...) is the documented alternative to seed=; the
+    # fused dispatch must not silently drop it (regression: identical
+    # outcomes for every key)
+    import jax
+
+    tp = TrajectoryProgram(parse(ghz_src(5)), noise="depolarizing:0.1")
+    a = tp.run_vals(64, key=jax.random.PRNGKey(1), engine="fused")["c"]
+    b = tp.run_vals(64, key=jax.random.PRNGKey(2), engine="fused")["c"]
+    c = tp.run_vals(64, key=jax.random.PRNGKey(1), engine="fused")["c"]
+    assert (a != b).any()
+    assert (a == c).all()
+
+
+def test_counts_engine_auto_on_stabilizer_program():
+    # counts(engine="auto") must not crash on subclasses that override
+    # run_vals without the engine kwarg; "fused" there is a ValueError
+    from qubism_tpu.stabilizer.noise import StabilizerTrajectoryProgram
+
+    sp = StabilizerTrajectoryProgram(parse(ghz_src(4)),
+                                     noise="depolarizing:0.05")
+    counts = sp.counts(16, seed=0, engine="auto")
+    assert sum(counts.values()) == 16
+    with pytest.raises(ValueError, match="fused"):
+        sp.counts(8, seed=0, engine="fused")
