@@ -366,12 +366,14 @@ def _k_sample(re, im, envr, envi, keys):
 def build_tape(prims, center: int, on_gate=None):
     """Flatten a prim iterable into the op-tape representation (SWAP
     routing and orthogonality-center shifts included). ``on_gate(tape,
-    sites)`` — if given — runs right after each CIRCUIT gate's rows land
-    (before any SWAP walk-back), with the physical site(s) the gate's
-    logical qubits occupy at that moment: the noise-slot insertion hook
-    of mps/noise.py. Returns (tape, final_center); the single source of
-    truth for tape construction (MPSSim.apply and the noisy trajectory
-    executor both build here)."""
+    sites, logical)`` — if given — runs right after each CIRCUIT gate's
+    rows land (before any SWAP walk-back), with the physical site(s) the
+    gate's logical qubits occupy at that moment and the matching LOGICAL
+    qubit indices (``sites[k]`` currently holds ``logical[k]``; they
+    differ only for routed non-adjacent 2q gates): the noise-slot
+    insertion hook of mps/noise.py. Returns (tape, final_center); the
+    single source of truth for tape construction (MPSSim.apply and the
+    noisy trajectory executor both build here)."""
     tape = []                              # (code, site, 2x2/4x4 u or None)
 
     def move(target):
@@ -396,14 +398,14 @@ def build_tape(prims, center: int, on_gate=None):
         if len(tgts) == 1:
             tape.append((_OP_1Q, tgts[0], un))
             if on_gate is not None:
-                on_gate(tape, (tgts[0],))
+                on_gate(tape, (tgts[0],), (tgts[0],))
         elif len(tgts) == 2:
             a, b = tgts
             for j in range(b - 1, a, -1):  # route qubit b down to a+1
                 adj2(_SWAP, j)
             adj2(un, a)
             if on_gate is not None:
-                on_gate(tape, (a, a + 1))
+                on_gate(tape, (a, a + 1), (a, b))
             for j in range(a + 1, b):      # walk it back
                 adj2(_SWAP, j)
         else:

@@ -58,18 +58,21 @@ def split_mps_noise(spec: str):
     dispatched by the parsed Kraus SHAPE, so new ``NOISE_CHANNELS``
     entries route automatically) becomes an ``_OP_K1Q`` row whose MCWF
     branch is chosen IN-scan from ``||K0 psi||^2`` transfer
-    contractions. Returns ``[(kind, data), ...]`` in spec order with
-    kind ``"p1"`` (data = (4,) CDF), ``"p2"`` (data = (16,) CDF), or
+    contractions. Returns ``[(kind, data, tspec), ...]`` in spec order
+    with kind ``"p1"`` (data = (4,) CDF), ``"p2"`` (data = (16,) CDF), or
     ``"k"`` (data = (4, 4) complex, K0 in [:2, :2], K1 in [:2, 2:4] —
-    the tape row layout). Channels that fit none of these raise the
+    the tape row layout), and tspec the part's unresolved ``@`` qubit
+    target string (None = all qubits; the program resolves it against
+    its layout). Channels that fit none of these raise the
     mps-labelled :class:`~qubism_tpu.stabilizer.noise.NotPauliChannelError`."""
-    from ..run.noisy import parse_noise_spec
+    from ..run.noisy import parse_noise_spec, split_channel_target
 
     chans = []
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
+        part, tspec = split_channel_target(part)
         try:
             c1, c2 = pauli_channel_cdfs(part, backend="mps")
         except NotPauliChannelError as err:
@@ -81,9 +84,10 @@ def split_mps_noise(spec: str):
             k4 = np.zeros((4, 4), dtype=np.complex128)
             k4[:2, :2] = ks[0]
             k4[:2, 2:4] = ks[1]
-            chans.append(("k", k4))
+            chans.append(("k", k4, tspec))
         else:
-            chans.append(("p1", c1[0]) if len(c1) else ("p2", c2[0]))
+            chans.append(("p1", c1[0], tspec) if len(c1)
+                         else ("p2", c2[0], tspec))
     return chans
 
 #: (4, 2, 2) split planes of (I, X, Y, Z) — the traced sample gathers here.
@@ -113,14 +117,19 @@ class MPSTrajectoryProgram(TrajectoryProgram):
         self.chi = chi
         self.readout_p = None
         if isinstance(noise, str):
+            from ..run.noisy import resolve_noise_targets
+
             noise, self.readout_p = split_readout_spec(noise)
-            self.chans = split_mps_noise(noise)
+            self.chans = [
+                (k, d, None if t is None else resolve_noise_targets(
+                    t, self.layout, self.qreg_sizes, self.n))
+                for k, d, t in split_mps_noise(noise)]
         else:
-            self.chans = [("p1", np.asarray(c, dtype=np.float32))
+            self.chans = [("p1", np.asarray(c, dtype=np.float32), None)
                           for c in np.asarray(
                               noise if noise is not None
                               else np.zeros((0, 4), np.float32))]
-        self.kraus4s = [d for k, d in self.chans if k == "k"]
+        self.kraus4s = [d for k, d, _ in self.chans if k == "k"]
         self.noise = [("pauli", None)] if self.chans else []
         self.creg_names = sorted(self.cregs0)
         self.creg_sizes = {c: len(self.cregs0[c].bits)
@@ -146,18 +155,24 @@ class MPSTrajectoryProgram(TrajectoryProgram):
         krows = []                   # _OP_K1Q rows (general 2-Kraus)
         eye2 = np.eye(2, dtype=complex)
 
-        def noise_slots(tape, sites):
+        def noise_slots(tape, sites, logical):
             # emit slots in SPEC ORDER: the scan executes tape rows in
             # sequence, so interleaving Pauli slots and K rows here is
-            # what makes non-commuting mixes match the density engine
-            for kind, data in self.chans:
+            # what makes non-commuting mixes match the density engine.
+            # ``logical`` carries qubit IDENTITY for targeted (@)
+            # channels: routed 2q gates park logical qubit b at physical
+            # site a+1 when the slots land (engine.build_tape).
+            for kind, data, tset in self.chans:
                 if kind == "p1":
-                    for t in sites:
+                    for t, lq in zip(sites, logical):
+                        if tset is not None and lq not in tset:
+                            continue
                         rows.append(len(tape))
                         cdf_rows.append(data)
                         tape.append((_OP_1Q, t, eye2))
                 elif kind == "p2":
-                    if len(sites) == 2:
+                    if len(sites) == 2 and (tset is None
+                                            or set(logical) <= tset):
                         rows2a.append(len(tape))
                         tape.append((_OP_1Q, sites[0], eye2))
                         rows2b.append(len(tape))
@@ -166,7 +181,9 @@ class MPSTrajectoryProgram(TrajectoryProgram):
                 else:  # "k": Kraus planes are static per program —
                     # packed at build time; only the branch uniform is
                     # per-trajectory
-                    for t in sites:
+                    for t, lq in zip(sites, logical):
+                        if tset is not None and lq not in tset:
+                            continue
                         krows.append(len(tape))
                         tape.append((_OP_K1Q, t, data))
 

@@ -34,6 +34,13 @@ Design notes:
   applied to every qubit a gate touches, after the gate; 2-qubit
   channels (dep2) fire once per 2-qubit gate as one joint draw;
   ``ro:p`` flips each REPORTED measurement bit (state unaffected).
+* Channels can be RESTRICTED to qubits with an ``@`` target suffix —
+  ``dep:0.02@q[0]+anc`` — the calibrated-device model (every real chip
+  has per-qubit error rates). A targeted 1q channel fires only on gate
+  qubits in its set; a targeted 2q channel (dep2) fires only when BOTH
+  gate qubits are in the set (the "noise on this coupler" reading).
+  Items are ``+``-separated: a qreg name (all its qubits), ``name[i]``
+  (one qubit), or a bare absolute qubit index.
 """
 
 from __future__ import annotations
@@ -54,7 +61,8 @@ from ..ops.apply import _sort_targets, zero_state
 from ..ops.measure import collapse_traced, prob_one_traced
 
 __all__ = ["TrajectoryProgram", "DensityProgram", "parse_noise_spec",
-           "NOISE_CHANNELS"]
+           "NOISE_CHANNELS", "split_channel_target", "noise_spec_targets",
+           "resolve_noise_targets"]
 
 #: name (and aliases) -> 1-qubit Kraus-list factory taking one float param.
 NOISE_CHANNELS = {
@@ -90,10 +98,117 @@ def split_readout_spec(spec: str | None):
             if not sep:
                 raise ValueError(
                     "readout channel needs a parameter (e.g. ro:0.01)")
+            if "@" in val:
+                raise ValueError(
+                    "per-qubit readout-error targeting (ro:p@...) is not "
+                    "supported; readout error applies to every measured "
+                    "bit")
             p = float(val)
         else:
             rest.append(part)
     return ",".join(rest), p
+
+
+def split_channel_target(part: str):
+    """``"dep:0.01@q[2]+anc"`` -> ``("dep:0.01", "q[2]+anc")``; a part
+    with no ``@`` returns ``(part, None)``."""
+    core, sep, tgt = part.partition("@")
+    if not sep:
+        return part.strip(), None
+    tgt = tgt.strip()
+    if not tgt:
+        raise ValueError(f"empty '@' target in noise part {part!r}")
+    return core.strip(), tgt
+
+
+def noise_spec_targets(spec: str):
+    """The per-part ``@`` target specs of a --noise string, in spec
+    order (None for untargeted parts). Parallel to
+    :func:`parse_noise_spec`'s channel list; readout (``ro:p``) parts
+    are excluded, mirroring :func:`split_readout_spec`."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        core, tspec = split_channel_target(part)
+        name = core.partition(":")[0].strip().lower()
+        if name in ("ro", "readout"):
+            if tspec is not None:
+                raise ValueError(
+                    "per-qubit readout-error targeting (ro:p@...) is not "
+                    "supported; readout error applies to every measured "
+                    "bit")
+            continue
+        out.append(tspec)
+    return out
+
+
+def resolve_noise_targets(tspec: str, layout, qreg_sizes, n: int):
+    """Resolve an ``@`` target spec into a frozenset of absolute qubit
+    indices. ``layout`` maps qreg name -> first absolute qubit (the
+    elaborator's layout), ``qreg_sizes`` maps name -> size, ``n`` is the
+    total qubit count. Items are ``+``-separated: ``name`` (the whole
+    qreg), ``name[i]``, or a bare absolute index."""
+    qubits = set()
+    for item in tspec.split("+"):
+        item = item.strip()
+        if not item:
+            raise ValueError(f"empty item in noise target {tspec!r}")
+        if item.isdigit():
+            q = int(item)
+            if q >= n:
+                raise ValueError(
+                    f"noise target qubit {q} out of range (n={n})")
+            qubits.add(q)
+            continue
+        name, sep, idx = item.partition("[")
+        name = name.strip()
+        if name not in layout:
+            raise ValueError(
+                f"noise target {item!r}: no qreg named {name!r} "
+                f"(declared: {sorted(layout) or 'none'})")
+        base, size = layout[name], qreg_sizes[name]
+        if not sep:
+            qubits.update(range(base, base + size))
+            continue
+        idx = idx.strip()
+        if not idx.endswith("]") or not idx[:-1].strip().isdigit():
+            raise ValueError(f"malformed noise target {item!r}")
+        k = int(idx[:-1])
+        if k >= size:
+            raise ValueError(
+                f"noise target {item!r}: index {k} out of bounds for "
+                f"{name}[{size}]")
+        qubits.add(base + k)
+    return frozenset(qubits)
+
+
+def _normalize_noise(noise, layout, qreg_sizes, n):
+    """Normalize a --noise value for a program: returns
+    ``(chan_list, tsets)`` where chan_list is ``[(label, kraus_list)]``
+    and tsets the parallel per-channel frozenset of absolute qubits (or
+    None = all qubits). Accepts a spec string (``@`` targeting
+    resolved against the program layout), or a parsed list whose
+    entries are ``(label, ks)`` or ``(label, ks, qubit_iterable)``."""
+    if noise is None:
+        return [], []
+    if isinstance(noise, str):
+        chans = parse_noise_spec(noise)
+        tsets = [None if t is None
+                 else resolve_noise_targets(t, layout, qreg_sizes, n)
+                 for t in noise_spec_targets(noise)]
+        return chans, tsets
+    chans, tsets = [], []
+    for entry in noise:
+        if len(entry) == 2:
+            (label, ks), tset = entry, None
+        else:
+            label, ks, tgt = entry
+            tset = None if tgt is None else frozenset(int(q) for q in tgt)
+        chans.append((label, ks))
+        tsets.append(tset)
+    return chans, tsets
 
 
 def resolve_traj_mesh(mesh):
@@ -135,12 +250,19 @@ def _traj_sharding(m):
 
 
 def parse_noise_spec(spec: str):
-    """``"depolarizing:0.01,ad:0.05"`` -> [(label, kraus_list), ...]."""
+    """``"depolarizing:0.01,ad:0.05"`` -> [(label, kraus_list), ...].
+
+    A part may carry an ``@`` qubit-target suffix (``dep:0.01@q[2]``);
+    the suffix is kept in the label but plays no role here — programs
+    resolve it against their layout via :func:`noise_spec_targets` +
+    :func:`resolve_noise_targets`."""
     out = []
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
+        part, tspec = split_channel_target(part)
+        suffix = f"@{tspec}" if tspec else ""
         name, sep, val = part.partition(":")
         name = name.strip().lower()
         if name not in NOISE_CHANNELS:
@@ -152,7 +274,7 @@ def parse_noise_spec(spec: str):
             raise ValueError(f"noise channel {name!r} needs a parameter "
                              f"(e.g. {name}:0.01)")
         p = float(val)
-        out.append((f"{name}:{p}", NOISE_CHANNELS[name](p)))
+        out.append((f"{name}:{p}{suffix}", NOISE_CHANNELS[name](p)))
     return out
 
 
@@ -172,8 +294,8 @@ class TrajectoryProgram:
         self.readout_p = None
         if isinstance(noise, str):
             noise, self.readout_p = split_readout_spec(noise)
-            noise = parse_noise_spec(noise)
-        self.noise = list(noise or [])
+        self.noise, self._tsets = _normalize_noise(
+            noise, self.layout, self.qreg_sizes, self.n)
         self.creg_names = sorted(self.cregs0)
         self.creg_sizes = {c: len(self.cregs0[c].bits)
                            for c in self.creg_names}
@@ -259,11 +381,14 @@ class TrajectoryProgram:
             if isinstance(ev, EvGates):
                 for p in ev.prims:
                     new = _apply_op(planes, p, None, self.n)
-                    for variants, is2q in self._kchans:
+                    for (variants, is2q), tset in zip(self._kchans,
+                                                      self._tsets):
                         if is2q:
                             if len(p.targets) != 2:
                                 continue
                             t = tuple(int(q) for q in p.targets)
+                            if tset is not None and not set(t) <= tset:
+                                continue   # targeted coupler channel
                             kind, kp = variants[t[0] > t[1]]
                             apply = (_apply_unitary_mix_traced
                                      if kind == "umix"
@@ -276,6 +401,8 @@ class TrajectoryProgram:
                                      if kind == "umix"
                                      else _apply_channel_traced)
                             for q in p.targets:
+                                if tset is not None and int(q) not in tset:
+                                    continue
                                 new = apply(new, kp, (int(q),), self.n,
                                             self._u(key))
                     planes = self._sel(pred, new, planes)
@@ -586,8 +713,8 @@ class DensityProgram:
                     "readout error (ro:p) is a per-shot reporting flip; "
                     "the exact density backend has no shots to flip — "
                     "use trajectory mode")
-            noise = parse_noise_spec(noise)
-        self.noise = list(noise or [])
+        self.noise, self._tsets = _normalize_noise(
+            noise, self.layout, self.qreg_sizes, self.n)
 
     def run(self, seed: int | None = None, dump_writer=None):
         from ..core.density import DensityMatrix
@@ -604,14 +731,16 @@ class DensityProgram:
                 if isinstance(ev, EvGates):
                     for p in ev.prims:
                         rho.apply([p])
-                        for _, ks in self.noise:
+                        for (_, ks), tset in zip(self.noise, self._tsets):
                             if np.asarray(ks[0]).shape[0] == 4:
-                                if len(p.targets) == 2:
-                                    rho.apply_channel(
-                                        ks, tuple(int(q) for q in p.targets))
+                                t = tuple(int(q) for q in p.targets)
+                                if len(t) == 2 and (tset is None
+                                                    or set(t) <= tset):
+                                    rho.apply_channel(ks, t)
                             else:
                                 for q in p.targets:
-                                    rho.apply_channel(ks, (int(q),))
+                                    if tset is None or int(q) in tset:
+                                        rho.apply_channel(ks, (int(q),))
                 elif isinstance(ev, EvMeasure):
                     bits = []
                     for q in ev.qubits:

@@ -146,10 +146,13 @@ def _build_slots(tprog):
                 u, targets = _apply._sort_targets(u, tuple(p.targets))
                 k = len(targets)
                 sites = []
-                for nv, is2q in chans:
+                for (nv, is2q), tset in zip(chans, tprog._tsets):
                     if is2q:
                         if len(p.targets) != 2:
                             continue
+                        if tset is not None and not set(
+                                int(q) for q in p.targets) <= tset:
+                            continue   # targeted coupler channel
                         # mirror the vmapped engine: descending call-site
                         # targets pick the SWAP-conjugated variant, applied
                         # on sorted axes (noisy.py _exec)
@@ -158,6 +161,8 @@ def _build_slots(tprog):
                     else:
                         cdf, mats = nv[0]
                         for q in p.targets:
+                            if tset is not None and int(q) not in tset:
+                                continue
                             pos = targets.index(int(q))
                             sites.append(_Site(cdf, np.stack([
                                 _expand_1q_to_slot(m, pos, k)

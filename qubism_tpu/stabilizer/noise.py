@@ -67,6 +67,11 @@ def pauli_channel_cdfs(spec: str, backend: str = "stabilizer"):
         part = part.strip()
         if not part:
             continue
+        if "@" in part and backend == "stabilizer":
+            raise ValueError(
+                f"per-qubit noise targeting ({part!r}) is not supported "
+                f"on the stabilizer backend; the dense trajectory, "
+                f"density, and mps executors support '@'")
         name, sep, val = part.partition(":")
         name = name.strip().lower()
         if not sep:
