@@ -106,10 +106,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="vmap",
                    help="trajectory executor for --noise on the statevector "
                         "backend: 'vmap' (default; bit-identical with "
-                        "--mesh at a seed), 'fused' (host-realized mixture "
-                        "noise through the Pallas kernels — ~50x fewer "
-                        "state sweeps at large n; errors on ineligible "
-                        "programs), 'auto' (fused when eligible)")
+                        "--mesh at a seed), 'fused' (batched-scan Pallas "
+                        "path: realized mixture noise + in-graph MCWF "
+                        "damping — ~50x fewer state sweeps at large n; "
+                        "errors on ineligible programs), 'auto' (fused "
+                        "when eligible)")
     p.add_argument("--verbose", action="store_true",
                    help="per-event timing + fusion statistics to stderr")
     return p
@@ -264,6 +265,7 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                               if prog.creg_names else {})
             except Exception:
                 from .mps import NotAdjacentError
+                from .run.traj_fused import FusedUnsupported
                 from .stabilizer import NotCliffordError
 
                 e = sys.exc_info()[1]
@@ -273,6 +275,13 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 if isinstance(e, NotAdjacentError):
                     print(f"qubism: mps trajectories: {e}", file=out)
                     return 1
+                if isinstance(e, FusedUnsupported):
+                    # an explicit --traj-engine fused on an ineligible
+                    # program: clean diagnostic, not a traceback
+                    print(f"qubism: --traj-engine fused: {e} "
+                          f"(drop the flag or use --traj-engine auto)",
+                          file=out)
+                    return 2
                 raise
             if prog.creg_names:
                 print(f"Counts over classical registers "

@@ -186,18 +186,23 @@ def resolve_noise_targets(tspec: str, layout, qreg_sizes, n: int):
 
 def _normalize_noise(noise, layout, qreg_sizes, n):
     """Normalize a --noise value for a program: returns
-    ``(chan_list, tsets)`` where chan_list is ``[(label, kraus_list)]``
-    and tsets the parallel per-channel frozenset of absolute qubits (or
-    None = all qubits). Accepts a spec string (``@`` targeting
-    resolved against the program layout), or a parsed list whose
-    entries are ``(label, ks)`` or ``(label, ks, qubit_iterable)``."""
+    ``(chan_list, tsets)`` where chan_list is ``[(label, kraus_list,
+    tset)]`` triples (``tset`` = frozenset of absolute qubits or None =
+    all qubits — kept IN the entry so ``prog.noise`` round-trips into
+    another program with its targeting intact) and tsets the parallel
+    per-channel list. Accepts a spec string (``@`` targeting resolved
+    against the program layout), or a parsed list whose entries are
+    ``(label, ks)``, ``(label, ks, qubit_iterable)``, or round-tripped
+    triples with a frozenset."""
     if noise is None:
         return [], []
     if isinstance(noise, str):
-        chans = parse_noise_spec(noise)
-        tsets = [None if t is None
-                 else resolve_noise_targets(t, layout, qreg_sizes, n)
-                 for t in noise_spec_targets(noise)]
+        chans, tsets = [], []
+        for label, ks, tspec in _parse_noise_parts(noise):
+            tset = (None if tspec is None
+                    else resolve_noise_targets(tspec, layout, qreg_sizes, n))
+            chans.append((label, ks, tset))
+            tsets.append(tset)
         return chans, tsets
     chans, tsets = [], []
     for entry in noise:
@@ -205,8 +210,17 @@ def _normalize_noise(noise, layout, qreg_sizes, n):
             (label, ks), tset = entry, None
         else:
             label, ks, tgt = entry
-            tset = None if tgt is None else frozenset(int(q) for q in tgt)
-        chans.append((label, ks))
+            if tgt is None:
+                tset = None
+            else:
+                qs = sorted(int(q) for q in tgt)
+                bad = [q for q in qs if q < 0 or q >= n]
+                if bad:
+                    raise ValueError(
+                        f"noise channel {label!r}: target qubit {bad[0]} "
+                        f"out of range (n={n})")
+                tset = frozenset(qs)
+        chans.append((label, ks, tset))
         tsets.append(tset)
     return chans, tsets
 
@@ -249,13 +263,10 @@ def _traj_sharding(m):
     return NamedSharding(m, PartitionSpec("traj"))
 
 
-def parse_noise_spec(spec: str):
-    """``"depolarizing:0.01,ad:0.05"`` -> [(label, kraus_list), ...].
-
-    A part may carry an ``@`` qubit-target suffix (``dep:0.01@q[2]``);
-    the suffix is kept in the label but plays no role here — programs
-    resolve it against their layout via :func:`noise_spec_targets` +
-    :func:`resolve_noise_targets`."""
+def _parse_noise_parts(spec: str):
+    """ONE tokenizer pass over a --noise spec: ``[(label, kraus_list,
+    tspec_or_None), ...]`` — channel data and target specs come from the
+    same walk, so they cannot fall out of index-parallel."""
     out = []
     for part in spec.split(","):
         part = part.strip()
@@ -274,8 +285,18 @@ def parse_noise_spec(spec: str):
             raise ValueError(f"noise channel {name!r} needs a parameter "
                              f"(e.g. {name}:0.01)")
         p = float(val)
-        out.append((f"{name}:{p}{suffix}", NOISE_CHANNELS[name](p)))
+        out.append((f"{name}:{p}{suffix}", NOISE_CHANNELS[name](p), tspec))
     return out
+
+
+def parse_noise_spec(spec: str):
+    """``"depolarizing:0.01,ad:0.05"`` -> [(label, kraus_list), ...].
+
+    A part may carry an ``@`` qubit-target suffix (``dep:0.01@q[2]``);
+    the suffix is kept in the label but plays no role here — programs
+    resolve it against their layout via :func:`_parse_noise_parts` +
+    :func:`resolve_noise_targets`."""
+    return [(label, ks) for label, ks, _ in _parse_noise_parts(spec)]
 
 
 class TrajectoryProgram:
@@ -309,7 +330,7 @@ class TrajectoryProgram:
         # needs ascending targets, but `cx q[2], q[0]` is descending —
         # the SWAP-conjugated variant is picked statically in _exec).
         self._kchans = []
-        for _, ks in self.noise:
+        for _, ks, _ in self.noise:
             is2q = np.asarray(ks[0]).shape[0] == 4
             variants = []
             for desc in ((False, True) if is2q else (False,)):
@@ -474,14 +495,17 @@ class TrajectoryProgram:
         to cut dispatch count at large n (the n=26 bench runs 8
         trajectories/dispatch at 2^30 words OOM-free on a 16 GB v5e).
 
-        ``engine="fused"`` runs mixture-noise sampling workloads through
-        the canonical-layout Pallas kernels with host-realized noise
-        (``run/traj_fused.py``) — ~50x fewer state sweeps per trajectory
-        at large n; raises :class:`~..run.traj_fused.FusedUnsupported`
-        for programs needing in-trace stochastics (state-dependent Kraus,
-        feed-forward), and its random stream is its own (statistically
-        equivalent, not bit-identical to the vmapped engine's).
-        ``engine="auto"`` tries fused and silently falls back to vmap."""
+        ``engine="fused"`` runs sampling workloads through the
+        canonical-layout Pallas kernels in batched ``lax.scan`` dispatches
+        (``run/traj_fused.py``): mixture noise is host-realized into gate
+        coefficients, amplitude/phase damping runs as in-graph MCWF
+        norm-branch sites — ~50x fewer state sweeps per trajectory at
+        large n and ~1 dispatch per trajectory batch; raises
+        :class:`~..run.traj_fused.FusedUnsupported` for feed-forward /
+        mid-circuit-measurement programs, and its random stream is its
+        own (statistically equivalent, not bit-identical to the vmapped
+        engine's). ``engine="auto"`` tries fused and silently falls back
+        to vmap."""
         if engine not in ("vmap", "fused", "auto"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "fused" and type(self) is not TrajectoryProgram:
@@ -731,7 +755,7 @@ class DensityProgram:
                 if isinstance(ev, EvGates):
                     for p in ev.prims:
                         rho.apply([p])
-                        for (_, ks), tset in zip(self.noise, self._tsets):
+                        for (_, ks, _), tset in zip(self.noise, self._tsets):
                             if np.asarray(ks[0]).shape[0] == 4:
                                 t = tuple(int(q) for q in p.targets)
                                 if len(t) == 2 and (tset is None
@@ -770,7 +794,7 @@ class DensityProgram:
         out = ["Dump of the internal state (density backend): \n\n"]
         if rho is not None:
             name = "(x)".join(self.layout) if self.layout else ""
-            noise = ", ".join(lbl for lbl, _ in self.noise) or "none"
+            noise = ", ".join(lbl for lbl, *_ in self.noise) or "none"
             out.append(f"Density matrix of {name}: {rho.n} qubits, "
                        f"trace={rho.trace():.6f}, purity={rho.purity():.6f}, "
                        f"noise={noise}\n")

@@ -1,41 +1,52 @@
-"""Fused-Pallas trajectory execution for mixture noise at large n.
+"""Fused-Pallas trajectory execution for circuit-level noise at large n.
 
 The vmapped per-trajectory engine (``run/noisy.py``) re-traces every gate,
 noise channel and per-qubit measurement as generic XLA ops: at n=26 a
 single trajectory costs ~150 full-state passes, each paying XLA's
-transpose/materialization overhead — measured 4.7 s/trajectory on a v5e
-(256 trajectories in ~1200 s). For the most common noise family that is
-absurd: **mixed-unitary channels** (depolarizing, Pauli, bit/phase-flip —
-``_unitary_mix``) have state-INDEPENDENT branch probabilities, so a
-trajectory's entire noise realization can be drawn host-side before the
-state exists.
-
-This module exploits that: realize every site's unitary on the host, fold
-it into the adjacent gate's coefficient table, and run the whole
-trajectory through the SAME canonical-layout Pallas kernels as the
-noiseless engine — with one crucial property: **every trajectory shares
-one compiled program.** All content lives in jit *operands*:
+transpose/materialization overhead — measured ~1.1 s/trajectory on a v5e.
+This engine instead runs trajectories through the SAME canonical-layout
+Pallas kernels as the noiseless engine, with **every trajectory sharing
+one compiled program** — all content lives in jit *operands*:
 
 * runs of 1q gates (gate x realized Pauli folded) on row qubits apply as
   one ``_layer1q_fn`` streaming pass (coefficients are an SMEM argument);
-* 1q gates on lane qubits fold (kron) into ONE 128x128 ``lane_gate``
-  matmul per layer — the matrix is an operand;
+* 1q gates on lane qubits fold (kron, traced — tiny 128x128 work) into
+  ONE 128-wide ``lane_gate`` matmul per layer;
 * 2q gates (noise folded in) apply via the all-dense ``_gate_fn`` variant
   (``pattern=None``), so realized X/Z insertions cannot change the zero
   pattern and force a recompile;
 * the final measurement is ONE joint Born sample from |psi|^2 (exactly
   equivalent to the reference's sequential per-qubit measurement,
-  StateVec.hs:133-137, under the correct Born rule) instead of ~2 passes
-  per qubit.
+  src/Qubism/StateVec.hs:133-137, under the correct Born rule) instead
+  of ~2 passes per qubit.
 
-A GHZ-26 trajectory is then ~27 fused passes in 2 dispatches + 1 sample
-dispatch, ~50x fewer state sweeps than the vmapped path.
+**Noise realization.** Mixed-unitary channels (depolarizing, Pauli,
+bit/phase-flip — ``_unitary_mix``) have state-INDEPENDENT branch
+probabilities, so their realization is drawn host-side and folded into
+the adjacent gate's coefficient table — zero extra passes. State-dependent
+1q Kraus channels (amplitude/phase damping) run as in-graph **MCWF
+norm-branch sites**: one fused reduction computes the jump probability
+p_j = <psi| K_j^dag K_j |psi> (K^dag K diagonal for ad/pd, so one
+(P0, P1) marginal suffices), the branch index comes from a pre-drawn
+host uniform via in-graph searchsorted, and the selected Kraus (scaled
+1/sqrt(p_j) — renormalization folded into the coefficients) applies
+through the same 1q kernels. One compiled program per circuit shape,
+no fallback to the 1.1 s/trajectory vmap path (collapse semantics:
+src/Qubism/StateVec.hs:104-129).
+
+**Batched dispatch.** Trajectories run inside ONE device program: the
+realized per-trajectory operands stack along a leading batch axis and a
+``lax.scan`` sweeps them — state memory stays ONE trajectory (the scan
+carry is nothing; each iteration rebuilds |0..0> in place), and the final
+Born sample happens inside the scan body. 256 trajectories = 1 dispatch
+(vs ~3 dispatches/trajectory sequentially, which through a remote-tunnel
+backend was ~2.3x the DMA floor).
 
 Eligibility (checked; ``FusedUnsupported`` otherwise — callers fall back):
-every noise channel mixed-unitary, all measurements final, no feed-forward
-(``if``)/reset after gates start... i.e. the sampling workload shape. The
-reference simulator has no noise story at all (SURVEY.md §5), so this
-whole engine is TPU-build extension surface.
+all measurements final, no feed-forward (``if``)/reset after gates start,
+1q Kraus channels with diagonal K^dag K... i.e. the sampling workload
+shape. The reference simulator has no noise story at all (SURVEY.md §5),
+so this whole engine is TPU-build extension surface.
 """
 
 from __future__ import annotations
@@ -46,16 +57,17 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config
-from ..core.gates import Prim
 from ..ops import apply as _apply
 from ..ops import kernels
-from ..ops.sample import sample_indices_np
+from ..ops.measure import prob_one_traced
+from ..ops.sample import (_BIG_SAMPLE_BITS, _leaf_bits, _sample_parts,
+                          _sample_parts_big)
 from .compiler import EvDump, EvGates, EvMeasure
 
-#: fused passes per jitted chunk (same rationale as CompiledCircuit)
-_CHUNK_PASSES = 16
-
 _PAULI_ID = np.eye(2, dtype=np.complex128)
+
+#: cap on the stacked-operand upload per batched dispatch (bytes)
+_BATCH_OPERAND_CAP = 256 << 20
 
 
 class FusedUnsupported(ValueError):
@@ -70,9 +82,15 @@ def _expand_1q_to_slot(m: np.ndarray, pos: int, k: int) -> np.ndarray:
     return out
 
 
+def _stack2(m: np.ndarray) -> np.ndarray:
+    """complex (d, d) -> (2, d, d) float32 re/im stack."""
+    return np.stack([m.real.astype(np.float32), m.imag.astype(np.float32)])
+
+
 class _Site:
-    """One stochastic noise site: a static CDF and the branch unitaries
-    pre-expanded to the owning slot's 2^k x 2^k dims."""
+    """One host-realized stochastic noise site: a static CDF and the branch
+    unitaries (pre-expanded to the owning slot's 2^k x 2^k dims when
+    folded)."""
 
     __slots__ = ("cdf", "mats")
 
@@ -87,7 +105,7 @@ class _Site:
 
 
 class _Slot:
-    """One original gate plus its attached noise sites. ``targets`` are
+    """One original gate plus its FOLDED noise sites. ``targets`` are
     sorted ascending; ``base`` is the gate matrix in sorted-target axes."""
 
     __slots__ = ("targets", "base", "sites")
@@ -108,28 +126,60 @@ class _Slot:
         return len(self.sites)
 
 
-def _build_slots(tprog):
-    """Walk the program's events into slots; validate eligibility."""
+class _Mcwf:
+    """A state-dependent 1q Kraus channel prepared for in-graph MCWF:
+    every K^dag K must be diagonal (true for amplitude/phase damping), so
+    branch probabilities are p_j = a_j*P0 + b_j*P1 from one marginal."""
+
+    __slots__ = ("kr", "ki", "ab")
+
+    def __init__(self, kraus):
+        ks = [np.asarray(k, dtype=np.complex128) for k in kraus]
+        ab = []
+        for k in ks:
+            if k.shape != (2, 2):
+                raise FusedUnsupported(
+                    "state-dependent Kraus channels on the fused path must "
+                    "be single-qubit")
+            g = k.conj().T @ k
+            if abs(g[0, 1]) > 1e-9 or abs(g[1, 0]) > 1e-9:
+                raise FusedUnsupported(
+                    "state-dependent Kraus channel with non-diagonal "
+                    "K^dag K: needs per-branch norm sweeps; use the "
+                    "vmapped engine")
+            ab.append((float(g[0, 0].real), float(g[1, 1].real)))
+        self.kr = jnp.asarray(np.stack([k.real for k in ks]), jnp.float32)
+        self.ki = jnp.asarray(np.stack([k.imag for k in ks]), jnp.float32)
+        self.ab = jnp.asarray(np.asarray(ab), jnp.float32)  # (B, 2)
+
+
+def _build_units(tprog):
+    """Walk the program's events into execution units: ("slot", _Slot) for
+    gates with folded mixed-unitary noise, ("mcwf", q, _Mcwf) for in-graph
+    norm-branch sites. Validates eligibility."""
     if config.reference_sqrt_born:
         raise FusedUnsupported(
             "reference sqrt-Born sampling is sequential-per-qubit; the "
             "fused path's joint Born sample matches only the correct rule")
-    # channels: numpy mixture data per (arity, descending?) variant
+    # channels: per spec entry, ("umix", numpy mixture data per variant)
+    # or ("mcwf", prepared Kraus)
     chans = []
-    for variants, is2q in tprog._kchans:
-        nv = []
-        for kind, kp in variants:
-            if kind != "umix":
+    for (variants, is2q), (_, raw_ks, _) in zip(tprog._kchans, tprog.noise):
+        if all(kind == "umix" for kind, _ in variants):
+            nv = []
+            for _, kp in variants:
+                cdf, urs, uis = (np.asarray(x) for x in kp)
+                nv.append((cdf, urs.astype(np.complex128)
+                           + 1j * uis.astype(np.complex128)))
+            chans.append(("umix", nv, is2q))
+        else:
+            if is2q:
                 raise FusedUnsupported(
-                    "state-dependent Kraus channels (amplitude/phase "
-                    "damping) need in-trace MCWF weights; use the vmapped "
+                    "state-dependent 2q Kraus channels: use the vmapped "
                     "engine")
-            cdf, urs, uis = (np.asarray(x) for x in kp)
-            nv.append((cdf, urs.astype(np.complex128)
-                       + 1j * uis.astype(np.complex128)))
-        chans.append((nv, is2q))
+            chans.append(("mcwf", _Mcwf(raw_ks), False))
 
-    slots: list[_Slot] = []
+    units: list[tuple] = []
     measures: list[EvMeasure] = []
     for ev in tprog.events:
         if isinstance(ev, EvGates):
@@ -145,8 +195,25 @@ def _build_slots(tprog):
                                dtype=np.complex128)
                 u, targets = _apply._sort_targets(u, tuple(p.targets))
                 k = len(targets)
-                sites = []
-                for (nv, is2q), tset in zip(chans, tprog._tsets):
+                fold: list[_Site] = []
+                post: list[tuple] = []   # ("mcwf", q, _Mcwf) | ("slot", _Slot)
+                post_qubits: set[int] = set()
+
+                def emit_umix(cdf, mats, qubits, pos=None):
+                    """Fold when order allows (commutes past post sites on
+                    other qubits); otherwise a standalone realized unit."""
+                    if not (set(qubits) & post_qubits):
+                        if pos is not None:
+                            mats = np.stack([
+                                _expand_1q_to_slot(m, pos, k) for m in mats])
+                        fold.append(_Site(cdf, mats))
+                    else:
+                        post.append(("slot", _Slot(
+                            tuple(sorted(qubits)),
+                            np.eye(mats.shape[-1], dtype=np.complex128),
+                            [_Site(cdf, mats)])))
+
+                for (kind, payload, is2q), tset in zip(chans, tprog._tsets):
                     if is2q:
                         if len(p.targets) != 2:
                             continue
@@ -156,18 +223,23 @@ def _build_slots(tprog):
                         # mirror the vmapped engine: descending call-site
                         # targets pick the SWAP-conjugated variant, applied
                         # on sorted axes (noisy.py _exec)
-                        cdf, mats = nv[p.targets[0] > p.targets[1]]
-                        sites.append(_Site(cdf, mats))
-                    else:
-                        cdf, mats = nv[0]
+                        cdf, mats = payload[p.targets[0] > p.targets[1]]
+                        emit_umix(cdf, np.asarray(mats), targets)
+                    elif kind == "umix":
+                        cdf, mats = payload[0]
                         for q in p.targets:
                             if tset is not None and int(q) not in tset:
                                 continue
-                            pos = targets.index(int(q))
-                            sites.append(_Site(cdf, np.stack([
-                                _expand_1q_to_slot(m, pos, k)
-                                for m in mats])))
-                slots.append(_Slot(targets, u, sites))
+                            emit_umix(cdf, np.asarray(mats), (int(q),),
+                                      pos=targets.index(int(q)))
+                    else:   # mcwf
+                        for q in p.targets:
+                            if tset is not None and int(q) not in tset:
+                                continue
+                            post.append(("mcwf", int(q), payload))
+                            post_qubits.add(int(q))
+                units.append(("slot", _Slot(targets, u, fold)))
+                units.extend(post)
         elif isinstance(ev, EvMeasure):
             measures.append(ev)
         elif isinstance(ev, EvDump):
@@ -175,97 +247,189 @@ def _build_slots(tprog):
         else:
             raise FusedUnsupported(
                 f"{type(ev).__name__} events: use the vmapped engine")
-    return slots, measures
+    return units, measures
+
+
+# ---------------------------------------------------------------------------
+# Traced operand expansion (content stays a tiny operand; the 128-wide lane
+# matrices are built in-graph so the host->device upload per trajectory is
+# a few hundred bytes, not 128 KB)
+# ---------------------------------------------------------------------------
+
+
+def _kron2(ar, ai, br, bi):
+    return (jnp.kron(ar, br) - jnp.kron(ai, bi),
+            jnp.kron(ar, bi) + jnp.kron(ai, br))
+
+
+def _lane_matrix_traced(coefs, positions, n: int):
+    """Build the (lanes, lanes) lane-block matrix from per-gate 2x2
+    coefficient stacks (L, 2, 2, 2), kron-expanded with identities on the
+    untouched lane qubits. Returns (Mr^T, Mi^T) for ``_lane_gate_fn``."""
+    b = max(n - _apply._COL, 0)
+    mr = jnp.ones((1, 1), jnp.float32)
+    mi = jnp.zeros((1, 1), jnp.float32)
+    eye = jnp.eye(2, dtype=jnp.float32)
+    z2 = jnp.zeros((2, 2), jnp.float32)
+    i = 0
+    for q in range(b, n):
+        if q in positions:
+            gr, gi = coefs[i, 0], coefs[i, 1]
+            i += 1
+        else:
+            gr, gi = eye, z2
+        mr, mi = _kron2(mr, mi, gr, gi)
+    return mr.T, mi.T
+
+
+def _expand_lane_pair_traced(cs, n: int, targets):
+    """Traced ``expand_for_view`` for a pure-lane k-target gate: (2, 2^k,
+    2^k) re/im stack -> transposed (lanes, lanes) planes."""
+    b = max(n - _apply._COL, 0)
+    dst = tuple(range(b, n))
+    m, k = len(dst), len(targets)
+    extra = [q for q in dst if q not in targets]
+    cur = list(targets) + extra
+    perm = [cur.index(q) for q in dst]
+    eye = jnp.eye(1 << (m - k), dtype=jnp.float32)
+
+    def ex(x):
+        full = jnp.kron(x, eye)
+        return (full.reshape((2,) * (2 * m))
+                .transpose(perm + [m + p for p in perm])
+                .reshape(1 << m, 1 << m))
+
+    return ex(cs[0]).T, ex(cs[1]).T
+
+
+# ---------------------------------------------------------------------------
+# Execution steps
+# ---------------------------------------------------------------------------
 
 
 class _LayerStep:
     """A run of disjoint 1q slots: row qubits via one _layer1q_fn pass,
-    lane qubits folded (kron) into one 128-wide lane matmul."""
+    lane qubits folded (traced kron) into one 128-wide lane matmul."""
 
     def __init__(self, slots, n):
         b = max(n - _apply._COL, 0)
         self.row = [s for s in slots if s.targets[0] < b]
         self.lane = [s for s in slots if s.targets[0] >= b]
         self.row.sort(key=lambda s: s.targets[0])
+        self.lane.sort(key=lambda s: s.targets[0])
         self.n = n
         self.n_passes = (1 if self.row else 0) + (1 if self.lane else 0)
-        self.fns = []
+        self.n_sites = sum(s.n_sites for s in self.row + self.lane)
         if self.row:
-            self.fns.append(("row", kernels._layer1q_fn(
-                tuple(s.targets[0] for s in self.row), n)))
+            self._row_fn = kernels._layer1q_fn(
+                tuple(s.targets[0] for s in self.row), n, donate=False)
         if self.lane:
-            self.fns.append(("lane", kernels._lane_gate_fn(n)))
+            self._lane_fn = kernels._lane_gate_fn(n, donate=False)
+            self._lane_pos = tuple(s.targets[0] for s in self.lane)
 
-    def iter_slots(self):
-        return self.row + self.lane
-
-    def build_operands(self, mats):
-        """mats: realized 2x2 per slot, in iter_slots() order."""
+    def realize(self, us):
+        mats, pos = [], 0
+        for s in self.row + self.lane:
+            mats.append(s.realize(us[pos:pos + s.n_sites]))
+            pos += s.n_sites
         out = []
         nr = len(self.row)
         if self.row:
-            cs = np.stack([np.stack([m.real.astype(np.float32),
-                                     m.imag.astype(np.float32)])
-                           for m in mats[:nr]])
-            out.append(cs)
+            out.append(np.stack([_stack2(m) for m in mats[:nr]]))
         if self.lane:
-            full = _PAULI_ID
-            lane_q = {s.targets[0]: m
-                      for s, m in zip(self.lane, mats[nr:])}
-            n, b = self.n, max(self.n - _apply._COL, 0)
-            full = np.eye(1, dtype=np.complex128)
-            for q in range(b, n):
-                full = np.kron(full, lane_q.get(q, _PAULI_ID))
-            out.append(np.ascontiguousarray(
-                full.real.astype(np.float32).T))
-            out.append(np.ascontiguousarray(
-                full.imag.astype(np.float32).T))
+            out.append(np.stack([_stack2(m) for m in mats[nr:]]))
         return out
+
+    def traced(self, planes, it):
+        if self.row:
+            planes = self._row_fn(planes, next(it))
+        if self.lane:
+            mr, mi = _lane_matrix_traced(next(it), self._lane_pos, self.n)
+            planes = self._lane_fn(planes, mr, mi)
+        return planes
 
 
 class _DenseStep:
     """One >=2-target slot: all-dense row/straddle kernel or a pure-lane
-    matmul; content enters only through operands."""
+    matmul; content enters only through a (2, 2^k, 2^k) operand."""
 
     def __init__(self, slot, n):
         self.slot = slot
         self.n = n
-        b = max(n - _apply._COL, 0)
         self.n_passes = 1
-        if all(t >= b for t in slot.targets):
-            self.fns = [("lane", kernels._lane_gate_fn(n))]
-            self.pure_lane = True
+        self.n_sites = slot.n_sites
+        b = max(n - _apply._COL, 0)
+        self.pure_lane = all(t >= b for t in slot.targets)
+        if self.pure_lane:
+            self._fn = kernels._lane_gate_fn(n, donate=False)
         else:
             # pattern=None: the shared all-dense compile — realized
             # X/Y/Z insertions must not change the program structure
-            self.fns = [("row", kernels._gate_fn(
-                slot.targets, n, 0, None, True))]
-            self.pure_lane = False
+            self._fn = kernels._gate_fn(slot.targets, n, 0, None,
+                                        donate=False)
 
-    def iter_slots(self):
-        return [self.slot]
+    def realize(self, us):
+        return [_stack2(self.slot.realize(us))]
 
-    def build_operands(self, mats):
-        (m,) = mats
+    def traced(self, planes, it):
+        cs = next(it)
         if self.pure_lane:
-            full = _apply.expand_for_view(m, self.n, self.slot.targets)
-            return [np.ascontiguousarray(full.real.astype(np.float32).T),
-                    np.ascontiguousarray(full.imag.astype(np.float32).T)]
-        return [np.stack([m.real.astype(np.float32),
-                          m.imag.astype(np.float32)])]
+            mr, mi = _expand_lane_pair_traced(cs, self.n, self.slot.targets)
+            return self._fn(planes, mr, mi)
+        return self._fn(planes, cs)
+
+
+class _McwfStep:
+    """In-graph MCWF norm-branch site on qubit q: one fused reduction for
+    the (P0, P1) marginal, branch selection from a pre-drawn host uniform,
+    and the selected Kraus (renormalization folded into its coefficients)
+    applied through the same 1q kernels."""
+
+    n_passes = 2
+    n_sites = 1
+
+    def __init__(self, q, mcwf, n):
+        self.q, self.mc, self.n = q, mcwf, n
+        b = max(n - _apply._COL, 0)
+        self.lane = q >= b
+        if self.lane:
+            self._fn = kernels._lane_gate_fn(n, donate=False)
+        else:
+            self._fn = kernels._layer1q_fn((q,), n, donate=False)
+
+    def realize(self, us):
+        return [np.float32(us[0])]
+
+    def traced(self, planes, it):
+        u = next(it)
+        p1 = prob_one_traced(planes, self.q, self.n)
+        re, im = planes
+        nrm = jnp.sum(re * re) + jnp.sum(im * im)   # fuses with p1's read
+        p0 = jnp.maximum(nrm - p1, 0.0)
+        probs = self.mc.ab[:, 0] * p0 + self.mc.ab[:, 1] * p1      # (B,)
+        cdf = jnp.cumsum(probs)
+        j = jnp.clip(jnp.searchsorted(cdf, u * cdf[-1], side="right"),
+                     0, probs.shape[0] - 1)
+        inv = jax.lax.rsqrt(jnp.maximum(probs[j], jnp.float32(1e-30)))
+        coefs = (jnp.stack([self.mc.kr[j], self.mc.ki[j]]) * inv)[None]
+        if self.lane:
+            mr, mi = _lane_matrix_traced(coefs, (self.q,), self.n)
+            return self._fn(planes, mr, mi)
+        return self._fn(planes, coefs)
 
 
 class FusedTrajectories:
-    """Compile once, then run trajectories as realized-coefficient sweeps."""
+    """Compile once, then run trajectory batches as realized-coefficient
+    sweeps inside ONE dispatched ``lax.scan`` program per batch."""
 
     def __init__(self, tprog):
         self.tprog = tprog
         self.n = tprog.n
         if self.n < 2:
             raise FusedUnsupported("need >= 2 qubits")
-        self.slots, self.measures = _build_slots(tprog)
+        units, self.measures = _build_units(tprog)
 
-        # group slots into steps: greedy disjoint-1q layers + dense steps
+        # group units into steps: greedy disjoint-1q layers + dense/mcwf
         steps = []
         pend: list[_Slot] = []
         used: set[int] = set()
@@ -276,7 +440,12 @@ class FusedTrajectories:
                 steps.append(_LayerStep(pend, self.n))
                 pend, used = [], set()
 
-        for s in self.slots:
+        for unit in units:
+            if unit[0] == "mcwf":
+                flush()
+                steps.append(_McwfStep(unit[1], unit[2], self.n))
+                continue
+            s = unit[1]
             if len(s.targets) == 1:
                 if s.targets[0] in used:
                     flush()
@@ -288,95 +457,130 @@ class FusedTrajectories:
         flush()
         self.steps = steps
 
-        # chunk the steps and jit one body per chunk (structure-stable:
-        # operands carry all content)
-        self.chunks = []
-        cur, passes = [], 0
-        for st in steps:
-            if cur and passes + st.n_passes > _CHUNK_PASSES:
-                self.chunks.append(tuple(cur))
-                cur, passes = [], 0
-            cur.append(st)
-            passes += st.n_passes
-        if cur:
-            self.chunks.append(tuple(cur))
-        self._chunk_fns = [self._make_chunk_fn(c) for c in self.chunks]
-        self._init = jax.jit(
-            lambda: kernels.to_canon(_apply.zero_state(self.n), self.n))
+        # total stochastic sites, in step order (one uniform each)
+        self.total_sites = sum(st.n_sites for st in self.steps)
+        self._bfn_cache: dict[int, object] = {}
+        #: device programs dispatched by run_vals (test observability)
+        self.dispatch_count = 0
 
-        # total stochastic sites, in slot order (one uniform each)
-        self.total_sites = sum(s.n_sites for s in self.slots)
-
-    @staticmethod
-    def _make_chunk_fn(chunk):
-        fseq = tuple(kind_fn for st in chunk for kind_fn in st.fns)
-
-        def body(planes, operands):
-            it = iter(operands)
-            for kind, fn in fseq:
-                if kind == "row":
-                    planes = fn(planes, next(it))
-                else:
-                    planes = fn(planes, next(it), next(it))
-            return planes
-
-        return jax.jit(body, donate_argnums=0)
-
-    # -- per-trajectory execution -------------------------------------------
+    # -- realization ----------------------------------------------------------
 
     def _realize_operands(self, rng):
-        """Draw every site's branch and build the chunked operand lists."""
+        """Draw every site's branch/uniform and build the per-step operand
+        lists for ONE trajectory."""
         us = rng.random(self.total_sites)
         pos = 0
-        per_chunk = []
-        for chunk in self.chunks:
-            ops: list = []
-            for st in chunk:
-                mats = []
-                for s in st.iter_slots():
-                    mats.append(s.realize(us[pos:pos + s.n_sites]))
-                    pos += s.n_sites
-                ops.extend(st.build_operands(mats))
-            per_chunk.append(ops)
-        return per_chunk
+        per_step = []
+        for st in self.steps:
+            per_step.append(st.realize(us[pos:pos + st.n_sites]))
+            pos += st.n_sites
+        return per_step
 
-    def run_vals(self, ntraj: int, seed: int | None = None):
+    # -- batched device program ----------------------------------------------
+
+    def _traced_one(self, ops, key):
+        """One trajectory, traced: |0..0> -> all steps -> one Born sample.
+        Returns (chunk, leaf) int32 sample parts (combined on the host —
+        a flat int32 index would overflow past n=31)."""
+        R, C = kernels.canon_shape(self.n)
+        re = jnp.zeros((R, C), jnp.float32).at[0, 0].set(1.0)
+        planes = (re, jnp.zeros((R, C), jnp.float32))
+        it = iter(ops)
+        for st in self.steps:
+            planes = st.traced(planes, it)
+        if self.n >= _BIG_SAMPLE_BITS:
+            c, lo = _sample_parts_big(planes, self.n, 1, key)
+        else:
+            c, lo = _sample_parts(planes, self.n, 1, key)
+        return c[0], lo[0]
+
+    def _batched_fn(self, T: int):
+        fn = self._bfn_cache.get(T)
+        if fn is None:
+            def run(stacked, keys):
+                def body(_, xs):
+                    ops, key = xs
+                    return 0, self._traced_one(list(ops), key)
+
+                _, (cs, los) = jax.lax.scan(body, 0, (stacked, keys))
+                return cs, los
+
+            fn = self._bfn_cache[T] = jax.jit(run)
+        return fn
+
+    def _auto_batch(self, ops0, ntraj: int) -> int:
+        per = sum(int(np.asarray(o).nbytes) for o in ops0)
+        return int(max(1, min(ntraj, _BATCH_OPERAND_CAP // max(per, 1))))
+
+    # -- host API -------------------------------------------------------------
+
+    def run_vals(self, ntraj: int, seed: int | None = None,
+                 batch: int | None = None):
         """Same output contract as ``TrajectoryProgram.run_vals``: dict
         creg name -> (ntraj, size) int32 bit arrays (LSB-first columns).
         The random stream is this engine's own (host numpy PCG64 seeded by
-        ``seed``) — statistically equivalent to, but not bit-identical
-        with, the vmapped engine's key-derived stream."""
+        ``seed`` for noise realization/readout; key-derived device draws
+        for Born sampling and MCWF branch thresholds come through operands
+        from the same host stream) — statistically equivalent to, but not
+        bit-identical with, the vmapped engine's. ``batch`` overrides the
+        operand-budget batch size (results are batch-size invariant: the
+        scan body is identical per trajectory)."""
         tprog = self.tprog
         rng = np.random.default_rng(0 if seed is None else seed)
         out = {c: np.zeros((ntraj, tprog.creg_sizes[c]), dtype=np.int32)
                for c in tprog.creg_names}
+        nbits = sum(len(ev.qubits) for ev in self.measures)
+        per_traj, flips = [], []
+        for _ in range(ntraj):
+            ops = self._realize_operands(rng)
+            per_traj.append([o for step_ops in ops for o in step_ops])
+            if tprog.readout_p:
+                # same draw order as the per-trajectory engine: noise
+                # realization first, then one reporting flip per read
+                flips.append([rng.random() < tprog.readout_p
+                              for _ in range(nbits)])
+        if not self.measures or ntraj == 0:
+            return out
+
         keys = jax.random.split(
             jax.random.PRNGKey(0 if seed is None else seed), max(ntraj, 1))
+        T = batch if batch is not None else self._auto_batch(
+            per_traj[0], ntraj)
+        n_ops = len(per_traj[0])
+        idx = np.empty(ntraj, dtype=np.int64)
+        r = _leaf_bits(self.n)
+        for lo in range(0, ntraj, T):
+            hi = min(lo + T, ntraj)
+            fn = self._batched_fn(hi - lo)
+            stacked = tuple(
+                jnp.asarray(np.stack([per_traj[t][i]
+                                      for t in range(lo, hi)]))
+                for i in range(n_ops))
+            cs, los = jax.device_get(fn(stacked, keys[lo:hi]))
+            self.dispatch_count += 1
+            idx[lo:hi] = ((np.asarray(cs).astype(np.int64) << r)
+                          | np.asarray(los).astype(np.int64))
+
         for t in range(ntraj):
-            per_chunk = self._realize_operands(rng)
-            planes = self._init()
-            for fn, ops in zip(self._chunk_fns, per_chunk):
-                planes = fn(planes, tuple(jnp.asarray(o) for o in ops))
-            if self.measures:
-                idx = int(sample_indices_np(planes, self.n, 1, keys[t])[0])
-                for ev in self.measures:
-                    bits = []
-                    for q in ev.qubits:
-                        b = (idx >> (self.n - 1 - q)) & 1
-                        # readout error flips each REPORTED bit
-                        # independently per read (state stays collapsed
-                        # on the true bits — noisy.py _readout)
-                        if tprog.readout_p and rng.random() < tprog.readout_p:
-                            b ^= 1
-                        bits.append(b)
-                    off = 0
-                    for creg, bit_index, count in ev.writes:
-                        if bit_index is None:
-                            out[creg][t, :count] = bits[off:off + count]
-                        else:
-                            out[creg][t, bit_index] = bits[off]
-                        off += count
-            del planes
+            k = 0
+            for ev in self.measures:
+                bits = []
+                for q in ev.qubits:
+                    b = int((idx[t] >> (self.n - 1 - q)) & 1)
+                    # readout error flips each REPORTED bit independently
+                    # per read (state stays collapsed on the true bits —
+                    # noisy.py _readout)
+                    if tprog.readout_p and flips[t][k]:
+                        b ^= 1
+                    k += 1
+                    bits.append(b)
+                off = 0
+                for creg, bit_index, count in ev.writes:
+                    if bit_index is None:
+                        out[creg][t, :count] = bits[off:off + count]
+                    else:
+                        out[creg][t, bit_index] = bits[off]
+                    off += count
         return out
 
 

@@ -146,7 +146,7 @@ def test_dep2_coupler_targeting():
     # exactly ONE stochastic noise site: the first CX
     from qubism_tpu.run.traj_fused import FusedTrajectories
     plan = FusedTrajectories(prog)
-    assert sum(len(s.sites) for s in plan.slots) == 1
+    assert plan.total_sites == 1
     # and the density engine leaves the state invariant under the
     # second CX's (identity-action) noise: |000> stays diagonal with
     # support only where the FIRST coupler's depolarizing can reach
@@ -220,3 +220,27 @@ def test_stabilizer_rejects_targeting_clearly():
 
     with pytest.raises(ValueError, match="not supported on the stabilizer"):
         StabilizerTrajectoryProgram(_ast("qreg q[2];"), noise="bf:0.1@q[0]")
+
+
+def test_three_tuple_out_of_range_raises():
+    """ADVICE r4: programmatic (label, ks, qubits) entries validate qubit
+    indices against n — a stale index must error, not silently no-op."""
+    from qubism_tpu.core.density import bit_flip
+
+    with pytest.raises(ValueError, match="out of range"):
+        TrajectoryProgram(_ast(X2), noise=[("bf:1.0", bit_flip(1.0), (7,))])
+    with pytest.raises(ValueError, match="out of range"):
+        TrajectoryProgram(_ast(X2), noise=[("bf:1.0", bit_flip(1.0), (-1,))])
+
+
+def test_noise_round_trip_preserves_targeting():
+    """ADVICE r4: prog.noise entries are (label, ks, tset) triples, so
+    feeding one program's noise into another keeps the '@' targeting the
+    label still displays."""
+    p1 = TrajectoryProgram(_ast(X2), noise="bf:1.0@q[0]")
+    assert p1.noise[0][2] == frozenset({0})
+    p2 = TrajectoryProgram(_ast(X2), noise=p1.noise)
+    assert p2._tsets == p1._tsets
+    c = np.asarray(p2.run_vals(8, seed=0)["c"])
+    # bf:1.0 on q[0] only: the X2 circuit's |11> flips q0 back to 0
+    assert (c[:, 0] == 0).all() and (c[:, 1] == 1).all()
