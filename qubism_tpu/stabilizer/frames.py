@@ -20,9 +20,29 @@ tableaux would need. Phases are irrelevant (a frame flips an outcome iff
 it anticommutes with the measured Z — its sign never matters), so the
 phase plane is dropped entirely.
 
-Mid-circuit measurement / feed-forward / reset fall back to the exact
-vmapped-tableau path (``stabilizer/noise.py``): a frame cannot steer a
-data-dependent branch.
+Mid-circuit **measurement and reset** also run on frames (the full
+Stim frame-simulator semantics, arXiv:2103.02202 §4): a measure row
+reads the frame's X bit (the trajectory's outcome = clean outcome XOR
+that bit) and then XORs a fresh random bit into the frame's Z component
+— the collapse destroys the coherence the Z part tracked, and the
+randomization is exactly what makes frame sampling produce the correct
+joint distribution when the clean circuit's outcomes are themselves
+random; a reset row clears the X component and randomizes Z (the new
+|0> carries no error, and its phase reference is fresh). The clean
+reference record comes from ONE exact tableau simulation. This is the
+r-round QEC-memory workload: measure-and-reset syndrome extraction at
+1000+ qubits never touches the vmapped-tableau fallback. Only
+feed-forward (``if``) still needs exact per-trajectory tableaux — a
+frame cannot steer a data-dependent branch.
+
+One semantic caveat: frame reset uses the physical measure-discard-
+reprepare semantics (Stim's ``R``). The exact engines implement the
+reference's projection-to-|0> reset (renormalizing, no Born draw —
+src/Qubism/QASM/Simulation.hs:146-156). The two agree whenever the
+reset qubit was just measured (every QEC round) or holds a definite
+computational value; programs that reset a superposed/entangled qubit
+directly take the exact vmapped path for reference fidelity
+(``noise.py`` gates eligibility on that).
 """
 
 from __future__ import annotations
@@ -36,7 +56,8 @@ from .tableau import (_apply_scan, _pack_chain, _row_bit, _set_col_bit,
                       affine_support, expectation, identity_tableau,
                       sample_bits)
 
-__all__ = ["frame_run_vals", "frame_expectation", "frame_expectation_sum"]
+__all__ = ["frame_run_vals", "frame_run_vals_events", "frame_expectation",
+           "frame_expectation_sum"]
 
 
 def _xor_col_bit(mat, w, off, bits):
@@ -262,4 +283,292 @@ def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
             else:
                 vals[creg][:, bit_index] = col
         off += count
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# Mid-circuit measurement / reset on frames (Stim frame-simulator semantics)
+# ---------------------------------------------------------------------------
+
+#: interleaved-tape opcodes: gate row / measure row / reset row / padding
+_FOP_GATE, _FOP_MEASURE, _FOP_RESET, _FOP_NOP = 0, 1, 2, 3
+
+
+def _pack_frame_tape(events, n: int, identity_noise_only: bool = False):
+    """Walk EvGates/EvMeasure/EvReset events into ONE interleaved tape:
+    gate rows carry Clifford tables exactly like ``_pack_chain``; each
+    measured/reset qubit gets its own row. Returns ``(codes, t0, t1,
+    txs, tzs, flags, flags2, meas_rows)`` (numpy, padded to the next
+    power of two with NOPs) or None when a gate has arity > 2.
+    ``meas_rows`` lists the measurement rows' tape indices in program
+    order (one per measured qubit). ``identity_noise_only`` restricts
+    noise injection to 1q IDENTITY gate rows — the phenomenological
+    noise model of models/qec.py, where explicit id prims mark the
+    per-round error locations and the syndrome-extraction gates stay
+    noiseless."""
+    from ..run.compiler import EvDump, EvGates, EvMeasure, EvReset
+    from .tableau import _ID4, clifford_tables
+
+    codes, t0s, t1s, txs, tzs = [], [], [], [], []
+    fl1, fl2 = [], []
+    meas_rows: list[int] = []
+    itx, itz, _ = clifford_tables(_ID4)
+    ident2 = np.eye(2, dtype=np.complex128)
+
+    def row(code, q0, q1, tx, tz, f1, f2):
+        codes.append(code)
+        t0s.append(q0)
+        t1s.append(q1)
+        txs.append(tx)
+        tzs.append(tz)
+        fl1.append(f1)
+        fl2.append(f2)
+
+    for ev in events:
+        if isinstance(ev, EvGates):
+            for p in ev.prims:
+                targets = p.targets
+                if len(targets) == 1:
+                    q = targets[0]
+                    u2 = np.kron(np.eye(2, dtype=np.complex128), p.dense())
+                    tx, tz, _ = clifford_tables(u2)
+                    noisy = (not identity_noise_only
+                             or np.allclose(p.dense(), ident2))
+                    row(_FOP_GATE, (q + 1) % n, q, tx, tz,
+                        (0, 1 if noisy else 0), 0)
+                elif len(targets) == 2:
+                    tx, tz, _ = clifford_tables(p.dense())
+                    f = 0 if identity_noise_only else 1
+                    row(_FOP_GATE, targets[0], targets[1], tx, tz,
+                        (f, f), f)
+                else:
+                    return None
+        elif isinstance(ev, EvMeasure):
+            for q in ev.qubits:
+                meas_rows.append(len(codes))
+                row(_FOP_MEASURE, q, q, itx, itz, (0, 0), 0)
+        elif isinstance(ev, EvReset):
+            for q in ev.qubits:
+                row(_FOP_RESET, q, q, itx, itz, (0, 0), 0)
+        elif isinstance(ev, EvDump):
+            continue
+        else:  # pragma: no cover - eligibility is checked by the caller
+            return None
+    if not codes:
+        return None
+    g = 1 << (len(codes) - 1).bit_length()
+    while len(codes) < g:
+        row(_FOP_NOP, 0, 1, itx, itz, (0, 0), 0)
+    return (np.asarray(codes, np.int32),
+            np.asarray(t0s, np.uint32), np.asarray(t1s, np.uint32),
+            np.stack(txs), np.stack(tzs),
+            np.asarray(fl1, np.uint32), np.asarray(fl2, np.uint32),
+            meas_rows)
+
+
+@jax.jit
+def _frame_scan_mc_impl(fx, fz, codes, t0, t1, txs, tzs, flags, cdfs,
+                        flags2, cdfs2, keys):
+    """The mid-circuit frame scan: gate rows update frames through the
+    Clifford tables (with per-step sampled Pauli noise, as
+    ``_frame_scan_impl``); measure rows emit the frame's X bit (packed
+    to uint32 words across the trajectory axis) and randomize the Z
+    component; reset rows clear X and randomize Z."""
+    n_ch = cdfs.shape[0]
+    n_ch2 = cdfs2.shape[0]
+    ntraj = fx.shape[0]          # multiple of 32 (caller pads)
+    packer = (jnp.uint32(1) << (jnp.arange(32, dtype=jnp.uint32)))
+
+    def step(carry, inp):
+        fx, fz = carry
+        code, q0, q1, tx, tz, fl, fl2, k = inp
+        w0, o0 = (q0 >> 5).astype(jnp.int32), q0 & 31
+        w1, o1 = (q1 >> 5).astype(jnp.int32), q1 & 31
+        zero_rec = jnp.zeros(ntraj // 32, jnp.uint32)
+
+        def gate_(ops):
+            fx, fz = ops
+            xb0 = _row_bit(fx, w0, o0)
+            zb0 = _row_bit(fz, w0, o0)
+            xb1 = _row_bit(fx, w1, o1)
+            zb1 = _row_bit(fz, w1, o1)
+            idx = (xb0 | (zb0 << 1) | (xb1 << 2)
+                   | (zb1 << 3)).astype(jnp.int32)
+            nx = tx[idx]
+            nz = tz[idx]
+            fx2 = _set_col_bit(fx, w0, o0, nx & 1)
+            fx2 = _set_col_bit(fx2, w1, o1, (nx >> 1) & 1)
+            fz2 = _set_col_bit(fz, w0, o0, nz & 1)
+            fz2 = _set_col_bit(fz2, w1, o1, (nz >> 1) & 1)
+            ka, kb = jax.random.split(k)
+            if n_ch:
+                u = jax.random.uniform(ka, (2, n_ch, ntraj))
+                for ci in range(n_ch):
+                    for j, (w, o) in enumerate(((w0, o0), (w1, o1))):
+                        c = (jnp.sum((cdfs[ci, :3, None]
+                                      <= u[j, ci][None, :])
+                                     .astype(jnp.uint32), axis=0) * fl[j])
+                        fx2 = _xor_col_bit(fx2, w, o, (c ^ (c >> 1)) & 1)
+                        fz2 = _xor_col_bit(fz2, w, o, (c >> 1) & 1)
+            if n_ch2:
+                u2 = jax.random.uniform(kb, (n_ch2, ntraj))
+                for ci in range(n_ch2):
+                    c = (jnp.sum((cdfs2[ci, :15, None] <= u2[ci][None, :])
+                                 .astype(jnp.uint32), axis=0) * fl2)
+                    for sub, (w, o) in (((c >> 2), (w0, o0)),
+                                        ((c & 3), (w1, o1))):
+                        fx2 = _xor_col_bit(fx2, w, o, (sub ^ (sub >> 1)) & 1)
+                        fz2 = _xor_col_bit(fz2, w, o, (sub >> 1) & 1)
+            return fx2, fz2, zero_rec
+
+        def meas_(ops):
+            fx, fz = ops
+            rec = _row_bit(fx, w0, o0)
+            # collapse randomizes the Z frame (Stim M semantics): this is
+            # what keeps frame sampling exact when the clean circuit's own
+            # outcomes are random
+            zr = jax.random.bernoulli(k, 0.5, (ntraj,)).astype(jnp.uint32)
+            fz = _xor_col_bit(fz, w0, o0, zr)
+            packed = jnp.sum(rec.reshape(-1, 32) * packer[None, :],
+                             axis=1, dtype=jnp.uint32)
+            return fx, fz, packed
+
+        def reset_(ops):
+            fx, fz = ops
+            zeros = jnp.zeros(ntraj, jnp.uint32)
+            zr = jax.random.bernoulli(k, 0.5, (ntraj,)).astype(jnp.uint32)
+            fx = _set_col_bit(fx, w0, o0, zeros)
+            fz = _set_col_bit(fz, w0, o0, zr)
+            return fx, fz, zero_rec
+
+        def nop_(ops):
+            fx, fz = ops
+            return fx, fz, zero_rec
+
+        fx, fz, rec = lax.switch(code, (gate_, meas_, reset_, nop_),
+                                 (fx, fz))
+        return (fx, fz), rec
+
+    (fx, fz), recs = lax.scan(
+        step, (fx, fz), (codes, t0, t1, txs, tzs, flags, flags2, keys))
+    return fx, fz, recs
+
+
+def _clean_record(n: int, events, key):
+    """ONE exact tableau pass over the event stream: the clean reference
+    outcomes per measured qubit, in program order. Reset follows the
+    reference projection semantics (forced-0 measurement + X flip on a
+    |1>-certain qubit — the EvReset branch of noise.py)."""
+    from ..run.compiler import EvDump, EvGates, EvMeasure, EvReset
+    from .noise import _apply_pauli_phase
+    from .tableau import _measure_seq_impl, apply_prims, identity_tableau
+
+    tab = identity_tableau(n)
+    x, z, s = tab.x, tab.z, tab.s
+    rec: list[np.ndarray] = []
+    site = 0
+    for ev in events:
+        if isinstance(ev, EvGates):
+            t = apply_prims(type(tab)(x, z, s), ev.prims)
+            x, z, s = t.x, t.z, t.s
+        elif isinstance(ev, EvMeasure):
+            qs = jnp.asarray(np.asarray(ev.qubits, dtype=np.uint32))
+            rnd = jax.random.bernoulli(
+                jax.random.fold_in(key, site), 0.5, (len(ev.qubits),))
+            site += 1
+            outs, x, z, s = _measure_seq_impl(x, z, s, qs, rnd, n)
+            rec.append(np.asarray(outs, dtype=np.uint8))
+        elif isinstance(ev, EvReset):
+            qs = jnp.asarray(np.asarray(ev.qubits, dtype=np.uint32))
+            zeros = jnp.zeros((len(ev.qubits),), dtype=bool)
+            outs, x, z, s = _measure_seq_impl(x, z, s, qs, zeros, n)
+            for q, b in zip(ev.qubits, outs):
+                w = jnp.int32(q >> 5)
+                off = jnp.uint32(q & 31)
+                s = _apply_pauli_phase(x, z, s, w, off,
+                                       jnp.uint32(1) * b.astype(jnp.uint32))
+        elif isinstance(ev, EvDump):
+            continue
+    return rec
+
+
+def frame_run_vals_events(prog, events, ntraj: int, key):
+    """Run ``ntraj`` noisy trajectories of a Clifford event stream WITH
+    mid-circuit measurement/reset via Pauli frames: one exact tableau
+    pass for the clean record, one frame scan for all trajectories,
+    outcomes = clean XOR frame-X at each measure row. Same creg-dict
+    contract as ``run_vals``; None when a gate cannot be packed (the
+    caller falls back to vmapped tableaux)."""
+    from ..run.compiler import EvMeasure
+
+    n = prog.n
+    packed = _pack_frame_tape(
+        events, n,
+        identity_noise_only=getattr(prog, "noise_identity_only", False))
+    if packed is None:
+        return None
+    codes, t0, t1, txs, tzs, fl1, fl2, meas_rows = packed
+    kc, kf, kr = jax.random.split(key, 3)
+    clean = _clean_record(n, events, kc)
+
+    T = ((ntraj + 31) // 32) * 32          # pad the trajectory axis
+    words = (n + 31) // 32
+    fx = jnp.zeros((T, words), dtype=jnp.uint32)
+    # frames INITIALIZE with random Z on every qubit (|0> is Z-invariant,
+    # so the state is unchanged) — this is the Stim frame-simulator trick
+    # that carries measurement randomness: a later basis change turns the
+    # random Z into a random X, which decorrelates nondeterministic
+    # outcomes across trajectories even though all share ONE clean
+    # reference record (without it, a Bell-pair measurement would return
+    # the reference outcome in every trajectory)
+    kf, kz0 = jax.random.split(kf)
+    fz = jax.random.bits(kz0, (T, words), dtype=jnp.uint32)
+    cdfs = jnp.asarray(np.asarray(prog.cdfs, np.float32).reshape(-1, 4))
+    cdfs2 = jnp.asarray(np.asarray(
+        getattr(prog, "cdfs2", np.zeros((0, 16), np.float32)),
+        np.float32).reshape(-1, 16))
+    L = codes.shape[0]
+    step_keys = jax.random.split(kf, L)
+    _, _, recs = _frame_scan_mc_impl(
+        fx, fz, jnp.asarray(codes), jnp.asarray(t0), jnp.asarray(t1),
+        jnp.asarray(txs), jnp.asarray(tzs), jnp.asarray(fl1), cdfs,
+        jnp.asarray(fl2), cdfs2, step_keys)
+    recs = np.asarray(jax.device_get(recs))            # (L, T/32) words
+    j = np.arange(ntraj)
+    flips_at = {r: ((recs[r, j >> 5] >> (j & 31)) & 1).astype(np.uint8)
+                for r in meas_rows}
+
+    vals = {c: np.zeros((ntraj, prog.creg_sizes[c]), dtype=np.int32)
+            for c in prog.creg_names}
+    mi = 0      # measurement-event counter
+    ri = 0      # measure-row counter (into meas_rows)
+    rkey = 0
+    for ev in events:
+        if not isinstance(ev, EvMeasure):
+            continue
+        clean_bits = clean[mi]
+        mi += 1
+        cols = []
+        for k_, _q in enumerate(ev.qubits):
+            col = clean_bits[k_] ^ flips_at[meas_rows[ri]]
+            ri += 1
+            cols.append(col)
+        if getattr(prog, "readout_p", None):
+            ro = np.asarray(jax.random.bernoulli(
+                jax.random.fold_in(kr, rkey), prog.readout_p,
+                (ntraj, len(ev.qubits)))).astype(np.uint8)
+            rkey += 1
+        else:
+            ro = None
+        off = 0
+        for creg, bit_index, count in ev.writes:
+            for k_ in range(count):
+                col = cols[off + k_]
+                if ro is not None:
+                    col = col ^ ro[:, off + k_]
+                if bit_index is None:
+                    vals[creg][:, k_] = col
+                else:
+                    vals[creg][:, bit_index] = col
+            off += count
     return vals

@@ -317,17 +317,51 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
             return None
         return [p for e in evs[:-1] for p in e.prims], evs[-1]
 
+    def _frame_plan_midcircuit(self):
+        """The event stream when it is MID-CIRCUIT frame-eligible
+        (stabilizer/frames.py:frame_run_vals_events): gates, measurements
+        and resets, no feed-forward, at least one measurement — and every
+        reset qubit either untouched so far or covered by the immediately
+        preceding measurement (where the frame executor's physical-reset
+        semantics coincide with the reference's projection reset)."""
+        from ..run.compiler import EvDump, EvGates, EvMeasure, EvReset
+
+        evs = [e for e in self.events if not isinstance(e, EvDump)]
+        if not any(isinstance(e, EvMeasure) for e in evs):
+            return None
+        touched: set[int] = set()
+        prev = None
+        for ev in evs:
+            if isinstance(ev, EvGates):
+                touched |= {t for p in ev.prims for t in p.targets}
+            elif isinstance(ev, EvMeasure):
+                touched |= set(ev.qubits)
+            elif isinstance(ev, EvReset):
+                fresh = all(q not in touched for q in ev.qubits)
+                measured = (isinstance(prev, EvMeasure)
+                            and set(ev.qubits) <= set(prev.qubits))
+                if not (fresh or measured):
+                    return None
+                touched |= set(ev.qubits)
+            else:
+                return None
+            prev = ev
+        return evs
+
     def run_vals(self, ntraj: int, seed: int | None = None, key=None,
                  return_states: bool = False, mesh=None):
         """Trajectory outcomes; final-measurement-only programs ride the
         Pauli-frame executor (stabilizer/frames.py — (2n)-BIT frames per
         trajectory instead of full tableaux), everything else the exact
         vmapped-tableau path. ``self.used_frames`` records which ran.
-        The two paths draw randomness differently, so a given seed's
-        outcomes (not distributions) differ between them. The frame
-        path is one affine matmul per batch — already device-trivial —
-        so ``mesh`` shards only the vmapped-tableau fallback."""
-        from .frames import frame_run_vals
+        Mid-circuit measure/reset programs WITHOUT feed-forward (the
+        r-round QEC-memory shape) ride the Stim-style mid-circuit frame
+        scan (``frame_run_vals_events``). The paths draw randomness
+        differently, so a given seed's outcomes (not distributions)
+        differ between them. The frame paths are one scan + matmul per
+        batch — already device-trivial — so ``mesh`` shards only the
+        vmapped-tableau fallback."""
+        from .frames import frame_run_vals, frame_run_vals_events
 
         self.used_frames = False
         if not return_states and self.n:
@@ -339,6 +373,15 @@ class StabilizerTrajectoryProgram(TrajectoryProgram):
                 if out is not None:
                     self.used_frames = True
                     return out
+            else:
+                evs = self._frame_plan_midcircuit()
+                if evs is not None:
+                    if key is None:
+                        key = jax.random.PRNGKey(0 if seed is None else seed)
+                    out = frame_run_vals_events(self, evs, ntraj, key)
+                    if out is not None:
+                        self.used_frames = True
+                        return out
         return super().run_vals(ntraj, seed=seed, key=key,
                                 return_states=return_states, mesh=mesh)
 

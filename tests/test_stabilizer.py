@@ -469,6 +469,7 @@ def test_frames_match_tableau_distribution():
     assert fr.used_frames
     tb = StabilizerTrajectoryProgram(_traj_ast(src), noise=f"dep:{p}")
     tb._frame_plan = lambda: None         # force the exact tableau path
+    tb._frame_plan_midcircuit = lambda: None
     tbits = tb.run_vals(ntraj, seed=3)["c"]
     assert not tb.used_frames
     fi = (fb * (1 << np.arange(3))).sum(axis=1)
