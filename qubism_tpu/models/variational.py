@@ -657,10 +657,11 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
     ``engine``: "pallas" runs the sweep through the canonical-layout
     Pallas kernels with theta entering as runtime operands
     (:mod:`.adjoint_engine` — one compile for every theta, DMA-bound
-    passes; single-device only, requires every op to have a Pallas
-    lowering); "xla" is the traced applier path above; "auto" picks
-    pallas at n >= 14 when applicable (where the XLA rev/elementwise
-    lowering measured ~15x off the streaming floor)."""
+    passes; with ``mesh`` the same unit plans run per device inside
+    shard_map, :mod:`.adjoint_mesh`); "xla" is the traced applier path
+    above; "auto" picks pallas at n >= 14 when applicable (where the
+    XLA rev/elementwise lowering measured ~15x off the streaming
+    floor)."""
     paulis = tuple(_check_pauli(p, ansatz.n) for _, p in terms)
     checked = tuple((c, p) for (c, _), p in zip(terms, paulis))
     from ..ops.measure import apply_pauli_sum_traced
@@ -672,8 +673,18 @@ def adjoint_value_and_grad_fn(ansatz: Ansatz, terms, constant: float = 0.0,
         from .adjoint_engine import pallas_adjoint_value_and_grad_fn, supports
         if engine == "pallas" or (n >= 14 and supports(ansatz)):
             return pallas_adjoint_value_and_grad_fn(ansatz, terms, constant)
-    elif engine == "pallas":
-        raise ValueError("engine='pallas' is single-device; drop mesh=")
+    elif engine != "xla":
+        from .adjoint_mesh import mesh_adjoint_value_and_grad_fn
+        if engine == "pallas":
+            # explicit request: unsupported shapes raise
+            return mesh_adjoint_value_and_grad_fn(ansatz, terms, mesh,
+                                                  constant)
+        if n >= 14:       # same threshold as the single-device router
+            try:
+                return mesh_adjoint_value_and_grad_fn(ansatz, terms, mesh,
+                                                      constant)
+            except ValueError:
+                pass
     sh = _amp_sharding(mesh)
 
     if segment_size is None:

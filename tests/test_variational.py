@@ -678,10 +678,24 @@ def test_pallas_adjoint_unsupported_falls_back():
     assert np.allclose(np.asarray(g0), np.asarray(g1), atol=2e-4)
 
 
-def test_pallas_adjoint_mesh_rejected():
+def test_pallas_adjoint_mesh_unsupported_shapes_raise():
+    """engine='pallas' with mesh routes to the mesh adjoint engine
+    (models/adjoint_mesh.py); shapes it cannot lower raise with a
+    pointer instead of silently running another engine."""
     from qubism_tpu.models.variational import adjoint_value_and_grad_fn
 
+    # too few local qubits for 8 shards
     ans = hea_ansatz(3, 1)
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="shards need"):
         adjoint_value_and_grad_fn(ans, [(1.0, "ZZI")], mesh=_mesh8(),
+                                  engine="pallas")
+    # non-diagonal Hamiltonian head
+    ans5 = qaoa_maxcut_ansatz(5, [(i, (i + 1) % 5) for i in range(5)], 1)
+    with pytest.raises(ValueError, match="diagonal"):
+        adjoint_value_and_grad_fn(ans5, [(1.0, "XIIII")], mesh=_mesh8(),
+                                  engine="pallas")
+    # dense fixed prim (CNOT ring) on a device-bit qubit
+    ans_hea = hea_ansatz(5, 1)
+    with pytest.raises(ValueError, match="device-bit"):
+        adjoint_value_and_grad_fn(ans_hea, [(1.0, "ZZIII")], mesh=_mesh8(),
                                   engine="pallas")
