@@ -448,14 +448,27 @@ class MPSSim:
     while the circuit's entanglement fits (``trunc_error`` stays 0.0)
     and degrades gracefully past it. Qubit q lives at site q; qubit 0
     is the most significant basis bit (engine-wide convention).
+
+    ``trunc_budget`` turns the truncation weight from a report into a
+    CONTRACT: when an ``apply`` would push the accumulated
+    ``trunc_error`` past the budget, the engine rolls the call back
+    (jax arrays are immutable — the snapshot is free), doubles ``chi``
+    (zero-padding the site tensors; exact), and re-runs, up to
+    ``max_chi``. Users no longer guess chi up front: start small, pay
+    bond dimension only when the entanglement arrives. A run that hits
+    ``max_chi`` and still exceeds the budget raises (the honest
+    failure — silently wrong Schmidt spectra are the worst outcome).
     """
 
     def __init__(self, n: int, chi: int = 32, seed: int | None = None,
-                 key=None):
+                 key=None, trunc_budget: float | None = None,
+                 max_chi: int = 256):
         if n < 1:
             raise ValueError("MPSSim needs n >= 1")
         self.n = n
         self.chi = chi
+        self.trunc_budget = trunc_budget
+        self.max_chi = max(max_chi, chi)
         re = np.zeros((n, chi, 2, chi), dtype=np.float32)
         re[:, 0, 0, 0] = 1.0
         self.re = jnp.asarray(re)
@@ -464,6 +477,18 @@ class MPSSim:
         self.trunc_error = 0.0
         self.key = key if key is not None else jax.random.PRNGKey(
             0 if seed is None else seed)
+
+    def _grow(self, new_chi: int) -> None:
+        """Double the padded bond dimension: zero-pad every site tensor
+        (exact — padding never changes the represented state)."""
+        chi = self.chi
+        re = np.zeros((self.n, new_chi, 2, new_chi), dtype=np.float32)
+        im = np.zeros_like(re)
+        re[:, :chi, :, :chi] = np.asarray(self.re)
+        im[:, :chi, :, :chi] = np.asarray(self.im)
+        self.re = jnp.asarray(re)
+        self.im = jnp.asarray(im)
+        self.chi = new_chi
 
     # -- center management --------------------------------------------------
 
@@ -523,17 +548,37 @@ class MPSSim:
         dispatch: a whole circuit costs one device program instead of
         one per gate (the remote-dispatch tunnel charges ~30-100 ms per
         jitted call; see utils/profiling notes). Tapes pad to power-of-
-        two buckets so recompiles stop once buckets repeat."""
+        two buckets so recompiles stop once buckets repeat.
+
+        Under a ``trunc_budget``, a call whose truncation weight would
+        break the budget rolls back, doubles ``chi`` and retries (see
+        the class docstring)."""
         tape, center = build_tape(self._flatten(gate_or_prims), self.center)
         if not tape:
             return self
         length = max(8, 1 << (len(tape) - 1).bit_length())
-        self.re, self.im, disc = _k_chain(
-            self.re, self.im,
-            *(jnp.asarray(a) for a in pack_tape(tape, length)),
-            jnp.zeros(length, dtype=jnp.float32))
+        packed = pack_tape(tape, length)
+        while True:
+            snap = (self.re, self.im)            # immutable: free snapshot
+            re, im, disc = _k_chain(
+                self.re, self.im, *(jnp.asarray(a) for a in packed),
+                jnp.zeros(length, dtype=jnp.float32))
+            disc = float(disc)
+            if (self.trunc_budget is None
+                    or self.trunc_error + disc <= self.trunc_budget):
+                self.re, self.im = re, im
+                break
+            if self.chi >= self.max_chi:
+                self.re, self.im = snap
+                raise FloatingPointError(
+                    f"trunc_budget {self.trunc_budget:g} exceeded at "
+                    f"max_chi={self.max_chi} (this apply discarded "
+                    f"{disc:g} of Schmidt weight); raise max_chi or the "
+                    f"budget")
+            self.re, self.im = snap
+            self._grow(min(2 * self.chi, self.max_chi))
         self.center = center
-        self.trunc_error += float(disc)
+        self.trunc_error += disc
         return self
 
     # -- observables --------------------------------------------------------

@@ -480,3 +480,47 @@ def test_mps_damping_estimator_large_n_sane():
     mean, err = prog.expectation("Z" * n, 96, seed=1)
     assert -1.0 - 1e-6 <= mean <= 1.0 + 1e-6
     assert np.isfinite(err)
+
+
+# -- adaptive bond dimension (VERDICT r4 item 6) -------------------------------
+
+
+def test_adaptive_chi_grows_under_budget():
+    """A depth-8 brickwork at n=10 needs chi=16: fixed chi=8 blows the
+    truncation budget, adaptive chi (starting at 4) grows on rollback
+    and matches the dense oracle to 1e-3."""
+    from qubism_tpu.models.circuits import brickwork_prims
+    from qubism_tpu.ops.apply import complex_from_planes, zero_state
+    from qubism_tpu.ops.fusion import CompiledCircuit
+
+    n, depth = 10, 8
+    prims = brickwork_prims(n, depth=depth, seed=11)
+    m8 = MPSSim(n, chi=8, seed=0).apply(prims)
+    assert m8.trunc_error > 1e-6          # fixed chi=8 fails the budget
+    ma = MPSSim(n, chi=4, seed=0, trunc_budget=1e-6, max_chi=64)
+    ma.apply(prims)
+    assert ma.chi > 4 and ma.trunc_error <= 1e-6
+    psi = complex_from_planes(
+        CompiledCircuit(n, prims, optimize=False)(zero_state(n))).reshape(-1)
+    got = ma.to_statevec()
+    k = int(np.argmax(np.abs(psi)))
+    got = got * (psi[k] / got[k]) * (abs(got[k]) / abs(psi[k]))
+    assert np.linalg.norm(got - psi) < 1e-3
+
+
+def test_adaptive_chi_budget_violation_raises():
+    from qubism_tpu.models.circuits import brickwork_prims
+
+    prims = brickwork_prims(10, depth=8, seed=11)
+    m = MPSSim(10, chi=4, seed=0, trunc_budget=1e-9, max_chi=8)
+    with pytest.raises(FloatingPointError, match="trunc_budget"):
+        m.apply(prims)
+
+
+def test_adaptive_chi_product_state_stays_small():
+    """Product-state circuits never escalate: users start at chi=2 and
+    pay nothing."""
+    h = (np.array([[1, 1], [1, -1]]) / np.sqrt(2)).astype(complex)
+    m = MPSSim(12, chi=2, seed=0, trunc_budget=0.0)
+    m.apply([Prim(h, (q,)) for q in range(12)])
+    assert m.chi == 2 and m.trunc_error == 0.0
