@@ -165,12 +165,13 @@ def run_sampled(kind: str, n: int, shots: int, depth: int = 4) -> dict:
             return jnp.sum(r * r + i * i, axis=1)
 
         masses = [np.asarray(bin_masses(sh)) for sh in shards]
-        expected = np.concatenate(masses).astype(np.float64) * shots
+        p_bins = np.concatenate(masses).astype(np.float64)
         counts = np.bincount(np.asarray(idx) >> (n - 4), minlength=16)
-        chi2 = float(((counts - expected) ** 2
-                      / np.maximum(expected, 1e-9)).sum())
-        out["chi2_16bin"] = round(chi2, 1)
-        out["chi2_ok"] = bool(chi2 < 60.0)  # 15 dof; ~25 typical, 60 far tail
+        from qubism_tpu.utils.stats import chi2_test
+
+        res = chi2_test(counts, p_bins / p_bins.sum(), alpha=1e-4)
+        out["chi2_16bin"] = round(res.stat, 1)
+        out["chi2_ok"] = bool(res.ok)   # inverse-CDF threshold @ alpha=1e-4
     del state, circ
     gc.collect()
     return out
