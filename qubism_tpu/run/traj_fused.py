@@ -551,15 +551,21 @@ class FusedTrajectories:
         r = _leaf_bits(self.n)
         for lo in range(0, ntraj, T):
             hi = min(lo + T, ntraj)
-            fn = self._batched_fn(hi - lo)
+            cnt = hi - lo
+            # pad short batches to the next power of two (repeat the last
+            # trajectory, discard its extra outputs): scan length is baked
+            # into the compiled program, so bucketing bounds the number of
+            # distinct compiles per circuit shape to log2(batch)
+            Tb = 1 << (cnt - 1).bit_length()
+            sel = list(range(lo, hi)) + [hi - 1] * (Tb - cnt)
+            fn = self._batched_fn(Tb)
             stacked = tuple(
-                jnp.asarray(np.stack([per_traj[t][i]
-                                      for t in range(lo, hi)]))
+                jnp.asarray(np.stack([per_traj[t][i] for t in sel]))
                 for i in range(n_ops))
-            cs, los = jax.device_get(fn(stacked, keys[lo:hi]))
+            cs, los = jax.device_get(fn(stacked, keys[np.asarray(sel)]))
             self.dispatch_count += 1
-            idx[lo:hi] = ((np.asarray(cs).astype(np.int64) << r)
-                          | np.asarray(los).astype(np.int64))
+            idx[lo:hi] = ((np.asarray(cs[:cnt]).astype(np.int64) << r)
+                          | np.asarray(los[:cnt]).astype(np.int64))
 
         for t in range(ntraj):
             k = 0
