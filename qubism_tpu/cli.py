@@ -60,6 +60,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="MPS bond dimension cap (--backend mps): simulation "
                         "is exact while the circuit's entanglement fits "
                         "(default 32)")
+    p.add_argument("--trunc-budget", type=float, default=None, metavar="W",
+                   help="adaptive MPS bond dimension (--backend mps, "
+                        "non-trajectory runs): start at --chi and DOUBLE it "
+                        "whenever an apply would push the accumulated "
+                        "truncation weight past W (roll back + retry), up "
+                        "to --max-chi; exceeding the budget at --max-chi "
+                        "errors instead of returning a wrong spectrum")
+    p.add_argument("--max-chi", type=int, default=256, metavar="X",
+                   help="adaptive-chi growth ceiling for --trunc-budget "
+                        "(default 256)")
     p.add_argument("--noise", metavar="SPEC", default=None,
                    help="circuit-level noise model, e.g. 'depolarizing:0.01' "
                         "or 'ad:0.05,pd:0.02' (channels: depolarizing, "
@@ -162,7 +172,9 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
               backend: str = "statevector", chi: int = 32,
               noise: str | None = None,
               trajectories: int | None = None,
-              observables=(), traj_engine: str = "vmap") -> int:
+              observables=(), traj_engine: str = "vmap",
+              trunc_budget: float | None = None,
+              max_chi: int = 256) -> int:
     """Evaluate a file (reference ``evalFile``, Main.hs:23-32). Returns exit code."""
     out = out or sys.stdout
     try:
@@ -332,10 +344,14 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
                 print("qubism: --mesh applies to the state-vector backend only",
                       file=out)
                 return 2
-            prog = MPSProgram(ast, chi=chi)
+            prog = MPSProgram(ast, chi=chi, trunc_budget=trunc_budget,
+                              max_chi=max_chi)
             try:
                 sim, cregs = prog.run(seed=seed, dump_writer=out.write)
             except NotAdjacentError as e:
+                print(f"qubism: mps backend: {e}", file=out)
+                return 1
+            except FloatingPointError as e:
                 print(f"qubism: mps backend: {e}", file=out)
                 return 1
             if dump_state:
@@ -604,7 +620,9 @@ def main(argv=None) -> int:
                          backend=args.backend, chi=args.chi,
                          noise=args.noise, trajectories=args.trajectories,
                          observables=args.observable,
-                         traj_engine=args.traj_engine)
+                         traj_engine=args.traj_engine,
+                         trunc_budget=args.trunc_budget,
+                         max_chi=args.max_chi)
     Repl(seed=args.seed,
          include_base=getattr(args, "include_base", None)).run()
     return 0

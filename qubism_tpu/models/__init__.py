@@ -126,3 +126,8 @@ from .trajectories import (  # noqa: F401
     trajectory_probs,
     trajectory_sample,
 )
+from .qec import (  # noqa: F401
+    RepetitionMemoryResult,
+    repetition_logical_rate,
+    repetition_memory,
+)

@@ -21,12 +21,15 @@ from .engine import MPSSim
 class MPSProgram:
     """A QASM program executed on the matrix-product-state engine."""
 
-    def __init__(self, ast, chi: int = 32):
+    def __init__(self, ast, chi: int = 32, trunc_budget: float | None = None,
+                 max_chi: int = 256):
         from ..run.compiler import elaborate
 
         (self.n, self.events, self.cregs0, self.layout,
          self.qreg_sizes) = elaborate(ast)
         self.chi = chi
+        self.trunc_budget = trunc_budget
+        self.max_chi = max_chi
 
     def run(self, seed: int | None = None, dump_writer=None):
         """Execute; returns (sim, cregs). ``sim`` is the MPSSim (None
@@ -35,7 +38,9 @@ class MPSProgram:
 
         dump_writer = dump_writer or (lambda s: None)
         key = jax.random.PRNGKey(0 if seed is None else seed)
-        sim = MPSSim(self.n, chi=self.chi, key=key) if self.n else None
+        sim = MPSSim(self.n, chi=self.chi, key=key,
+                     trunc_budget=self.trunc_budget,
+                     max_chi=self.max_chi) if self.n else None
         cregs = dict(self.cregs0)
 
         def exec_events(events):

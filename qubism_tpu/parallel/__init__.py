@@ -2,3 +2,4 @@
 
 from .mesh import make_mesh  # noqa: F401
 from .sharded import ShardedSim  # noqa: F401
+from .density import ShardedDensityMatrix  # noqa: F401

@@ -545,3 +545,25 @@ def test_repl_cd_prefix_does_not_swallow_other_commands():
     assert r.line(":cdump")  # unknown -> parse error, REPL continues
     assert "include base" not in out.getvalue()
     assert r.line(":cd") or True  # bare :cd rebases to the cwd
+
+
+def test_mps_trunc_budget_flags(tmp_path, capsys):
+    """--trunc-budget grows chi adaptively; an impossible budget at a
+    tiny --max-chi errors cleanly (rc 1), never returns wrong spectra."""
+    import shutil
+
+    from qubism_tpu.models.circuits import brickwork_qasm
+
+    shutil.copy("examples/qelib1.inc", tmp_path / "qelib1.inc")
+    f = tmp_path / "bw.qasm"
+    src = brickwork_qasm(10, 8, seed=11)
+    f.write_text(src + "\n")
+    code = eval_file(str(f), seed=0, backend="mps", chi=4,
+                     trunc_budget=1e-6, max_chi=64, dump_state=True)
+    out = capsys.readouterr().out
+    assert code == 0 and "Done." in out
+    assert "trunc_error=0.000e+00" in out          # budget held
+    code = eval_file(str(f), seed=0, backend="mps", chi=4,
+                     trunc_budget=1e-9, max_chi=4)
+    out = capsys.readouterr().out
+    assert code == 1 and "trunc_budget" in out
