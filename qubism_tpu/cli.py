@@ -192,12 +192,15 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
         if backend == "density":
             from .run.noisy import DensityProgram
 
-            if mesh or compile_mode or trajectories:
-                print("qubism: --backend density is exact (no mesh/compile/"
+            if compile_mode or trajectories:
+                print("qubism: --backend density is exact (no compile/"
                       "trajectories)", file=out)
                 return 2
             try:
-                prog = DensityProgram(ast, noise=noise)
+                # --mesh shards the vectorized rho over the device mesh
+                # (parallel/density.py): exact open-system runs past the
+                # single-buffer n=14 cap
+                prog = DensityProgram(ast, noise=noise, mesh=mesh)
             except ValueError as e:
                 print(f"qubism: {e}", file=out)
                 return 2

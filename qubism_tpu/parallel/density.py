@@ -299,3 +299,37 @@ class ShardedDensityMatrix:
         d = self.probs()
         idx = np.arange(1 << self.n)
         return float(d[(idx >> (self.n - 1 - q)) & 1 == 1].sum())
+
+    def measure_qubit(self, q: int, key):
+        """Sample qubit q, project rho, renormalize by the trace — same
+        contract (and reference sqrt-Born quirk handling) as the dense
+        :meth:`DensityMatrix.measure_qubit`. Returns (outcome, key')."""
+        import jax
+
+        from ..config import config
+
+        p1 = self.prob_one(q)
+        key, sub = jax.random.split(key)
+        thr = (math.sqrt(max(p1, 0.0)) if config.reference_sqrt_born
+               else p1)
+        outcome = int(float(jax.random.uniform(sub)) < thr)
+        proj = np.diag([1.0 - outcome, float(outcome)]).astype(complex)
+        self.apply_channel([proj], (q,))
+        tr = self.trace()
+        self._scale(0.0 if tr == 0 else 1.0 / tr)
+        return outcome, key
+
+    def sample(self, shots: int, key=None) -> dict[str, int]:
+        """Non-destructive shot sampling from the diagonal (same contract
+        as the dense engine: {big-endian bitstring: count})."""
+        import jax
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        p = np.clip(self.probs().astype(np.float64), 0.0, None)
+        p /= p.sum()
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        idx = np.random.default_rng(seed).choice(p.size, size=shots, p=p)
+        vals, counts = np.unique(idx, return_counts=True)
+        return {format(int(v), f"0{self.n}b"): int(c)
+                for v, c in zip(vals, counts)}

@@ -720,16 +720,19 @@ class DensityProgram:
     #: 2*n qubits ride the dense engine; past this 4^n planes don't fit.
     MAX_N = 14
 
-    def __init__(self, ast, noise=None):
+    def __init__(self, ast, noise=None, mesh=None):
         from .compiler import elaborate
 
         (self.n, self.events, self.cregs0, self.layout,
          self.qreg_sizes) = elaborate(ast)
-        if self.n > self.MAX_N:
+        #: device count for the mesh-sharded rho (parallel/density.py) —
+        #: lifts the single-buffer n<=14 cap to what the mesh holds
+        self.mesh = mesh
+        if mesh is None and self.n > self.MAX_N:
             raise ValueError(
                 f"--backend density stores 4^n amplitudes; n={self.n} > "
-                f"{self.MAX_N}. Use --noise with --trajectories (sampled) "
-                f"instead.")
+                f"{self.MAX_N}. Shard over a mesh (--mesh D) or use "
+                f"--noise with --trajectories (sampled) instead.")
         if isinstance(noise, str):
             noise, ro = split_readout_spec(noise)
             if ro is not None:
@@ -746,7 +749,15 @@ class DensityProgram:
 
         dump_writer = dump_writer or (lambda s: None)
         key = jax.random.PRNGKey(0 if seed is None else seed)
-        rho = DensityMatrix(self.n) if self.n else None
+        if not self.n:
+            rho = None
+        elif self.mesh is not None:
+            from ..parallel.density import ShardedDensityMatrix
+            from ..parallel.mesh import make_mesh
+
+            rho = ShardedDensityMatrix(self.n, make_mesh(self.mesh))
+        else:
+            rho = DensityMatrix(self.n)
         cregs = dict(self.cregs0)
 
         def exec_events(events):

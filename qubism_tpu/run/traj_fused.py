@@ -60,8 +60,7 @@ from ..config import config
 from ..ops import apply as _apply
 from ..ops import kernels
 from ..ops.measure import prob_one_traced
-from ..ops.sample import (_BIG_SAMPLE_BITS, _leaf_bits, _sample_parts,
-                          _sample_parts_big)
+from ..ops.sample import (_LEAF_BITS, _sample_parts, _sample_parts_big)
 from .compiler import EvDump, EvGates, EvMeasure
 
 _PAULI_ID = np.eye(2, dtype=np.complex128)
@@ -462,6 +461,10 @@ class FusedTrajectories:
         self._bfn_cache: dict[int, object] = {}
         #: device programs dispatched by run_vals (test observability)
         self.dispatch_count = 0
+        #: in-scan sampler choice (see _traced_one) + its leaf split
+        self._big_sample = self.n >= 18
+        self._leaf_r = (_LEAF_BITS if self._big_sample
+                        else self.n - max(0, self.n // 2))
 
     # -- realization ----------------------------------------------------------
 
@@ -488,7 +491,13 @@ class FusedTrajectories:
         it = iter(ops)
         for st in self.steps:
             planes = st.traced(planes, it)
-        if self.n >= _BIG_SAMPLE_BITS:
+        if self._big_sample:
+            # the 3-level gather sampler: one fused square+reduce over
+            # canonical rows + tiny searches. The flat-cumsum sampler's
+            # state-sized prefix scan costs several extra full-state
+            # passes PER TRAJECTORY inside the scan body (measured ~20%
+            # of the n=26 fused bench), so the threshold here is lower
+            # than sample_indices_np's memory-motivated one.
             c, lo = _sample_parts_big(planes, self.n, 1, key)
         else:
             c, lo = _sample_parts(planes, self.n, 1, key)
@@ -548,7 +557,7 @@ class FusedTrajectories:
             per_traj[0], ntraj)
         n_ops = len(per_traj[0])
         idx = np.empty(ntraj, dtype=np.int64)
-        r = _leaf_bits(self.n)
+        r = self._leaf_r
         for lo in range(0, ntraj, T):
             hi = min(lo + T, ntraj)
             cnt = hi - lo

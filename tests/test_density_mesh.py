@@ -118,3 +118,48 @@ def test_rejects_oversized_local_block():
     # 1 device, n=16 -> 32 local qubits > LOCAL_MAX: must refuse clearly
     with pytest.raises(ValueError, match="single-buffer"):
         ShardedDensityMatrix(16, make_mesh(1), allocate=False)
+
+
+def test_density_backend_mesh_cli_matches_dense(tmp_path, capsys):
+    """--backend density --mesh D runs the full QASM program (gates,
+    targeted channels, mid-circuit measurement) on the sharded rho and
+    must reproduce the dense backend's dump and observables at a seed."""
+    from qubism_tpu.cli import eval_file
+
+    f = tmp_path / "d.qasm"
+    f.write_text(
+        "qreg q[3]; creg c[1];\n"
+        "U(1.5707963267948966, 0, 3.141592653589793) q[0];\n"
+        "CX q[0], q[1];\n"
+        "U(0.7, 0.2, 0.4) q[2];\n"
+        "measure q[2] -> c[0];\n")
+    outs = []
+    for mesh in (None, 8):
+        rc = eval_file(str(f), seed=4, backend="density",
+                       noise="dep:0.05,ad:0.1@q[2]", dump_state=True,
+                       observables=("ZZI", "IXI"), mesh=mesh)
+        assert rc == 0
+        outs.append(capsys.readouterr().out)
+    da = [x for x in outs[0].splitlines() if x.startswith("  |")]
+    db = [x for x in outs[1].splitlines() if x.startswith("  |")]
+    assert len(da) == len(db) > 2
+    for la, lb in zip(da, db):
+        assert abs(float(la.split("p=")[1]) - float(lb.split("p=")[1])) < 2e-5
+    oa = [x for x in outs[0].splitlines() if x.startswith("<")]
+    ob = [x for x in outs[1].splitlines() if x.startswith("<")]
+    assert oa == ob != []
+
+
+def test_density_program_mesh_lifts_cap():
+    """n > 14 is refused dense but accepted with a mesh (allocation is
+    deferred to run(); construction must validate, not allocate)."""
+    import pytest as _pytest
+
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.run.noisy import DensityProgram
+
+    src = "qreg q[16];\n"
+    ast = parse_openqasm("<t>", src)
+    with _pytest.raises(ValueError, match="mesh"):
+        DensityProgram(ast)
+    DensityProgram(ast, mesh=8)    # constructs fine; run() would shard
