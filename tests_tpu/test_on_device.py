@@ -422,3 +422,53 @@ def test_noisy_trajectory_engines_on_device():
     ones = float((dbits.sum(axis=1) == 8).mean())
     zeros = float((dbits.sum(axis=1) == 0).mean())
     assert zeros > ones
+
+
+# -- round-5 device paths -------------------------------------------------------
+
+
+def test_fused_mcwf_damping_on_device():
+    """The in-graph MCWF norm-branch site compiled on the chip: X-all +
+    ad circuit has exact independent Bernoulli(1-gamma) outcomes."""
+    from qubism_tpu.qasm.parser import parse_openqasm
+    from qubism_tpu.run.noisy import TrajectoryProgram
+    from qubism_tpu.utils.stats import chi2_quantile
+
+    n, g, T = 14, 0.2, 512
+    lines = [f"qreg q[{n}]; creg c[{n}];"]
+    lines += ["U(3.141592653589793, 0, 3.141592653589793) "
+              f"q[{q}];" for q in range(n)]
+    lines += ["measure q -> c;"]
+    tp = TrajectoryProgram(parse_openqasm("<d>", "\n".join(lines)),
+                           noise=f"ad:{g}")
+    bits = tp.run_vals(T, seed=3, engine="fused")["c"]
+    p1 = bits.mean(axis=0)
+    want = 1.0 - g
+    z2 = ((p1 - want) ** 2 / (want * (1 - want) / T)).sum()
+    assert z2 < chi2_quantile(n, 1e-4), (p1, z2)
+
+
+def test_mesh1_adjoint_matches_single_chip():
+    """The mesh adjoint engine's program shapes on the real chip (mesh=1):
+    value+grad equal to the single-chip Pallas engine."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from qubism_tpu.models.adjoint_mesh import mesh_adjoint_value_and_grad_fn
+    from qubism_tpu.models.variational import (adjoint_value_and_grad_fn,
+                                               maxcut_terms,
+                                               qaoa_maxcut_ansatz)
+
+    nq = 16
+    edges = [(i, (i + 1) % nq) for i in range(nq)]
+    ans = qaoa_maxcut_ansatz(nq, edges, 2)
+    terms, const = maxcut_terms(nq, edges)
+    neg = [(-c, s) for c, s in terms]
+    theta = np.asarray([0.3, -0.6, 0.45, 0.8], np.float32)
+    m1 = Mesh(np.array(jax.devices()[:1]), ("amp",))
+    em, gm = mesh_adjoint_value_and_grad_fn(ans, neg, m1,
+                                            constant=-const)(theta)
+    e1, g1 = adjoint_value_and_grad_fn(ans, neg, constant=-const)(theta)
+    assert abs(float(em) - float(e1)) < 1e-4
+    assert np.abs(np.asarray(gm) - np.asarray(g1)).max() < 1e-4
