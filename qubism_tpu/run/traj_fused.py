@@ -555,6 +555,9 @@ class FusedTrajectories:
             jax.random.PRNGKey(0 if seed is None else seed), max(ntraj, 1))
         T = batch if batch is not None else self._auto_batch(
             per_traj[0], ntraj)
+        # floor the chunk size to a power of two so full chunks are
+        # bucket-exact and only the final remainder pays padding
+        T = max(1, 1 << (T.bit_length() - 1))
         n_ops = len(per_traj[0])
         idx = np.empty(ntraj, dtype=np.int64)
         r = self._leaf_r
