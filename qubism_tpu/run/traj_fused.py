@@ -104,25 +104,80 @@ class _Site:
 
 
 class _Slot:
-    """One original gate plus its FOLDED noise sites. ``targets`` are
-    sorted ascending; ``base`` is the gate matrix in sorted-target axes."""
+    """One or more COMPOSED gates plus their noise sites, in program
+    order, on a shared sorted target set. ``parts`` is the ordered
+    composition: ("fix", matrix) for deterministic gate factors,
+    ("site", _Site) for stochastic insertions — so merged slots keep the
+    exact gate/noise interleaving of the original stream."""
 
-    __slots__ = ("targets", "base", "sites")
+    __slots__ = ("targets", "parts")
 
-    def __init__(self, targets, base, sites):
+    def __init__(self, targets, base=None, sites=(), parts=None):
         self.targets = targets
-        self.base = base
-        self.sites = sites  # applied AFTER base, in order
+        if parts is not None:
+            self.parts = parts
+        else:
+            self.parts = ([("fix", base)]
+                          + [("site", s) for s in sites])
 
     def realize(self, us) -> np.ndarray:
-        m = self.base
-        for site, u in zip(self.sites, us):
-            m = site.realize(u) @ m
+        m = None
+        i = 0
+        for kind, payload in self.parts:
+            f = payload if kind == "fix" else payload.realize(us[i])
+            if kind == "site":
+                i += 1
+            m = f if m is None else f @ m
         return m
 
     @property
     def n_sites(self) -> int:
-        return len(self.sites)
+        return sum(1 for k, _ in self.parts if k == "site")
+
+
+def _expand_to(m: np.ndarray, src, dst) -> np.ndarray:
+    """Embed a matrix on ``src`` targets into the ``dst`` target set
+    (src a subset of dst, both in MSB-first axis order)."""
+    k = len(dst)
+    pad = k - len(src)
+    m2 = np.kron(np.asarray(m, np.complex128),
+                 np.eye(1 << pad, dtype=np.complex128))
+    cur = list(src) + [q for q in dst if q not in src]
+    perm = [cur.index(q) for q in dst]
+    return (m2.reshape((2,) * (2 * k))
+            .transpose(perm + [k + p for p in perm])
+            .reshape(1 << k, 1 << k))
+
+
+#: merged-slot width cap: an all-dense 3q block is 8 live terms/row —
+#: still DMA-bound on the row kernel (kernels._MAX_STRADDLE_TERMS); 4q
+#: (16 terms) measurably leaves the plateau
+_MAX_MERGE_TARGETS = 3
+
+
+def _maybe_merge(a: _Slot, b: _Slot):
+    """Compose slot b AFTER slot a on the union target set, or None when
+    the merge is not profitable (too wide, or a disjoint-1q pair that
+    the layer pass already handles in one sweep)."""
+    dst = tuple(sorted(set(a.targets) | set(b.targets)))
+    if len(dst) > _MAX_MERGE_TARGETS:
+        return None
+    if (len(a.targets) == 1 and len(b.targets) == 1
+            and a.targets != b.targets):
+        return None
+
+    def lift(slot):
+        out = []
+        for kind, payload in slot.parts:
+            if kind == "fix":
+                out.append(("fix", _expand_to(payload, slot.targets, dst)))
+            else:
+                out.append(("site", _Site(payload.cdf, np.stack(
+                    [_expand_to(m, slot.targets, dst)
+                     for m in payload.mats]))))
+        return out
+
+    return _Slot(dst, parts=lift(a) + lift(b))
 
 
 class _Mcwf:
@@ -427,6 +482,22 @@ class FusedTrajectories:
         if self.n < 2:
             raise FusedUnsupported("need >= 2 qubits")
         units, self.measures = _build_units(tprog)
+
+        # greedy slot merging: compose consecutive gates (noise sites
+        # kept in order) into <= _MAX_MERGE_TARGETS-qubit dense blocks —
+        # a CX ladder's one-pass-per-gate stream collapses ~2x (a GHZ-26
+        # trajectory: 27 -> ~14 fused passes), and the all-dense row
+        # kernel stays DMA-bound at 8 terms/row. MCWF units are natural
+        # barriers (state-dependent: cannot commute into a composition).
+        fused: list[tuple] = []
+        for unit in units:
+            if (unit[0] == "slot" and fused and fused[-1][0] == "slot"):
+                m = _maybe_merge(fused[-1][1], unit[1])
+                if m is not None:
+                    fused[-1] = ("slot", m)
+                    continue
+            fused.append(unit)
+        units = fused
 
         # group units into steps: greedy disjoint-1q layers + dense/mcwf
         steps = []
