@@ -16,9 +16,10 @@ below threshold, which the printed sweep shows directly.
 
 (Noising the CNOT fan-out *encoder* instead is also physical but
 uninteresting: an early X on the control copies to every target, a
-correlated error majority vote cannot fix — real codes fight this with
-repeated syndrome extraction, which needs the mid-circuit feed-forward
-executor, not frames.)
+correlated error majority vote cannot fix — real codes fight this
+with repeated syndrome extraction, which ALSO rides frames now:
+examples/qec_memory.py runs the r-round measure-and-reset memory on
+the mid-circuit frame executor.)
 
 Run: python examples/repetition_code_frames.py            (CPU: seconds)
 """

@@ -8,7 +8,10 @@ classical wrapper turns an even order into a factor pair.
 Run:  python examples/shor_factor.py [N]   (default 15)
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from qubism_tpu.models.shor import estimate_order, shor_factor
 

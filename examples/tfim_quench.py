@@ -12,7 +12,10 @@ of Hamiltonians or time evolution at all.
 Run:  python examples/tfim_quench.py [n]
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from qubism_tpu.core.statevec import StateVec
 from qubism_tpu.models.dynamics import evolve_observed
