@@ -291,7 +291,10 @@ def frame_run_vals(prog, prims, measure_event, ntraj: int, key):
 # ---------------------------------------------------------------------------
 
 #: interleaved-tape opcodes: gate row / measure row / reset row / padding
-_FOP_GATE, _FOP_MEASURE, _FOP_RESET, _FOP_NOP = 0, 1, 2, 3
+#: / QUIET gate row (statically noise-free: skips the per-row RNG, which
+#: otherwise dominates — a QEC round's syndrome-extraction CXs are ~75%
+#: of the tape and carry no channel flags)
+_FOP_GATE, _FOP_MEASURE, _FOP_RESET, _FOP_NOP, _FOP_GATEQ = 0, 1, 2, 3, 4
 
 
 def _pack_frame_tape(events, n: int, identity_noise_only: bool = False):
@@ -334,13 +337,13 @@ def _pack_frame_tape(events, n: int, identity_noise_only: bool = False):
                     tx, tz, _ = clifford_tables(u2)
                     noisy = (not identity_noise_only
                              or np.allclose(p.dense(), ident2))
-                    row(_FOP_GATE, (q + 1) % n, q, tx, tz,
-                        (0, 1 if noisy else 0), 0)
+                    row(_FOP_GATE if noisy else _FOP_GATEQ,
+                        (q + 1) % n, q, tx, tz, (0, 1 if noisy else 0), 0)
                 elif len(targets) == 2:
                     tx, tz, _ = clifford_tables(p.dense())
                     f = 0 if identity_noise_only else 1
-                    row(_FOP_GATE, targets[0], targets[1], tx, tz,
-                        (f, f), f)
+                    row(_FOP_GATE if f else _FOP_GATEQ,
+                        targets[0], targets[1], tx, tz, (f, f), f)
                 else:
                     return None
         elif isinstance(ev, EvMeasure):
@@ -386,7 +389,7 @@ def _frame_scan_mc_impl(fx, fz, codes, t0, t1, txs, tzs, flags, cdfs,
         w1, o1 = (q1 >> 5).astype(jnp.int32), q1 & 31
         zero_rec = jnp.zeros(ntraj // 32, jnp.uint32)
 
-        def gate_(ops):
+        def table_(ops):
             fx, fz = ops
             xb0 = _row_bit(fx, w0, o0)
             zb0 = _row_bit(fz, w0, o0)
@@ -400,6 +403,14 @@ def _frame_scan_mc_impl(fx, fz, codes, t0, t1, txs, tzs, flags, cdfs,
             fx2 = _set_col_bit(fx2, w1, o1, (nx >> 1) & 1)
             fz2 = _set_col_bit(fz, w0, o0, nz & 1)
             fz2 = _set_col_bit(fz2, w1, o1, (nz >> 1) & 1)
+            return fx2, fz2
+
+        def gate_quiet_(ops):
+            fx2, fz2 = table_(ops)
+            return fx2, fz2, zero_rec
+
+        def gate_(ops):
+            fx2, fz2 = table_(ops)
             ka, kb = jax.random.split(k)
             if n_ch:
                 u = jax.random.uniform(ka, (2, n_ch, ntraj))
@@ -445,8 +456,8 @@ def _frame_scan_mc_impl(fx, fz, codes, t0, t1, txs, tzs, flags, cdfs,
             fx, fz = ops
             return fx, fz, zero_rec
 
-        fx, fz, rec = lax.switch(code, (gate_, meas_, reset_, nop_),
-                                 (fx, fz))
+        fx, fz, rec = lax.switch(
+            code, (gate_, meas_, reset_, nop_, gate_quiet_), (fx, fz))
         return (fx, fz), rec
 
     (fx, fz), recs = lax.scan(
