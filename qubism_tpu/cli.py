@@ -55,7 +55,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(bounded-entanglement circuits at 100+ qubits, "
                         "see --chi), or the exact density-matrix engine "
                         "(open-system: combine with --noise; 4^n amplitudes, "
-                        "n <= 14)")
+                        "n <= 14 on one device — shard past that with "
+                        "--mesh)")
     p.add_argument("--chi", type=int, default=32, metavar="X",
                    help="MPS bond dimension cap (--backend mps): simulation "
                         "is exact while the circuit's entanglement fits "
@@ -204,7 +205,13 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
             except ValueError as e:
                 print(f"qubism: {e}", file=out)
                 return 2
-            rho, cregs = prog.run(seed=seed, dump_writer=out.write)
+            try:
+                rho, cregs = prog.run(seed=seed, dump_writer=out.write)
+            except ValueError as e:
+                # mesh-shape validation happens at allocation time (the
+                # sharded rho needs enough local qubits per device)
+                print(f"qubism: {e}", file=out)
+                return 2
             if dump_state:
                 out.write(prog._pretty(rho, cregs))
             if shots and prog.n:
@@ -322,7 +329,7 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
             from .stabilizer import NotCliffordError, StabilizerProgram
 
             if mesh:
-                print("qubism: --mesh applies to the state-vector backend only",
+                print("qubism: --mesh applies to the state-vector and density backends",
                       file=out)
                 return 2
             prog = StabilizerProgram(ast)
@@ -344,7 +351,7 @@ def eval_file(path: str, seed: int | None = None, dump_state: bool = False,
             from .mps import MPSProgram, NotAdjacentError
 
             if mesh:
-                print("qubism: --mesh applies to the state-vector backend only",
+                print("qubism: --mesh applies to the state-vector and density backends",
                       file=out)
                 return 2
             prog = MPSProgram(ast, chi=chi, trunc_budget=trunc_budget,

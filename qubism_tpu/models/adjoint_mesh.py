@@ -313,7 +313,9 @@ def _unit_grad_mesh(phi, lam, unit, n: int, d: int, m: int,
 
 
 def supports_mesh(ansatz, mesh) -> bool:
-    """True when every op lowers on this mesh (used by the auto router)."""
+    """Public eligibility probe: True when every op of the ansatz lowers
+    on this mesh (the Hamiltonian head is checked separately — it must
+    be diagonal; the auto router simply tries the constructor)."""
     try:
         _validate(ansatz, mesh)
         return True

@@ -38,13 +38,6 @@ from .sharded import LOCAL_MAX, ShardedSim
 __all__ = ["ShardedDensityMatrix"]
 
 
-def _popcount(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64)
-    out = np.zeros_like(x)
-    while x.any():
-        out += x & 1
-        x >>= np.uint64(1)
-    return out.astype(np.int64)
 
 
 class ShardedDensityMatrix:
@@ -59,12 +52,17 @@ class ShardedDensityMatrix:
 
     def __init__(self, n: int, mesh=None, allocate: bool = True):
         self.n = n
-        self.sim = ShardedSim(2 * n, mesh, banks=0, allocate=allocate)
+        # validate the shape BEFORE allocating: with allocate=True an
+        # oversized rho would otherwise try to materialize its (possibly
+        # 32 GiB) buffers before the clean error below could fire
+        self.sim = ShardedSim(2 * n, mesh, banks=0, allocate=False)
         if self.sim.m > LOCAL_MAX:
             raise ValueError(
                 f"per-device block of {self.sim.m} qubits (n={n} over "
                 f"{self.sim.D} shards) exceeds the single-buffer limit "
                 f"{LOCAL_MAX}; use a larger mesh")
+        if allocate:
+            self.sim.reset_state()
         self._cache: dict = {}
 
     # -- evolution ----------------------------------------------------------
@@ -283,8 +281,10 @@ class ShardedDensityMatrix:
                 yz |= 1 << (n - 1 - q)
             if ch == "Y":
                 n_y += 1
+        from ..models.estimation import _parity_pm1_np
+
         ys = np.arange(1 << n, dtype=np.int64)
-        signs = 1.0 - 2.0 * (_popcount(ys & yz) & 1).astype(np.float64)
+        signs = _parity_pm1_np(ys & yz)
         import jax
 
         re, im = (float(x) for x in jax.device_get(

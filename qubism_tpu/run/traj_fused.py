@@ -372,7 +372,6 @@ class _LayerStep:
         self.row.sort(key=lambda s: s.targets[0])
         self.lane.sort(key=lambda s: s.targets[0])
         self.n = n
-        self.n_passes = (1 if self.row else 0) + (1 if self.lane else 0)
         self.n_sites = sum(s.n_sites for s in self.row + self.lane)
         if self.row:
             self._row_fn = kernels._layer1q_fn(
@@ -410,7 +409,6 @@ class _DenseStep:
     def __init__(self, slot, n):
         self.slot = slot
         self.n = n
-        self.n_passes = 1
         self.n_sites = slot.n_sites
         b = max(n - _apply._COL, 0)
         self.pure_lane = all(t >= b for t in slot.targets)
@@ -439,7 +437,6 @@ class _McwfStep:
     and the selected Kraus (renormalization folded into its coefficients)
     applied through the same 1q kernels."""
 
-    n_passes = 2
     n_sites = 1
 
     def __init__(self, q, mcwf, n):
@@ -605,6 +602,10 @@ class FusedTrajectories:
         bit-identical with, the vmapped engine's. ``batch`` overrides the
         operand-budget batch size (results are batch-size invariant: the
         scan body is identical per trajectory)."""
+        if batch is not None:
+            batch = int(batch)           # numpy ints lack bit_length
+            if batch < 1:
+                raise ValueError(f"batch must be >= 1, got {batch}")
         tprog = self.tprog
         rng = np.random.default_rng(0 if seed is None else seed)
         out = {c: np.zeros((ntraj, tprog.creg_sizes[c]), dtype=np.int32)

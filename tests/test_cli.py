@@ -339,14 +339,20 @@ def test_density_backend_flag(tmp_path, capsys):
 
 
 def test_density_backend_errors(tmp_path, capsys):
+    # --mesh on density is SUPPORTED (sharded rho) — but a program too
+    # small for the mesh must produce a clean rc-2 diagnostic, not a
+    # traceback (the shape check fires before allocation)
     f = tmp_path / "p.qasm"
     f.write_text("qreg q[1]; creg c[1]; measure q -> c;")
     assert eval_file(str(f), backend="density", mesh=2) == 2
-    assert "exact" in capsys.readouterr().out
+    assert "shards" in capsys.readouterr().out
     g = tmp_path / "big.qasm"
     g.write_text("qreg q[20]; creg c[1];")
     assert eval_file(str(g), backend="density") == 2
     assert "4^n" in capsys.readouterr().out
+    # oversized per-device block with a mesh: clean rc 2 as well
+    assert eval_file(str(g), backend="density", mesh=2) == 2
+    assert "single-buffer" in capsys.readouterr().out
 
 
 def test_stabilizer_noise_flag(tmp_path, capsys):
