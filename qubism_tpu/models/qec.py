@@ -117,11 +117,12 @@ def repetition_memory(d: int, rounds: int, p: float, ntraj: int,
     creg_sizes = {}
     for k in range(rounds):
         events.append(EvGates(tuple(Prim(_I2, (q,)) for q in range(d))))
-        cxs = []
-        for i in range(d - 1):
-            cxs.append(Prim(_CX, (i, d + i)))
-            cxs.append(Prim(_CX, (i + 1, d + i)))
-        events.append(EvGates(tuple(cxs)))
+        # two disjoint-qubit CX layers (even fan-in, then odd): the frame
+        # executor packs each into ONE layered scan step
+        events.append(EvGates(tuple(Prim(_CX, (i, d + i))
+                                    for i in range(d - 1))))
+        events.append(EvGates(tuple(Prim(_CX, (i + 1, d + i))
+                                    for i in range(d - 1))))
         name = f"s{k}"
         creg_sizes[name] = d - 1
         events.append(EvMeasure(anc, ((name, None, d - 1),)))

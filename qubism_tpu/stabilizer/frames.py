@@ -469,10 +469,19 @@ def _clean_record(n: int, events, key):
     """ONE exact tableau pass over the event stream: the clean reference
     outcomes per measured qubit, in program order. Reset follows the
     reference projection semantics (forced-0 measurement + X flip on a
-    |1>-certain qubit — the EvReset branch of noise.py)."""
+    |1>-certain qubit — the EvReset branch of noise.py).
+
+    When every qubit of a measure/reset event is DETERMINISTIC (the QEC
+    workload: parity ancillas of a stabilizer state), all its outcomes
+    come from ``tableau._det_outcomes_impl`` — three MXU matmuls, no
+    tableau change — instead of one O(n)-step sequential loop per qubit;
+    reset's conditional X-phase flips then fuse into one pass. Events
+    with any random outcome fall back to the sequential scan."""
     from ..run.compiler import EvDump, EvGates, EvMeasure, EvReset
     from .noise import _apply_pauli_phase
-    from .tableau import _measure_seq_impl, apply_prims, identity_tableau
+    from .tableau import (_DET_BATCH_MAX_N, _det_outcomes_impl,
+                          _measure_seq_impl, _x_phase_flips_impl,
+                          apply_prims, identity_tableau)
 
     tab = identity_tableau(n)
     x, z, s = tab.x, tab.z, tab.s
@@ -484,13 +493,23 @@ def _clean_record(n: int, events, key):
             x, z, s = t.x, t.z, t.s
         elif isinstance(ev, EvMeasure):
             qs = jnp.asarray(np.asarray(ev.qubits, dtype=np.uint32))
-            rnd = jax.random.bernoulli(
-                jax.random.fold_in(key, site), 0.5, (len(ev.qubits),))
             site += 1
+            if n <= _DET_BATCH_MAX_N:
+                anyr, outs = _det_outcomes_impl(x, z, s, qs, n)
+                if not bool(anyr):
+                    rec.append(np.asarray(outs, dtype=np.uint8))
+                    continue
+            rnd = jax.random.bernoulli(
+                jax.random.fold_in(key, site - 1), 0.5, (len(ev.qubits),))
             outs, x, z, s = _measure_seq_impl(x, z, s, qs, rnd, n)
             rec.append(np.asarray(outs, dtype=np.uint8))
         elif isinstance(ev, EvReset):
             qs = jnp.asarray(np.asarray(ev.qubits, dtype=np.uint32))
+            if n <= _DET_BATCH_MAX_N:
+                anyr, outs = _det_outcomes_impl(x, z, s, qs, n)
+                if not bool(anyr):
+                    s = _x_phase_flips_impl(z, s, qs, outs)
+                    continue
             zeros = jnp.zeros((len(ev.qubits),), dtype=bool)
             outs, x, z, s = _measure_seq_impl(x, z, s, qs, zeros, n)
             for q, b in zip(ev.qubits, outs):
@@ -503,13 +522,343 @@ def _clean_record(n: int, events, key):
     return rec
 
 
+# -- layered (shot-major) frame executor --------------------------------------
+#
+# Dropping phases makes ANY Clifford's frame action GF(2)-LINEAR in the
+# (x0, z0, x1, z1) bits — a 4x4 bit matrix per prim. Packing the tape
+# into LAYERS of disjoint-qubit prims (which commute as index maps) and
+# storing frames SHOT-MAJOR (row q = qubit q's bits across trajectories,
+# the Stim layout) turns a whole layer into a handful of word-wide
+# gather/AND/XOR/scatter ops: a QEC round costs ~5 scan steps instead of
+# ~2500, and all per-row RNG collapses into one vectorized draw per
+# noisy layer. ~100x on the 1001-qubit repetition-code memory.
+
+_IDENT_MBITS = 0x8421            # 4x4 identity over GF(2), bit i*4+j = M[i,j]
+_MBITS_CACHE: dict = {}
+
+
+def _gf2_mbits(u4: np.ndarray) -> int:
+    """The 16-bit GF(2) matrix of a 2q Clifford's phase-free frame
+    action: column j (inputs ordered x0, z0, x1, z1) = the conjugation
+    table's image of basis pattern ``1 << j``; verified linear against
+    all 16 patterns (it must be — phases are dropped)."""
+    from .tableau import clifford_tables
+
+    key = (u4.shape[0], u4.tobytes())
+    hit = _MBITS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tx, tz, _ = clifford_tables(u4)
+
+    def outbits(c):
+        return (tx[c] & 1, tz[c] & 1, (tx[c] >> 1) & 1, (tz[c] >> 1) & 1)
+
+    mb = 0
+    for j in range(4):
+        for i, b in enumerate(outbits(1 << j)):
+            mb |= int(b) << (i * 4 + j)
+    for c in range(16):
+        want = outbits(c)
+        for i in range(4):
+            got = 0
+            for j in range(4):
+                got ^= ((mb >> (i * 4 + j)) & 1) & ((c >> j) & 1)
+            if got != want[i]:       # pragma: no cover - cannot happen
+                raise AssertionError("non-linear frame action")
+    _MBITS_CACHE[key] = mb
+    return mb
+
+
+def _build_layers(events, n: int, identity_noise_only: bool):
+    """Pack EvGates/EvMeasure/EvReset into layers. Gate prims are
+    greedily batched while their qubits stay disjoint; measure/reset
+    events become their own layers (split on duplicate qubits). Returns
+    ``(layers, meas_slots, row_count)`` — layers a list of
+    ``(kind, payload)``, meas_slots the program-order (layer, slot) of
+    each measured qubit, row_count the old row-scan tape length (for the
+    layered-vs-rows heuristic) — or None when a prim has arity > 2."""
+    from ..run.compiler import EvDump, EvGates, EvMeasure, EvReset
+
+    ident2 = np.eye(2, dtype=np.complex128)
+    layers: list[tuple[str, list]] = []
+    meas_slots: list[tuple[int, int]] = []
+    rows = 0
+    cur: list | None = None
+    cur_used: set = set()
+
+    def flush():
+        nonlocal cur, cur_used
+        if cur:
+            layers.append(("g", cur))
+        cur = None
+        cur_used = set()
+
+    for ev in events:
+        if isinstance(ev, EvGates):
+            for p in ev.prims:
+                t = p.targets
+                rows += 1
+                if len(t) == 1:
+                    q = t[0]
+                    dense = p.dense()
+                    mb = _gf2_mbits(
+                        np.kron(np.eye(2, dtype=np.complex128), dense))
+                    noisy = (not identity_noise_only
+                             or np.allclose(dense, ident2))
+                    entry = (n, q, mb, 0, 1 if noisy else 0, 0)
+                    qs = {q}
+                elif len(t) == 2:
+                    mb = _gf2_mbits(p.dense())
+                    f = 0 if identity_noise_only else 1
+                    entry = (t[0], t[1], mb, f, f, f)
+                    qs = set(t)
+                else:
+                    return None
+                if cur is None or (qs & cur_used):
+                    flush()
+                    cur = []
+                cur.append(entry)
+                cur_used |= qs
+        elif isinstance(ev, (EvMeasure, EvReset)):
+            flush()
+            kind = "m" if isinstance(ev, EvMeasure) else "r"
+            chunk: list = []
+            seen: set = set()
+            for q in ev.qubits:
+                rows += 1
+                if q in seen:
+                    layers.append((kind, chunk))
+                    if kind == "m":
+                        for si in range(len(chunk)):
+                            meas_slots.append((len(layers) - 1, si))
+                    chunk, seen = [], set()
+                chunk.append(q)
+                seen.add(q)
+            layers.append((kind, chunk))
+            if kind == "m":
+                for si in range(len(chunk)):
+                    meas_slots.append((len(layers) - 1, si))
+        elif isinstance(ev, EvDump):
+            continue
+        else:      # pragma: no cover - eligibility is checked by the caller
+            return None
+    flush()
+    if not layers:
+        return None
+    return layers, meas_slots, rows
+
+
+def _pack_layers(layers, n: int):
+    """Stack layers into uniform padded scan arrays (pads target the
+    scratch row ``n`` with identity action and zero flags)."""
+    P = max((len(pl) for k, pl in layers if k == "g"), default=1)
+    M = max((len(pl) for k, pl in layers if k == "m"), default=1)
+    R = max((len(pl) for k, pl in layers if k == "r"), default=1)
+    L = len(layers)
+    q0 = np.full((L, P), n, np.int32)
+    q1 = np.full((L, P), n, np.int32)
+    mb = np.full((L, P), _IDENT_MBITS, np.uint32)
+    nm = np.zeros((L, P, 2), np.uint32)
+    nm2 = np.zeros((L, P), np.uint32)
+    mq = np.full((L, M), n, np.int32)
+    mvalid = np.zeros((L, M), np.uint32)
+    rq = np.full((L, R), n, np.int32)
+    noisy = np.zeros(L, bool)
+    for li, (kind, pl) in enumerate(layers):
+        if kind == "g":
+            for pi, (a, b, m, f0, f1, f2) in enumerate(pl):
+                q0[li, pi] = a
+                q1[li, pi] = b
+                mb[li, pi] = m
+                nm[li, pi] = (f0, f1)
+                nm2[li, pi] = f2
+            noisy[li] = nm[li].any() or nm2[li].any()
+        elif kind == "m":
+            for si, q in enumerate(pl):
+                mq[li, si] = q
+                mvalid[li, si] = 1
+        else:
+            for si, q in enumerate(pl):
+                rq[li, si] = q
+    return q0, q1, mb, nm, nm2, mq, mvalid, rq, noisy
+
+
+def _pack_traj_bits(bits, w: int):
+    """(..., T) 0/1 uint32 -> (..., W) packed words (bit t&31 of word
+    t>>5 = trajectory t)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits.reshape(*bits.shape[:-1], w, 32) << shifts,
+                   axis=-1, dtype=jnp.uint32)
+
+
+@jax.jit
+def _layer_scan_impl(fx, fz, q0, q1, mb, nm, nm2, mq, mvalid, rq, noisy,
+                     cdfs, cdfs2, keys):
+    """Scan over LAYERS: gate layers gather the frame rows of both
+    slots, apply the per-prim GF(2) matrices as masked XOR folds, inject
+    per-slot Pauli noise (one vectorized draw per noisy layer), and
+    scatter back; measure layers emit the X rows (masked) and XOR random
+    words into Z; reset layers zero X and randomize Z. Non-applicable
+    parts of a layer only touch the scratch row ``n``."""
+    n_ch = cdfs.shape[0]
+    n_ch2 = cdfs2.shape[0]
+    w = fx.shape[1]
+    t = w * 32
+    mrows = mq.shape[1]
+    rrows = rq.shape[1]
+
+    def step(carry, inp):
+        fx, fz = carry
+        q0, q1, mb, nm, nm2, mq, mvalid, rq, noisy, k = inp
+        ins = (fx[q0], fz[q0], fx[q1], fz[q1])            # (P, W) each
+        outs = []
+        for i in range(4):
+            acc = None
+            for j in range(4):
+                mij = (jnp.uint32(0) - ((mb >> (i * 4 + j))
+                                        & jnp.uint32(1)))[:, None]
+                v = mij & ins[j]
+                acc = v if acc is None else acc ^ v
+            outs.append(acc)
+        ka, kb, km, kr = jax.random.split(k, 4)
+
+        def inject(o):
+            x0o, z0o, x1o, z1o = o
+            if n_ch:
+                u = jax.random.uniform(ka, (2, n_ch) + x0o.shape[:1] + (t,))
+                for ci in range(n_ch):
+                    for sl in range(2):
+                        c = (jnp.sum((cdfs[ci, :3, None, None]
+                                      <= u[sl, ci][None])
+                                     .astype(jnp.uint32), axis=0)
+                             * nm[:, sl][:, None])
+                        xm = _pack_traj_bits((c ^ (c >> 1)) & 1, w)
+                        zm = _pack_traj_bits((c >> 1) & 1, w)
+                        if sl == 0:
+                            x0o, z0o = x0o ^ xm, z0o ^ zm
+                        else:
+                            x1o, z1o = x1o ^ xm, z1o ^ zm
+            if n_ch2:
+                u2 = jax.random.uniform(kb, (n_ch2,) + x0o.shape[:1] + (t,))
+                for ci in range(n_ch2):
+                    c = (jnp.sum((cdfs2[ci, :15, None, None] <= u2[ci][None])
+                                 .astype(jnp.uint32), axis=0)
+                         * nm2[:, None])
+                    for sub, sl in ((c >> 2, 0), (c & 3, 1)):
+                        xm = _pack_traj_bits((sub ^ (sub >> 1)) & 1, w)
+                        zm = _pack_traj_bits((sub >> 1) & 1, w)
+                        if sl == 0:
+                            x0o, z0o = x0o ^ xm, z0o ^ zm
+                        else:
+                            x1o, z1o = x1o ^ xm, z1o ^ zm
+            return x0o, z0o, x1o, z1o
+
+        if n_ch or n_ch2:
+            outs = lax.cond(noisy, inject, lambda o: o, tuple(outs))
+        x0o, z0o, x1o, z1o = outs
+        fx = fx.at[q0].set(x0o)
+        fx = fx.at[q1].set(x1o)
+        fz = fz.at[q0].set(z0o)
+        fz = fz.at[q1].set(z1o)
+        # measure: record X rows, then randomize Z (collapse)
+        rec = fx[mq] & (jnp.uint32(0) - mvalid)[:, None]
+        zr = jax.random.bits(km, (mrows, w), dtype=jnp.uint32)
+        fz = fz.at[mq].set(fz[mq] ^ zr)
+        # reset: clear X, fresh random Z
+        rr = jax.random.bits(kr, (rrows, w), dtype=jnp.uint32)
+        fx = fx.at[rq].set(jnp.zeros((rrows, w), jnp.uint32))
+        fz = fz.at[rq].set(rr)
+        return (fx, fz), rec
+
+    (fx, fz), recs = lax.scan(
+        step, (fx, fz), (q0, q1, mb, nm, nm2, mq, mvalid, rq, noisy, keys))
+    return recs
+
+
 def frame_run_vals_events(prog, events, ntraj: int, key):
     """Run ``ntraj`` noisy trajectories of a Clifford event stream WITH
     mid-circuit measurement/reset via Pauli frames: one exact tableau
     pass for the clean record, one frame scan for all trajectories,
     outcomes = clean XOR frame-X at each measure row. Same creg-dict
     contract as ``run_vals``; None when a gate cannot be packed (the
-    caller falls back to vmapped tableaux)."""
+    caller falls back to vmapped tableaux). Well-layerable tapes (the
+    QEC shape) ride the layered shot-major scan; pathologically
+    interleaved ones keep the row scan."""
+    n = prog.n
+    ino = getattr(prog, "noise_identity_only", False)
+    built = _build_layers(events, n, identity_noise_only=ino)
+    if built is None:
+        return None
+    layers, meas_slots, row_count = built
+    pk = _pack_layers(layers, n)
+    pmax = max(pk[0].shape[1], pk[5].shape[1], pk[7].shape[1])
+    if len(layers) * pmax > 8 * row_count:
+        return _frame_run_vals_events_rows(prog, events, ntraj, key)
+
+    from ..run.compiler import EvMeasure
+
+    kc, kf, kr = jax.random.split(key, 3)
+    clean = _clean_record(n, events, kc)
+    tpad = ((ntraj + 31) // 32) * 32
+    w = tpad // 32
+    fx = jnp.zeros((n + 1, w), dtype=jnp.uint32)
+    # random Z on every qubit at t=0 (|0> is Z-invariant): the Stim trick
+    # that decorrelates nondeterministic outcomes across trajectories
+    kf, kz0 = jax.random.split(kf)
+    fz = jax.random.bits(kz0, (n + 1, w), dtype=jnp.uint32)
+    cdfs = jnp.asarray(np.asarray(prog.cdfs, np.float32).reshape(-1, 4))
+    cdfs2 = jnp.asarray(np.asarray(
+        getattr(prog, "cdfs2", np.zeros((0, 16), np.float32)),
+        np.float32).reshape(-1, 16))
+    q0, q1, mb, nm, nm2, mq, mvalid, rq, noisy = (jnp.asarray(a) for a in pk)
+    step_keys = jax.random.split(kf, len(layers))
+    recs = np.asarray(jax.device_get(_layer_scan_impl(
+        fx, fz, q0, q1, mb, nm, nm2, mq, mvalid, rq, noisy,
+        cdfs, cdfs2, step_keys)))                    # (L, M, W)
+    j = np.arange(ntraj)
+    flips = [((recs[li, si, j >> 5] >> (j & 31)) & 1).astype(np.uint8)
+             for (li, si) in meas_slots]
+
+    vals = {c: np.zeros((ntraj, prog.creg_sizes[c]), dtype=np.int32)
+            for c in prog.creg_names}
+    mi = 0      # measurement-event counter
+    ri = 0      # measured-qubit counter (into flips)
+    rkey = 0
+    for ev in events:
+        if not isinstance(ev, EvMeasure):
+            continue
+        clean_bits = clean[mi]
+        mi += 1
+        cols = []
+        for k_, _q in enumerate(ev.qubits):
+            cols.append(clean_bits[k_] ^ flips[ri])
+            ri += 1
+        if getattr(prog, "readout_p", None):
+            ro = np.asarray(jax.random.bernoulli(
+                jax.random.fold_in(kr, rkey), prog.readout_p,
+                (ntraj, len(ev.qubits)))).astype(np.uint8)
+            rkey += 1
+        else:
+            ro = None
+        off = 0
+        for creg, bit_index, count in ev.writes:
+            for k_ in range(count):
+                col = cols[off + k_]
+                if ro is not None:
+                    col = col ^ ro[:, off + k_]
+                if bit_index is None:
+                    vals[creg][:, k_] = col
+                else:
+                    vals[creg][:, bit_index] = col
+            off += count
+    return vals
+
+
+def _frame_run_vals_events_rows(prog, events, ntraj: int, key):
+    """The row-scan fallback of :func:`frame_run_vals_events` (one tape
+    row per prim/measured/reset qubit): kept for tapes whose layering
+    would pad pathologically (many singleton layers next to one wide
+    one). Semantics identical; RNG stream differs."""
     from ..run.compiler import EvMeasure
 
     n = prog.n

@@ -417,6 +417,65 @@ def _measure_seq_impl(x, z, s, qs, rnd_bits, n: int):
     return outs, x, z, s
 
 
+#: past this qubit count the mod-4 phase accumulators in the batched
+#: deterministic readout (bounded by 3n^2) no longer fit f32 exactly
+_DET_BATCH_MAX_N = 2048
+
+
+def _unpack_words_dev(words, n: int):
+    """(rows, W) uint32 -> (rows, n) float32 bit matrix, on device."""
+    rows, w = words.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(rows, w * 32)[:, :n].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _det_outcomes_impl(x, z, s, qs, n: int):
+    """Batched DETERMINISTIC Z-measurement: outcomes of every qubit in
+    ``qs`` at once, valid only when no listed qubit is random (checked by
+    the returned flag; the tableau is unchanged either way, so the caller
+    can fall back without damage).
+
+    The sequential fold in ``_measure_impl``'s det branch accumulates
+    ``s += s_i + 2*popcount(z_running & x_i)`` over the selected
+    stabilizer rows. Because ``2*popcount(a XOR b) == 2*popcount(a) +
+    2*popcount(b) (mod 4)``, the running-z cross terms LINEARIZE into a
+    pairwise form: ``phase(q) = sel.s + 2 * sel.triu(C,1).sel`` with
+    ``C[j,i] = popcount(z_j & x_i)`` over stabilizer rows — three MXU
+    matmuls replace one O(n)-step sequential loop per measured qubit.
+    All counts stay below 2^24, exact in f32 (guarded by
+    ``_DET_BATCH_MAX_N``). Returns ``(any_random, outcomes)``."""
+    w = (qs >> 5).astype(jnp.int32)
+    off = (qs & 31).astype(jnp.uint32)
+    cols = jnp.take(x, w, axis=1)                     # (2n, nq)
+    bits = (cols >> off[None, :]) & jnp.uint32(1)
+    any_random = jnp.any(bits[n:] == 1)
+    sel = bits[:n].T.astype(jnp.float32)              # (nq, n) destab x@q
+    zb = _unpack_words_dev(z[n:], n)                  # stabilizer bit planes
+    xb = _unpack_words_dev(x[n:], n)
+    c = jnp.dot(zb, xb.T, precision=lax.Precision.HIGHEST)
+    cut = jnp.triu(c.astype(jnp.int32) & 3, 1).astype(jnp.float32)
+    lin = jnp.dot(sel, s[n:].astype(jnp.float32),
+                  precision=lax.Precision.HIGHEST)
+    quad = jnp.sum(jnp.dot(sel, cut, precision=lax.Precision.HIGHEST) * sel,
+                   axis=1)
+    phase = (lin.astype(jnp.int32) + 2 * quad.astype(jnp.int32)) & 3
+    return any_random, ((phase >> 1) & 1).astype(jnp.uint32)
+
+
+@jax.jit
+def _x_phase_flips_impl(z, s, qs, flips):
+    """Apply the sign flips of ``X_q`` for every qubit q in ``qs`` whose
+    ``flips`` bit is set, in one fused pass: X_q negates each row with a
+    Z at q, so ``s += 2 * sum_q flips_q * zbit(row, q) (mod 4)``."""
+    w = (qs >> 5).astype(jnp.int32)
+    off = (qs & 31).astype(jnp.uint32)
+    zb = (jnp.take(z, w, axis=1) >> off[None, :]) & jnp.uint32(1)  # (2n, nq)
+    tot = jnp.sum(zb * flips[None, :].astype(jnp.uint32), axis=1)
+    return (s + 2 * (tot & 1)) & 3
+
+
 def _unpack_bits(words: np.ndarray, n: int) -> np.ndarray:
     """(rows, W) uint32 -> (rows, n) uint8 (bit q of the row = column q)."""
     rows = words.shape[0]

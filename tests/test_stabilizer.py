@@ -622,3 +622,103 @@ def test_frames_expectations_batch_matches_singles():
     for pauli, (bm, bs) in zip(("ZZ", "XX", "ZI"), batch):
         sm, ss = prog.expectation(pauli, 4096, seed=7)
         assert abs(bm - sm) < 5 * (bs + ss) + 1e-3
+
+
+def test_det_outcomes_batch_matches_sequential_measure():
+    """The batched deterministic readout (three MXU matmuls — the
+    mod-4 phase linearizes because 2*popcount(a^b) == 2*popcount(a) +
+    2*popcount(b) mod 4) must agree with the sequential det branch of
+    _measure_impl on random Clifford tableaux, qubit by qubit."""
+    import jax.numpy as jnp
+
+    from qubism_tpu.stabilizer import tableau as tb
+
+    rng = np.random.default_rng(11)
+    h = (1 / np.sqrt(2)) * np.array([[1, 1], [1, -1]], dtype=complex)
+    s_g = np.diag([1, 1j]).astype(complex)
+    cx = np.eye(4, dtype=complex)[[0, 1, 3, 2]]
+    cz = np.diag([1, 1, 1, -1]).astype(complex)
+    checked = 0
+    for _ in range(12):
+        n = int(rng.integers(3, 12))
+        tab = tb.identity_tableau(n)
+        prims = []
+        for _ in range(40):
+            r = rng.integers(0, 4)
+            if r == 0:
+                prims.append(Prim(h, (int(rng.integers(n)),)))
+            elif r == 1:
+                prims.append(Prim(s_g, (int(rng.integers(n)),)))
+            else:
+                a, b = rng.choice(n, 2, replace=False)
+                prims.append(Prim(cx if r == 2 else cz, (int(a), int(b))))
+        tab = tb.apply_prims(tab, prims)
+        xn = np.asarray(tab.x)[n:]
+        det_qs = [q for q in range(n)
+                  if not ((xn[:, q >> 5] >> (q & 31)) & 1).any()]
+        if not det_qs:
+            continue
+        qs = jnp.asarray(np.asarray(det_qs, np.uint32))
+        anyr, outs = tb._det_outcomes_impl(tab.x, tab.z, tab.s, qs, n)
+        assert not bool(anyr)
+        for q, got in zip(det_qs, np.asarray(outs)):
+            ref, _, _, _ = tb._measure_impl(
+                tab.x, tab.z, tab.s, jnp.uint32(q), jnp.asarray(False), n)
+            assert int(got) == int(ref)
+            checked += 1
+    assert checked > 20     # the sweep actually exercised outcomes
+
+
+def test_det_outcomes_batch_flags_random_qubits():
+    import jax.numpy as jnp
+
+    from qubism_tpu.stabilizer import tableau as tb
+
+    h = (1 / np.sqrt(2)) * np.array([[1, 1], [1, -1]], dtype=complex)
+    tab = tb.apply_prims(tb.identity_tableau(2), [Prim(h, (0,))])
+    anyr, _ = tb._det_outcomes_impl(
+        tab.x, tab.z, tab.s, jnp.asarray(np.asarray([0], np.uint32)), 2)
+    assert bool(anyr)       # H|0> measurement is random -> caller falls back
+
+
+def test_frame_layering_packs_qec_round_into_few_layers():
+    """The repetition-code round (ids; two disjoint CX fans; measure;
+    reset) must pack into ~5 layers/round, not one row per prim."""
+    from qubism_tpu.models.qec import _CX, _FrameProg, _I2
+    from qubism_tpu.run.compiler import EvGates, EvMeasure, EvReset
+    from qubism_tpu.stabilizer.frames import _build_layers
+
+    d = 11
+    n = 2 * d - 1
+    events = []
+    for _ in range(2):
+        events.append(EvGates(tuple(Prim(_I2, (q,)) for q in range(d))))
+        events.append(EvGates(tuple(Prim(_CX, (i, d + i))
+                                    for i in range(d - 1))))
+        events.append(EvGates(tuple(Prim(_CX, (i + 1, d + i))
+                                    for i in range(d - 1))))
+        events.append(EvMeasure(tuple(range(d, n)), (("s", None, d - 1),)))
+        events.append(EvReset(tuple(range(d, n))))
+    events.append(EvMeasure(tuple(range(d)), (("m", None, d),)))
+    layers, meas_slots, rows = _build_layers(events, n,
+                                             identity_noise_only=True)
+    assert len(layers) == 2 * 5 + 1
+    assert len(meas_slots) == 2 * (d - 1) + d
+    assert rows == 2 * (d + 2 * (d - 1) + 2 * (d - 1)) + d
+
+
+def test_gf2_mbits_identity_and_cx():
+    from qubism_tpu.stabilizer.frames import _IDENT_MBITS, _gf2_mbits
+
+    assert _gf2_mbits(np.eye(4, dtype=np.complex128)) == _IDENT_MBITS
+    cx = np.eye(4, dtype=np.complex128)[[0, 1, 3, 2]]
+    mb = _gf2_mbits(cx)
+    # CX frame action (control=slot0, target=slot1): x1' = x1^x0,
+    # z0' = z0^z1, x0/z1 unchanged
+    m = np.array([[(mb >> (i * 4 + j)) & 1 for j in range(4)]
+                  for i in range(4)])
+    want = np.array([[1, 0, 0, 0],
+                     [0, 1, 0, 1],
+                     [1, 0, 1, 0],
+                     [0, 0, 0, 1]])
+    assert (m == want).all()
