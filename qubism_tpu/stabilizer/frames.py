@@ -465,6 +465,17 @@ def _frame_scan_mc_impl(fx, fz, codes, t0, t1, txs, tzs, flags, cdfs,
     return fx, fz, recs
 
 
+def _pad_qs(qs):
+    """Pad a measured-qubit index vector to the next power of two by
+    repeating entry 0 (deterministic readout never mutates the tableau,
+    so duplicates are harmless) — bounds the number of compiled
+    ``_det_outcomes_impl`` shapes."""
+    g = 1 << (qs.shape[0] - 1).bit_length() if qs.shape[0] > 1 else 1
+    if g == qs.shape[0]:
+        return qs
+    return jnp.concatenate([qs, jnp.broadcast_to(qs[0], (g - qs.shape[0],))])
+
+
 def _clean_record(n: int, events, key):
     """ONE exact tableau pass over the event stream: the clean reference
     outcomes per measured qubit, in program order. Reset follows the
@@ -495,9 +506,10 @@ def _clean_record(n: int, events, key):
             qs = jnp.asarray(np.asarray(ev.qubits, dtype=np.uint32))
             site += 1
             if n <= _DET_BATCH_MAX_N:
-                anyr, outs = _det_outcomes_impl(x, z, s, qs, n)
+                anyr, outs = _det_outcomes_impl(x, z, s, _pad_qs(qs), n)
                 if not bool(anyr):
-                    rec.append(np.asarray(outs, dtype=np.uint8))
+                    rec.append(np.asarray(outs, dtype=np.uint8)
+                               [:len(ev.qubits)])
                     continue
             rnd = jax.random.bernoulli(
                 jax.random.fold_in(key, site - 1), 0.5, (len(ev.qubits),))
@@ -506,9 +518,14 @@ def _clean_record(n: int, events, key):
         elif isinstance(ev, EvReset):
             qs = jnp.asarray(np.asarray(ev.qubits, dtype=np.uint32))
             if n <= _DET_BATCH_MAX_N:
-                anyr, outs = _det_outcomes_impl(x, z, s, qs, n)
+                qsp = _pad_qs(qs)
+                anyr, outs = _det_outcomes_impl(x, z, s, qsp, n)
                 if not bool(anyr):
-                    s = _x_phase_flips_impl(z, s, qs, outs)
+                    # padded slots repeat qubit 0: zero their flip bits so
+                    # the fused X-phase pass sees each real qubit once
+                    flips = jnp.where(
+                        jnp.arange(qsp.shape[0]) < len(ev.qubits), outs, 0)
+                    s = _x_phase_flips_impl(z, s, qsp, flips)
                     continue
             zeros = jnp.zeros((len(ev.qubits),), dtype=bool)
             outs, x, z, s = _measure_seq_impl(x, z, s, qs, zeros, n)
@@ -648,12 +665,19 @@ def _build_layers(events, n: int, identity_noise_only: bool):
     return layers, meas_slots, rows
 
 
+def _pow2(v: int) -> int:
+    return 1 << (v - 1).bit_length() if v > 1 else 1
+
+
 def _pack_layers(layers, n: int):
     """Stack layers into uniform padded scan arrays (pads target the
-    scratch row ``n`` with identity action and zero flags)."""
-    P = max((len(pl) for k, pl in layers if k == "g"), default=1)
-    M = max((len(pl) for k, pl in layers if k == "m"), default=1)
-    R = max((len(pl) for k, pl in layers if k == "r"), default=1)
+    scratch row ``n`` with identity action and zero flags). Slot counts
+    round up to powers of two so one compiled scan serves a range of
+    circuit sizes (pads are word-ops on the scratch row — cheap; remote
+    compiles are 30-90 s — not)."""
+    P = _pow2(max((len(pl) for k, pl in layers if k == "g"), default=1))
+    M = _pow2(max((len(pl) for k, pl in layers if k == "m"), default=1))
+    R = _pow2(max((len(pl) for k, pl in layers if k == "r"), default=1))
     L = len(layers)
     q0 = np.full((L, P), n, np.int32)
     q1 = np.full((L, P), n, np.int32)
