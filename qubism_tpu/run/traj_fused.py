@@ -59,7 +59,7 @@ import jax.numpy as jnp
 from ..config import config
 from ..ops import apply as _apply
 from ..ops import kernels
-from ..ops.measure import prob_one_traced
+from ..ops.measure import _marginal_table_traced
 from ..ops.sample import (_LEAF_BITS, _sample_parts, _sample_parts_big)
 from .compiler import EvDump, EvGates, EvMeasure
 
@@ -183,13 +183,24 @@ def _maybe_merge(a: _Slot, b: _Slot):
 class _Mcwf:
     """A state-dependent 1q Kraus channel prepared for in-graph MCWF:
     every K^dag K must be diagonal (true for amplitude/phase damping), so
-    branch probabilities are p_j = a_j*P0 + b_j*P1 from one marginal."""
+    branch probabilities are p_j = a_j*P0 + b_j*P1 from one marginal.
 
-    __slots__ = ("kr", "ki", "ab")
+    ``monomial`` marks the stronger property that every branch has at
+    most one nonzero per COLUMN (ad's {diag, jump}, pd, any Pauli mix):
+    then a branch's effect on computational-basis weights is a pure
+    reweight-and-REMAP (``rmap[j, b]`` = the row column b maps to), with
+    no interference between basis sectors — the condition for the
+    deferred-Kraus group path to track marginals exactly. Diagonal-K^dag-K
+    channels that are NOT monomial (orthogonal dense columns) still run,
+    via the per-site apply step."""
+
+    __slots__ = ("kr", "ki", "ab", "monomial", "rmap")
 
     def __init__(self, kraus):
         ks = [np.asarray(k, dtype=np.complex128) for k in kraus]
         ab = []
+        rmap = []
+        self.monomial = True
         for k in ks:
             if k.shape != (2, 2):
                 raise FusedUnsupported(
@@ -202,9 +213,15 @@ class _Mcwf:
                     "K^dag K: needs per-branch norm sweeps; use the "
                     "vmapped engine")
             ab.append((float(g[0, 0].real), float(g[1, 1].real)))
+            cols = np.abs(k) > 1e-9
+            if (cols.sum(axis=0) > 1).any():
+                self.monomial = False
+            rmap.append(tuple(int(np.argmax(np.abs(k[:, b])))
+                              for b in range(2)))
         self.kr = jnp.asarray(np.stack([k.real for k in ks]), jnp.float32)
         self.ki = jnp.asarray(np.stack([k.imag for k in ks]), jnp.float32)
         self.ab = jnp.asarray(np.asarray(ab), jnp.float32)  # (B, 2)
+        self.rmap = jnp.asarray(np.asarray(rmap, np.float32))  # (B, 2)
 
 
 def _build_units(tprog):
@@ -359,13 +376,49 @@ def _expand_lane_pair_traced(cs, n: int, targets):
 # ---------------------------------------------------------------------------
 # Execution steps
 # ---------------------------------------------------------------------------
+#
+# Every step's ``traced(planes, it, pend)`` threads ``pend``: a dict of
+# qubit -> (2, 2, 2) traced re/im stack of a chosen-but-UNAPPLIED MCWF
+# Kraus composition. A pending operator commutes past gates on other
+# qubits, so it is folded (a tiny traced 2x2 matmul) into the next step
+# that touches its qubit instead of paying a full state pass of its own;
+# whatever is still pending at a new MCWF group is accounted for by
+# reweighting the group's joint marginal table (valid because every
+# admitted Kraus has <= 1 nonzero per column, so any composition M keeps
+# M^dag M diagonal), and a _FlushStep applies leftovers in ONE fused 1q
+# layer when the table would outgrow ``_MCWF_TABLE_MAX`` bits.
+
+
+def _mat2_compose(a, b):
+    """(2, d, d) re/im stacks -> a @ b (a applied AFTER b)."""
+    hi = jax.lax.Precision.HIGHEST
+    ar, ai = a[0], a[1]
+    br, bi = b[0], b[1]
+    return jnp.stack([
+        jnp.dot(ar, br, precision=hi) - jnp.dot(ai, bi, precision=hi),
+        jnp.dot(ar, bi, precision=hi) + jnp.dot(ai, br, precision=hi)])
+
+
+def _expand_1q_traced(m, pos, k: int):
+    """Traced (2, 2, 2) -> (2, 2^k, 2^k): identity on the other axes of a
+    k-target slot (MSB-first axis order)."""
+    eye = jnp.eye(2, dtype=jnp.float32)
+    z2 = jnp.zeros((2, 2), jnp.float32)
+    mr = jnp.ones((1, 1), jnp.float32)
+    mi = jnp.zeros((1, 1), jnp.float32)
+    for j in range(k):
+        gr, gi = (m[0], m[1]) if j == pos else (eye, z2)
+        mr, mi = _kron2(mr, mi, gr, gi)
+    return jnp.stack([mr, mi])
 
 
 class _LayerStep:
     """A run of disjoint 1q slots: row qubits via one _layer1q_fn pass,
-    lane qubits folded (traced kron) into one 128-wide lane matmul."""
+    lane qubits folded (traced kron) into one 128-wide lane matmul.
+    ``absorb`` (set by the planner) lists pending-Kraus qubits composed
+    into the matching slot's coefficients."""
 
-    def __init__(self, slots, n):
+    def __init__(self, slots, n, absorb=()):
         b = max(n - _apply._COL, 0)
         self.row = [s for s in slots if s.targets[0] < b]
         self.lane = [s for s in slots if s.targets[0] >= b]
@@ -373,6 +426,12 @@ class _LayerStep:
         self.lane.sort(key=lambda s: s.targets[0])
         self.n = n
         self.n_sites = sum(s.n_sites for s in self.row + self.lane)
+        self.absorb_row = tuple(
+            (i, s.targets[0]) for i, s in enumerate(self.row)
+            if s.targets[0] in absorb)
+        self.absorb_lane = tuple(
+            (i, s.targets[0]) for i, s in enumerate(self.lane)
+            if s.targets[0] in absorb)
         if self.row:
             self._row_fn = kernels._layer1q_fn(
                 tuple(s.targets[0] for s in self.row), n, donate=False)
@@ -393,23 +452,31 @@ class _LayerStep:
             out.append(np.stack([_stack2(m) for m in mats[nr:]]))
         return out
 
-    def traced(self, planes, it):
+    def traced(self, planes, it, pend):
         if self.row:
-            planes = self._row_fn(planes, next(it))
+            cs = next(it)
+            for i, q in self.absorb_row:
+                cs = cs.at[i].set(_mat2_compose(cs[i], pend.pop(q)))
+            planes = self._row_fn(planes, cs)
         if self.lane:
-            mr, mi = _lane_matrix_traced(next(it), self._lane_pos, self.n)
+            cs = next(it)
+            for i, q in self.absorb_lane:
+                cs = cs.at[i].set(_mat2_compose(cs[i], pend.pop(q)))
+            mr, mi = _lane_matrix_traced(cs, self._lane_pos, self.n)
             planes = self._lane_fn(planes, mr, mi)
         return planes
 
 
 class _DenseStep:
     """One >=2-target slot: all-dense row/straddle kernel or a pure-lane
-    matmul; content enters only through a (2, 2^k, 2^k) operand."""
+    matmul; content enters only through a (2, 2^k, 2^k) operand.
+    Pending Kraus on ``absorb`` qubits compose into the operand."""
 
-    def __init__(self, slot, n):
+    def __init__(self, slot, n, absorb=()):
         self.slot = slot
         self.n = n
         self.n_sites = slot.n_sites
+        self.absorb = tuple(q for q in slot.targets if q in absorb)
         b = max(n - _apply._COL, 0)
         self.pure_lane = all(t >= b for t in slot.targets)
         if self.pure_lane:
@@ -423,19 +490,55 @@ class _DenseStep:
     def realize(self, us):
         return [_stack2(self.slot.realize(us))]
 
-    def traced(self, planes, it):
+    def traced(self, planes, it, pend):
         cs = next(it)
+        k = len(self.slot.targets)
+        for q in self.absorb:
+            cs = _mat2_compose(cs, _expand_1q_traced(
+                pend.pop(q), self.slot.targets.index(q), k))
         if self.pure_lane:
             mr, mi = _expand_lane_pair_traced(cs, self.n, self.slot.targets)
             return self._fn(planes, mr, mi)
         return self._fn(planes, cs)
 
 
-class _McwfStep:
-    """In-graph MCWF norm-branch site on qubit q: one fused reduction for
-    the (P0, P1) marginal, branch selection from a pre-drawn host uniform,
-    and the selected Kraus (renormalization folded into its coefficients)
-    applied through the same 1q kernels."""
+class _FlushStep:
+    """Apply every pending Kraus on ``qubits`` in ONE fused pass (they
+    sit on distinct qubits, so a 1q layer covers all of them)."""
+
+    n_sites = 0
+
+    def __init__(self, qubits, n):
+        b = max(n - _apply._COL, 0)
+        self.n = n
+        self.row_qs = tuple(sorted(q for q in qubits if q < b))
+        self.lane_qs = tuple(sorted(q for q in qubits if q >= b))
+        if self.row_qs:
+            self._row_fn = kernels._layer1q_fn(self.row_qs, n, donate=False)
+        if self.lane_qs:
+            self._lane_fn = kernels._lane_gate_fn(n, donate=False)
+
+    def realize(self, us):
+        return []
+
+    def traced(self, planes, it, pend):
+        if self.row_qs:
+            cs = jnp.stack([pend.pop(q) for q in self.row_qs])
+            planes = self._row_fn(planes, cs)
+        if self.lane_qs:
+            cs = jnp.stack([pend.pop(q) for q in self.lane_qs])
+            mr, mi = _lane_matrix_traced(cs, self.lane_qs, self.n)
+            planes = self._lane_fn(planes, mr, mi)
+        return planes
+
+
+class _McwfApplyStep:
+    """Per-site MCWF fallback for diagonal-K^dag-K channels whose
+    branches are NOT monomial (orthogonal dense columns — e.g. a
+    Hadamard-like branch): one fused (P0, P1) reduction on the CURRENT
+    state, then the chosen renormalized Kraus applied as its own 1q
+    pass. The planner flushes every pending Kraus first, so the
+    reduction sees the true state."""
 
     n_sites = 1
 
@@ -451,22 +554,102 @@ class _McwfStep:
     def realize(self, us):
         return [np.float32(us[0])]
 
-    def traced(self, planes, it):
+    def traced(self, planes, it, pend):
+        assert not pend      # planner flushed before this step
         u = next(it)
-        p1 = prob_one_traced(planes, self.q, self.n)
-        re, im = planes
-        nrm = jnp.sum(re * re) + jnp.sum(im * im)   # fuses with p1's read
-        p0 = jnp.maximum(nrm - p1, 0.0)
+        w = _marginal_table_traced(planes, self.n, (self.q,))
+        p0, p1 = w[0], w[1]
         probs = self.mc.ab[:, 0] * p0 + self.mc.ab[:, 1] * p1      # (B,)
         cdf = jnp.cumsum(probs)
         j = jnp.clip(jnp.searchsorted(cdf, u * cdf[-1], side="right"),
                      0, probs.shape[0] - 1)
-        inv = jax.lax.rsqrt(jnp.maximum(probs[j], jnp.float32(1e-30)))
+        inv = jax.lax.rsqrt(jnp.maximum(probs[j] / jnp.maximum(
+            p0 + p1, jnp.float32(1e-30)), jnp.float32(1e-30)))
         coefs = (jnp.stack([self.mc.kr[j], self.mc.ki[j]]) * inv)[None]
         if self.lane:
             mr, mi = _lane_matrix_traced(coefs, (self.q,), self.n)
             return self._fn(planes, mr, mi)
         return self._fn(planes, coefs)
+
+
+#: joint-marginal width cap for an MCWF group (sites + pending qubits);
+#: the table is 2^k scalars — tiny — but the lane fold matrix in
+#: _marginal_table_traced grows as (2048, 2^{lane bits}), so keep k small
+_MCWF_TABLE_MAX = 8
+
+
+class _McwfGroupStep:
+    """A run of in-graph MCWF norm-branch sites sharing ONE fused joint
+    marginal: |a|^2 reduces over everything but the sites' qubits and the
+    currently-pending qubits; pending compositions reweight the table
+    (their K^dag K is diagonal); each site's branch then draws from the
+    table, updates it, and COMPOSES its chosen (renormalized) Kraus into
+    ``pend`` instead of paying an apply pass."""
+
+    def __init__(self, sites, tableqs, pend_qs, n):
+        self.sites = tuple(sites)              # ordered (q, _Mcwf)
+        self.tableqs = tuple(tableqs)          # sorted
+        self.pend_qs = tuple(pend_qs)
+        self.n = n
+        self.n_sites = len(self.sites)
+        k = len(self.tableqs)
+        idx = np.arange(1 << k)
+        self._mask1 = {
+            q: jnp.asarray(((idx >> (k - 1 - self.tableqs.index(q))) & 1)
+                           .astype(np.float32))
+            for q in self.tableqs}
+        self._swap = {
+            q: jnp.asarray(idx ^ (1 << (k - 1 - self.tableqs.index(q))))
+            for q in self.tableqs}
+
+    def realize(self, us):
+        return [np.asarray(us, dtype=np.float32)]
+
+    def _remap(self, w, q, c0, c1, r0, r1):
+        """Monomial-branch weight update on the table: column b of the
+        chosen operator carries weight ``cb`` to bit value ``rb`` —
+        reweight both bit sectors AND move them to their target bit."""
+        mask1 = self._mask1[q]
+        w0 = w * (1.0 - mask1)
+        w1 = w * mask1
+        sw0 = jnp.take(w0, self._swap[q])       # b=0 weights at bit-1 slots
+        sw1 = jnp.take(w1, self._swap[q])
+        return (c0 * ((1.0 - r0) * w0 + r0 * sw0)
+                + c1 * (r1 * w1 + (1.0 - r1) * sw1))
+
+    def traced(self, planes, it, pend):
+        us = next(it)
+        w = _marginal_table_traced(planes, self.n, self.tableqs)
+        for q in self.pend_qs:
+            m = pend[q]
+            c0 = jnp.sum(m[:, :, 0] ** 2)      # column norms of the scaled
+            c1 = jnp.sum(m[:, :, 1] ** 2)      # composition = K^dag K diag
+            # monomial composition: the nonzero row of each column
+            r0 = (m[0, 1, 0] ** 2 + m[1, 1, 0] ** 2
+                  > m[0, 0, 0] ** 2 + m[1, 0, 0] ** 2).astype(jnp.float32)
+            r1 = (m[0, 1, 1] ** 2 + m[1, 1, 1] ** 2
+                  > m[0, 0, 1] ** 2 + m[1, 0, 1] ** 2).astype(jnp.float32)
+            w = self._remap(w, q, c0, c1, r0, r1)
+        for si, (q, mc) in enumerate(self.sites):
+            mask1 = self._mask1[q]
+            tot = jnp.sum(w)
+            p1 = jnp.sum(w * mask1)
+            p0 = jnp.maximum(tot - p1, 0.0)
+            probs = mc.ab[:, 0] * p0 + mc.ab[:, 1] * p1        # (B,)
+            cdf = jnp.cumsum(probs)
+            j = jnp.clip(jnp.searchsorted(cdf, us[si] * cdf[-1],
+                                          side="right"),
+                         0, probs.shape[0] - 1)
+            pj = jnp.maximum(probs[j], jnp.float32(1e-30))
+            inv = jnp.sqrt(tot) * jax.lax.rsqrt(pj)
+            coef = jnp.stack([mc.kr[j], mc.ki[j]]) * inv
+            prev = pend.get(q)
+            pend[q] = coef if prev is None else _mat2_compose(coef, prev)
+            # keep w the weights of the TRUE (renormalized) state so the
+            # next site's conditionals read straight off it
+            w = self._remap(w, q, mc.ab[j, 0], mc.ab[j, 1],
+                            mc.rmap[j, 0], mc.rmap[j, 1]) * (tot / pj)
+        return planes
 
 
 class FusedTrajectories:
@@ -496,32 +679,81 @@ class FusedTrajectories:
             fused.append(unit)
         units = fused
 
-        # group units into steps: greedy disjoint-1q layers + dense/mcwf
-        steps = []
-        pend: list[_Slot] = []
+        # group units into steps: greedy disjoint-1q layers, dense slots,
+        # MCWF groups. ``pend_set`` statically tracks which qubits carry a
+        # deferred (chosen-but-unapplied) Kraus at each point: gate steps
+        # absorb them, MCWF groups reweight their tables by them, and a
+        # _FlushStep applies leftovers when a group's table would outgrow
+        # _MCWF_TABLE_MAX bits (and once at the end, before sampling).
+        steps: list = []
+        lay: list[_Slot] = []
         used: set[int] = set()
+        pend_set: list[int] = []
 
-        def flush():
-            nonlocal pend, used
-            if pend:
-                steps.append(_LayerStep(pend, self.n))
-                pend, used = [], set()
+        def flush_layer():
+            nonlocal lay, used
+            if lay:
+                absorb = {s.targets[0] for s in lay} & set(pend_set)
+                steps.append(_LayerStep(lay, self.n, absorb=absorb))
+                for q in absorb:
+                    pend_set.remove(q)
+                lay, used = [], set()
 
-        for unit in units:
+        def flush_pend():
+            nonlocal pend_set
+            if pend_set:
+                steps.append(_FlushStep(tuple(pend_set), self.n))
+                pend_set = []
+
+        i = 0
+        while i < len(units):
+            unit = units[i]
             if unit[0] == "mcwf":
-                flush()
-                steps.append(_McwfStep(unit[1], unit[2], self.n))
+                flush_layer()
+                if not unit[2].monomial:
+                    # interference within a basis sector: marginal tables
+                    # cannot track it — apply per site on the true state
+                    flush_pend()
+                    steps.append(_McwfApplyStep(unit[1], unit[2], self.n))
+                    i += 1
+                    continue
+                run = []
+                while (i < len(units) and units[i][0] == "mcwf"
+                       and units[i][2].monomial):
+                    run.append((units[i][1], units[i][2]))
+                    i += 1
+                while run:
+                    chunk: list = []
+                    cq: set[int] = set()
+                    while run and len(cq | {run[0][0]}) <= _MCWF_TABLE_MAX:
+                        q, mc = run.pop(0)
+                        chunk.append((q, mc))
+                        cq.add(q)
+                    tqs = sorted(cq | set(pend_set))
+                    if len(tqs) > _MCWF_TABLE_MAX:
+                        flush_pend()
+                        tqs = sorted(cq)
+                    steps.append(_McwfGroupStep(
+                        chunk, tqs, tuple(pend_set), self.n))
+                    for q, _ in chunk:
+                        if q not in pend_set:
+                            pend_set.append(q)
                 continue
             s = unit[1]
+            i += 1
             if len(s.targets) == 1:
                 if s.targets[0] in used:
-                    flush()
-                pend.append(s)
+                    flush_layer()
+                lay.append(s)
                 used.add(s.targets[0])
             else:
-                flush()
-                steps.append(_DenseStep(s, self.n))
-        flush()
+                flush_layer()
+                absorb = set(s.targets) & set(pend_set)
+                steps.append(_DenseStep(s, self.n, absorb=absorb))
+                for q in absorb:
+                    pend_set.remove(q)
+        flush_layer()
+        flush_pend()
         self.steps = steps
 
         # total stochastic sites, in step order (one uniform each)
@@ -557,8 +789,10 @@ class FusedTrajectories:
         re = jnp.zeros((R, C), jnp.float32).at[0, 0].set(1.0)
         planes = (re, jnp.zeros((R, C), jnp.float32))
         it = iter(ops)
+        pend: dict = {}
         for st in self.steps:
-            planes = st.traced(planes, it)
+            planes = st.traced(planes, it, pend)
+        assert not pend, "planner left a Kraus pending past the last flush"
         if self._big_sample:
             # the 3-level gather sampler: one fused square+reduce over
             # canonical rows + tiny searches. The flat-cumsum sampler's

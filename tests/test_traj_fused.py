@@ -248,3 +248,50 @@ def test_mixed_umix_and_mcwf_channel_order():
         got = bits[:, 0].mean()
         assert abs(got - want) < 5 * np.sqrt(want * (1 - want) / T) + 0.01, (
             spec, got, want)
+
+
+def test_mcwf_group_pending_flush_matches_density():
+    """GHZ-9 + ad drives the WHOLE deferred-Kraus pipeline: multi-site
+    joint-marginal groups, pending-table reweighting, absorption into CX
+    operands, and (at 9 qubits the pending set outgrows the 8-bit table
+    cap) a mid-circuit _FlushStep — all pinned against the exact density
+    oracle's per-qubit marginals."""
+    from qubism_tpu.run.traj_fused import (_FlushStep, _McwfGroupStep,
+                                           _MCWF_TABLE_MAX)
+
+    n, T = 9, 3000
+    src = ghz_src(n)
+    tp = TrajectoryProgram(parse(src), noise="ad:0.15")
+    plan = FusedTrajectories(tp)
+    groups = [s for s in plan.steps if isinstance(s, _McwfGroupStep)]
+    assert groups and any(len(g.sites) == 2 for g in groups)
+    assert any(g.pend_qs for g in groups)          # reweighting exercised
+    assert any(isinstance(s, _FlushStep) for s in plan.steps[:-1]), \
+        "expected a mid-circuit flush at the table cap"
+    assert all(len(g.tableqs) <= _MCWF_TABLE_MAX for g in groups)
+    bits = plan.run_vals(T, seed=5)["c"]
+    nomeas = "\n".join(src.splitlines()[:-1])
+    dp = DensityProgram(parse(nomeas), noise="ad:0.15")
+    rho, _ = dp.run(seed=0)
+    probs = np.asarray(rho.probs())
+    idx = np.arange(1 << n)
+    want = np.array([(probs[(idx >> (n - 1 - q)) & 1 == 1]).sum()
+                     for q in range(n)])
+    got = _ad_populations(bits)
+    sig = np.sqrt(np.maximum(want * (1 - want), 1e-4) / T)
+    assert (np.abs(got - want) < 5 * sig + 0.01).all(), (got, want)
+
+
+def test_mcwf_repeated_channel_same_qubit_composes_pending():
+    """Two ad channels in one spec hit the same qubit back to back inside
+    one group: the second site's conditionals must account for the first
+    site's (unapplied) composition. One X + double-damping: P(1) =
+    (1-g1)(1-g2)."""
+    g1, g2, T = 0.3, 0.2, 4000
+    src = f"qreg q[2]; creg c[2];\n{X_GATE} q[0];\nmeasure q -> c;"
+    tp = TrajectoryProgram(parse(src), noise=f"ad:{g1},ad:{g2}")
+    bits = FusedTrajectories(tp).run_vals(T, seed=9)["c"]
+    want = (1 - g1) * (1 - g2)
+    got = bits[:, 0].mean()
+    assert abs(got - want) < 5 * np.sqrt(want * (1 - want) / T), (got, want)
+    assert (bits[:, 1] == 0).all()
