@@ -474,9 +474,23 @@ class MPSSim:
         self.re = jnp.asarray(re)
         self.im = jnp.zeros((n, chi, 2, chi), dtype=jnp.float32)
         self.center = 0
-        self.trunc_error = 0.0
+        #: discarded-weight parts stay DEVICE scalars until read: a
+        #: float() per apply is a full remote-tunnel round trip, which
+        #: doubled the noisy-trajectory bench (one sync per tape)
+        self._disc_parts: list = []
+        self._trunc_host = 0.0
         self.key = key if key is not None else jax.random.PRNGKey(
             0 if seed is None else seed)
+
+    @property
+    def trunc_error(self) -> float:
+        """Total discarded Schmidt weight so far (0.0 = exact). Reading
+        it syncs any pending device parts — cheap once, not per apply."""
+        if self._disc_parts:
+            self._trunc_host += float(np.sum(np.asarray(
+                jax.device_get(self._disc_parts), dtype=np.float64)))
+            self._disc_parts = []
+        return self._trunc_host
 
     def _grow(self, new_chi: int) -> None:
         """Double the padded bond dimension: zero-pad every site tensor
@@ -517,7 +531,7 @@ class MPSSim:
             jnp.asarray(u.real, dtype=jnp.float32),
             jnp.asarray(u.imag, dtype=jnp.float32), q)
         self.center = q + 1
-        self.trunc_error += float(disc)
+        self._disc_parts.append(disc)
 
     def _apply_2q(self, u: np.ndarray, a: int, b: int) -> None:
         """Sorted targets a < b; SWAP-route b down to a+1 and back."""
@@ -563,9 +577,15 @@ class MPSSim:
             re, im, disc = _k_chain(
                 self.re, self.im, *(jnp.asarray(a) for a in packed),
                 jnp.zeros(length, dtype=jnp.float32))
+            if self.trunc_budget is None:
+                # no budget: nothing branches on disc — keep it a device
+                # value (syncing it per apply costs a tunnel round trip)
+                self.re, self.im = re, im
+                self._disc_parts.append(disc)
+                self.center = center
+                return self
             disc = float(disc)
-            if (self.trunc_budget is None
-                    or self.trunc_error + disc <= self.trunc_budget):
+            if self.trunc_error + disc <= self.trunc_budget:
                 self.re, self.im = re, im
                 break
             if self.chi >= self.max_chi:
@@ -578,7 +598,7 @@ class MPSSim:
             self.re, self.im = snap
             self._grow(min(2 * self.chi, self.max_chi))
         self.center = center
-        self.trunc_error += disc
+        self._disc_parts.append(disc)
         return self
 
     # -- observables --------------------------------------------------------

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from ..config import config
@@ -134,32 +135,56 @@ def _marginal_table_traced(planes, n: int, measured: tuple[int, ...]):
     log_c = lanes.bit_length() - 1
     row_cnt = n - log_c
     cur = flat_r * flat_r + flat_i * flat_i
-    live = list(range(row_cnt))
-    for q in [q for q in range(row_cnt) if q not in measured]:
-        pos = live.index(q)
-        A = 1 << pos
-        cur = cur.reshape(A, 2, -1).sum(axis=1).reshape(-1)
-        live.remove(q)
+    if row_cnt:
+        # ONE multi-axis reduce over the unmeasured row qubits, with
+        # contiguous measured/unmeasured runs GROUPED so the tensor rank
+        # is the run count, not the qubit count (the reshape only
+        # regroups leading dims — the lane axis stays, so TPU tiling
+        # never pads). Both a per-qubit elimination chain (many HLOs)
+        # and a rank-per-qubit reshape (XLA compile cost explodes with
+        # rank past ~10) made programs with many marginal tables — the
+        # fused MCWF groups — take minutes to compile.
+        runs: list[list] = []              # [log2 size, measured?]
+        for q in range(row_cnt):
+            keep = q in measured
+            if runs and runs[-1][1] == keep:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, keep])
+        a = 1                              # kept leading size so far
+        for size, keep in runs:
+            if keep:
+                a <<= size
+            else:
+                cur = (cur.reshape(a, 1 << size, -1)
+                       .sum(axis=1).reshape(-1))
     mlane = [q for q in range(row_cnt, n) if q in measured]
     if log_c:
-        fold = np.zeros((lanes, 1 << len(mlane)), dtype=np.float32)
-        for c in range(lanes):
-            j = 0
-            for q in mlane:
-                j = (j << 1) | ((c >> (n - 1 - q)) & 1)
-            fold[c, j] = 1.0
-        cur = jnp.dot(cur.reshape(-1, lanes), jnp.asarray(fold),
+        # the 0/1 fold matrix is built from iota IN-GRAPH: as a host
+        # literal it is (lanes x 2^m) floats — up to 2 MB — and a
+        # program with many marginal tables (fused MCWF groups) embeds
+        # tens of MB of literals, which the compiler chokes on
+        c_iota = lax.iota(jnp.int32, lanes)
+        j = jnp.zeros_like(c_iota)
+        for q in mlane:
+            j = (j << 1) | ((c_iota >> (n - 1 - q)) & 1)
+        fold = (j[:, None] == lax.iota(jnp.int32, 1 << len(mlane))[None, :]
+                ).astype(jnp.float32)
+        cur = jnp.dot(cur.reshape(-1, lanes), fold,
                       precision=jax.lax.Precision.HIGHEST).reshape(-1)
     return cur
 
 
 def _ancestral_draws_traced(table, qubits: tuple[int, ...], key,
-                            sqrt_born: bool):
+                            sqrt_born: bool, uniforms=None):
     """The k Born draws on a (2^k,) marginal table in the GIVEN qubit
     order with the SAME key-split order and the same conditional
     probabilities as collapse-as-you-go (ancestral sampling:
     p(b_i=1 | b_<i) = mass(prefix,1)/mass(prefix); masked sums with
-    host-precomputed bit tables). Returns (outcomes list, mask, key)."""
+    host-precomputed bit tables). Returns (outcomes list, mask, key).
+    ``uniforms`` (a traced (k,) vector) substitutes pre-drawn operand
+    uniforms for the key splits (the fused trajectory engine's
+    host-realized stream); ``key`` is then returned untouched."""
     k = len(qubits)
     srt = sorted(qubits)
     tidx = np.arange(1 << k, dtype=np.int64)
@@ -167,14 +192,17 @@ def _ancestral_draws_traced(table, qubits: tuple[int, ...], key,
             for s, q in enumerate(srt)}
     outcomes = []
     mask = jnp.ones(1 << k, dtype=table.dtype)
-    for q in qubits:
+    for i, q in enumerate(qubits):
         masked = table * mask
         tot = jnp.sum(masked)
         m1 = jnp.sum(masked * bit1[q])
         p1 = jnp.where(tot > 0, m1 / tot, 0.0)
         threshold = jnp.sqrt(p1) if sqrt_born else p1
-        key, sub = jax.random.split(key)
-        r = jax.random.uniform(sub, dtype=threshold.dtype)
+        if uniforms is None:
+            key, sub = jax.random.split(key)
+            r = jax.random.uniform(sub, dtype=threshold.dtype)
+        else:
+            r = uniforms[i]
         o = (r < threshold).astype(jnp.int32)
         outcomes.append(o)
         of = o.astype(mask.dtype)

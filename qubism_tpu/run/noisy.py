@@ -495,15 +495,19 @@ class TrajectoryProgram:
         to cut dispatch count at large n (the n=26 bench runs 8
         trajectories/dispatch at 2^30 words OOM-free on a 16 GB v5e).
 
-        ``engine="fused"`` runs sampling workloads through the
+        ``engine="fused"`` runs whole-program workloads through the
         canonical-layout Pallas kernels in batched ``lax.scan`` dispatches
         (``run/traj_fused.py``): mixture noise is host-realized into gate
         coefficients, amplitude/phase damping runs as in-graph MCWF
-        norm-branch sites — ~50x fewer state sweeps per trajectory at
-        large n and ~1 dispatch per trajectory batch; raises
-        :class:`~..run.traj_fused.FusedUnsupported` for feed-forward /
-        mid-circuit-measurement programs, and its random stream is its
-        own (statistically equivalent, not bit-identical to the vmapped
+        norm-branch sites with deferred-Kraus folding, and mid-circuit
+        measurement / reset / feed-forward run in-graph too (marginal-
+        table collapses; conditionals select realized operands against
+        identity) — ~50x fewer state sweeps per trajectory at large n
+        and ~1 dispatch per trajectory batch. It raises
+        :class:`~..run.traj_fused.FusedUnsupported` only for reference
+        sqrt-Born mode, >12-qubit mid-circuit events, >2-target prims
+        and 2q state-dependent Kraus; its random stream is its own
+        (statistically equivalent, not bit-identical to the vmapped
         engine's). ``engine="auto"`` tries fused and silently falls back
         to vmap."""
         if engine not in ("vmap", "fused", "auto"):

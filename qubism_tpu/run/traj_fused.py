@@ -108,12 +108,17 @@ class _Slot:
     order, on a shared sorted target set. ``parts`` is the ordered
     composition: ("fix", matrix) for deterministic gate factors,
     ("site", _Site) for stochastic insertions — so merged slots keep the
-    exact gate/noise interleaving of the original stream."""
+    exact gate/noise interleaving of the original stream. ``cond_path``
+    is the enclosing feed-forward conditional chain (cond ids): the
+    executor selects the realized operand against identity when the
+    predicate misses, so a conditional gate costs zero extra passes."""
 
-    __slots__ = ("targets", "parts")
+    __slots__ = ("targets", "parts", "cond_path")
 
-    def __init__(self, targets, base=None, sites=(), parts=None):
+    def __init__(self, targets, base=None, sites=(), parts=None,
+                 cond_path=()):
         self.targets = targets
+        self.cond_path = tuple(cond_path)
         if parts is not None:
             self.parts = parts
         else:
@@ -158,7 +163,10 @@ _MAX_MERGE_TARGETS = 3
 def _maybe_merge(a: _Slot, b: _Slot):
     """Compose slot b AFTER slot a on the union target set, or None when
     the merge is not profitable (too wide, or a disjoint-1q pair that
-    the layer pass already handles in one sweep)."""
+    the layer pass already handles in one sweep) or ILLEGAL (different
+    feed-forward predicates select different operands)."""
+    if a.cond_path != b.cond_path:
+        return None
     dst = tuple(sorted(set(a.targets) | set(b.targets)))
     if len(dst) > _MAX_MERGE_TARGETS:
         return None
@@ -177,7 +185,7 @@ def _maybe_merge(a: _Slot, b: _Slot):
                      for m in payload.mats]))))
         return out
 
-    return _Slot(dst, parts=lift(a) + lift(b))
+    return _Slot(dst, parts=lift(a) + lift(b), cond_path=a.cond_path)
 
 
 class _Mcwf:
@@ -224,10 +232,19 @@ class _Mcwf:
         self.rmap = jnp.asarray(np.asarray(rmap, np.float32))  # (B, 2)
 
 
+#: mid-circuit measure/reset events wider than this use the vmapped
+#: engine (their 2^k marginal table stops being "tiny")
+_MID_MEASURE_MAX = 12
+
+
 def _build_units(tprog):
-    """Walk the program's events into execution units: ("slot", _Slot) for
-    gates with folded mixed-unitary noise, ("mcwf", q, _Mcwf) for in-graph
-    norm-branch sites. Validates eligibility."""
+    """Walk the program's events into execution units: ("slot", _Slot)
+    for gates with folded mixed-unitary noise, ("mcwf", q, _Mcwf, path)
+    for in-graph norm-branch sites, ("measure"/"reset", ev, path) for
+    mid-circuit collapses, ("cond", cid, creg, value, path) for
+    feed-forward predicate evaluation points. The TRAILING run of
+    unconditional measure events stays out of the unit stream — it is
+    the one joint Born sample. Validates eligibility."""
     if config.reference_sqrt_born:
         raise FusedUnsupported(
             "reference sqrt-Born sampling is sequential-per-qubit; the "
@@ -250,74 +267,106 @@ def _build_units(tprog):
                     "engine")
             chans.append(("mcwf", _Mcwf(raw_ks), False))
 
+    from .compiler import EvCond, EvReset
+
     units: list[tuple] = []
-    measures: list[EvMeasure] = []
-    for ev in tprog.events:
-        if isinstance(ev, EvGates):
-            if measures:
+    cond_ids = iter(range(1 << 30))
+
+    def emit_gates(ev, path):
+        for p in ev.prims:
+            if len(p.targets) > 2:
                 raise FusedUnsupported(
-                    "gates after measurement (mid-circuit measurement / "
-                    "feed-forward): use the vmapped engine")
-            for p in ev.prims:
-                if len(p.targets) > 2:
-                    raise FusedUnsupported(
-                        f"{len(p.targets)}-target primitive")
-                u = np.asarray(p.dense() if p.diag else p.u,
-                               dtype=np.complex128)
-                u, targets = _apply._sort_targets(u, tuple(p.targets))
-                k = len(targets)
-                fold: list[_Site] = []
-                post: list[tuple] = []   # ("mcwf", q, _Mcwf) | ("slot", _Slot)
-                post_qubits: set[int] = set()
+                    f"{len(p.targets)}-target primitive")
+            u = np.asarray(p.dense() if p.diag else p.u,
+                           dtype=np.complex128)
+            u, targets = _apply._sort_targets(u, tuple(p.targets))
+            k = len(targets)
+            fold: list[_Site] = []
+            post: list[tuple] = []   # ("mcwf", ...) | ("slot", _Slot)
+            post_qubits: set[int] = set()
 
-                def emit_umix(cdf, mats, qubits, pos=None):
-                    """Fold when order allows (commutes past post sites on
-                    other qubits); otherwise a standalone realized unit."""
-                    if not (set(qubits) & post_qubits):
-                        if pos is not None:
-                            mats = np.stack([
-                                _expand_1q_to_slot(m, pos, k) for m in mats])
-                        fold.append(_Site(cdf, mats))
-                    else:
-                        post.append(("slot", _Slot(
-                            tuple(sorted(qubits)),
-                            np.eye(mats.shape[-1], dtype=np.complex128),
-                            [_Site(cdf, mats)])))
+            def emit_umix(cdf, mats, qubits, pos=None):
+                """Fold when order allows (commutes past post sites on
+                other qubits); otherwise a standalone realized unit."""
+                if not (set(qubits) & post_qubits):
+                    if pos is not None:
+                        mats = np.stack([
+                            _expand_1q_to_slot(m, pos, k) for m in mats])
+                    fold.append(_Site(cdf, mats))
+                else:
+                    post.append(("slot", _Slot(
+                        tuple(sorted(qubits)),
+                        np.eye(mats.shape[-1], dtype=np.complex128),
+                        [_Site(cdf, mats)], cond_path=path)))
 
-                for (kind, payload, is2q), tset in zip(chans, tprog._tsets):
-                    if is2q:
-                        if len(p.targets) != 2:
+            for (kind, payload, is2q), tset in zip(chans, tprog._tsets):
+                if is2q:
+                    if len(p.targets) != 2:
+                        continue
+                    if tset is not None and not set(
+                            int(q) for q in p.targets) <= tset:
+                        continue   # targeted coupler channel
+                    # mirror the vmapped engine: descending call-site
+                    # targets pick the SWAP-conjugated variant, applied
+                    # on sorted axes (noisy.py _exec)
+                    cdf, mats = payload[p.targets[0] > p.targets[1]]
+                    emit_umix(cdf, np.asarray(mats), targets)
+                elif kind == "umix":
+                    cdf, mats = payload[0]
+                    for q in p.targets:
+                        if tset is not None and int(q) not in tset:
                             continue
-                        if tset is not None and not set(
-                                int(q) for q in p.targets) <= tset:
-                            continue   # targeted coupler channel
-                        # mirror the vmapped engine: descending call-site
-                        # targets pick the SWAP-conjugated variant, applied
-                        # on sorted axes (noisy.py _exec)
-                        cdf, mats = payload[p.targets[0] > p.targets[1]]
-                        emit_umix(cdf, np.asarray(mats), targets)
-                    elif kind == "umix":
-                        cdf, mats = payload[0]
-                        for q in p.targets:
-                            if tset is not None and int(q) not in tset:
-                                continue
-                            emit_umix(cdf, np.asarray(mats), (int(q),),
-                                      pos=targets.index(int(q)))
-                    else:   # mcwf
-                        for q in p.targets:
-                            if tset is not None and int(q) not in tset:
-                                continue
-                            post.append(("mcwf", int(q), payload))
-                            post_qubits.add(int(q))
-                units.append(("slot", _Slot(targets, u, fold)))
-                units.extend(post)
+                        emit_umix(cdf, np.asarray(mats), (int(q),),
+                                  pos=targets.index(int(q)))
+                else:   # mcwf
+                    for q in p.targets:
+                        if tset is not None and int(q) not in tset:
+                            continue
+                        post.append(("mcwf", int(q), payload, path))
+                        post_qubits.add(int(q))
+            units.append(("slot", _Slot(targets, u, fold, cond_path=path)))
+            units.extend(post)
+
+    def emit(ev, path):
+        if isinstance(ev, EvGates):
+            emit_gates(ev, path)
         elif isinstance(ev, EvMeasure):
-            measures.append(ev)
+            if len(ev.qubits) > _MID_MEASURE_MAX:
+                raise FusedUnsupported(
+                    f"mid-circuit measurement of {len(ev.qubits)} qubits: "
+                    "use the vmapped engine")
+            if len(set(ev.qubits)) != len(ev.qubits):
+                raise FusedUnsupported(
+                    "mid-circuit re-measurement of a qubit within one "
+                    "event: use the vmapped engine")
+            units.append(("measure", ev, path))
+        elif isinstance(ev, EvReset):
+            if len(ev.qubits) > _MID_MEASURE_MAX:
+                raise FusedUnsupported(
+                    f"reset of {len(ev.qubits)} qubits: use the vmapped "
+                    "engine")
+            units.append(("reset", ev, path))
+        elif isinstance(ev, EvCond):
+            cid = next(cond_ids)
+            units.append(("cond", cid, ev.creg, ev.value, path))
+            for sub in ev.body:
+                emit(sub, path + (cid,))
         elif isinstance(ev, EvDump):
             pass
         else:
             raise FusedUnsupported(
                 f"{type(ev).__name__} events: use the vmapped engine")
+
+    # the trailing unconditional-measure run is the one joint Born sample;
+    # everything before it (including conditional/mid-circuit measures)
+    # becomes step units
+    evs = [ev for ev in tprog.events if not isinstance(ev, EvDump)]
+    cut = len(evs)
+    while cut and isinstance(evs[cut - 1], EvMeasure):
+        cut -= 1
+    measures: list[EvMeasure] = list(evs[cut:])
+    for ev in evs[:cut]:
+        emit(ev, ())
     return units, measures
 
 
@@ -412,11 +461,215 @@ def _expand_1q_traced(m, pos, k: int):
     return jnp.stack([mr, mi])
 
 
+class _TraceCtx:
+    """Per-trajectory traced state threaded through the steps: classical
+    registers (int32 bit vectors, LSB-first columns — the vmapped
+    engine's convention) and the feed-forward predicates evaluated so
+    far (cond id -> traced bool; nested hits already AND their parent)."""
+
+    __slots__ = ("cregs", "preds", "alive")
+
+    def __init__(self, cregs):
+        self.cregs = cregs
+        self.preds = {}
+        #: False once a projection-reset annihilated the state (resetting
+        #: a qubit certain to be |1> — the reference's nonphysical
+        #: collapse semantics, Simulation.hs:146-156; the dense engines
+        #: define the result as the zero vector, whose measurement reads
+        #: all-zero bits). None = no reset step can annihilate.
+        self.alive = None
+
+    def pred(self, path):
+        """The active predicate for a unit under ``path`` (None = no
+        enclosing conditional). Each hit ANDed its parent at evaluation,
+        so the innermost id carries the whole chain."""
+        return self.preds[path[-1]] if path else None
+
+
+def _sel_mat(pred, cs):
+    """Operand-level feed-forward: the realized matrix stack when
+    ``pred`` hits, identity otherwise (dims from cs: (2, d, d))."""
+    d = cs.shape[-1]
+    eye = jnp.stack([jnp.eye(d, dtype=jnp.float32),
+                     jnp.zeros((d, d), jnp.float32)])
+    return jnp.where(pred, cs, eye)
+
+
+class _CondEnterStep:
+    """Evaluate `if (creg == value)` at its program position (cregs may
+    change at any mid-circuit measurement) and record the traced hit —
+    ANDed with the parent predicate for nested conditionals. Touches no
+    state."""
+
+    n_sites = 0
+
+    def __init__(self, cid, creg, value, path, size):
+        self.cid = cid
+        self.creg = creg
+        self.value = value
+        self.path = path
+        self.size = size
+        self.fits = not (value >> size)
+        self.want = jnp.asarray([(value >> k) & 1 for k in range(size)],
+                                dtype=jnp.int32)
+
+    def realize(self, us):
+        return []
+
+    def traced(self, planes, it, pend, ctx):
+        if not self.fits:            # value cannot fit: never true
+            hit = jnp.bool_(False)
+        else:
+            hit = jnp.all(ctx.cregs[self.creg] == self.want)
+        parent = ctx.pred(self.path)
+        if parent is not None:
+            hit = jnp.logical_and(parent, hit)
+        ctx.preds[self.cid] = hit
+        return planes
+
+
+class _MidMeasureStep:
+    """Mid-circuit measurement: ONE fused marginal-table sweep + the
+    ancestral Born draws (operand uniforms) + one fused projection pass
+    collapsing every measured qubit jointly (ops/measure machinery — the
+    compiled engine's path, reused verbatim). Under a feed-forward
+    predicate the projection vectors and creg writes select against
+    no-ops. Readout error flips the REPORTED bits only (the state
+    collapses on the true outcome — noisy.py _readout)."""
+
+    def __init__(self, ev, n, path, readout_p):
+        self.qubits = tuple(ev.qubits)
+        self.writes = tuple(ev.writes)
+        self.n = n
+        self.path = path
+        self.readout_p = float(readout_p) if readout_p else 0.0
+        k = len(self.qubits)
+        self.n_sites = k * (2 if self.readout_p else 1)
+
+    def realize(self, us):
+        return [np.asarray(us, dtype=np.float32)]
+
+    def traced(self, planes, it, pend, ctx):
+        from ..ops.measure import (_ancestral_draws_traced,
+                                   _projection_rowcol_traced)
+
+        us = next(it)
+        k = len(self.qubits)
+        cur = _marginal_table_traced(planes, self.n, self.qubits)
+        outcomes, mask, _ = _ancestral_draws_traced(
+            cur, self.qubits, None, False, uniforms=us[:k])
+        mass = jnp.sum(cur * mask)
+        scale = jnp.where(mass > 0, 1.0 / jnp.sqrt(mass), 0.0)
+        re, im = planes
+        rowvec, colvec = _projection_rowcol_traced(
+            outcomes, self.qubits, self.n, scale, re.dtype)
+        pred = ctx.pred(self.path)
+        if pred is not None:
+            rowvec = jnp.where(pred, rowvec, jnp.ones_like(rowvec))
+            colvec = jnp.where(pred, colvec, jnp.ones_like(colvec))
+        r = rowvec.shape[0]
+        c = colvec.shape[0]
+        ind = rowvec[:, None] * colvec[None, :]
+        planes = ((re.reshape(r, c) * ind).reshape(re.shape),
+                  (im.reshape(r, c) * ind).reshape(im.shape))
+        reported = list(outcomes)
+        if self.readout_p:
+            for i in range(k):
+                flip = (us[k + i] < self.readout_p).astype(jnp.int32)
+                reported[i] = reported[i] ^ flip
+        off = 0
+        for creg, bit_index, count in self.writes:
+            old = ctx.cregs[creg]
+            if bit_index is None:
+                val = jnp.stack([b.astype(jnp.int32)
+                                 for b in reported[off:off + count]])
+                if val.shape[0] < old.shape[0]:
+                    val = jnp.concatenate(
+                        [val, old[val.shape[0]:]])
+            else:
+                val = old.at[bit_index].set(reported[off])
+            ctx.cregs[creg] = (val if pred is None
+                               else jnp.where(pred, val, old))
+            off += count
+        return planes
+
+
+class _ResetStep:
+    """Mid-circuit reset: the reference's projection-to-|0> semantics
+    (collapse + renormalize, NO Born draw — Simulation.hs:146-156) as one
+    marginal sweep + one fused projection pass, predicate-selectable."""
+
+    n_sites = 0
+
+    def __init__(self, ev, n, path):
+        self.qubits = tuple(dict.fromkeys(ev.qubits))    # dedupe, ordered
+        self.n = n
+        self.path = path
+        k = len(self.qubits)
+        srt = sorted(self.qubits)
+        tidx = np.arange(1 << k, dtype=np.int64)
+        m = np.ones(1 << k, dtype=np.float32)
+        for s, _q in enumerate(srt):
+            m *= 1.0 - ((tidx >> (k - 1 - s)) & 1)
+        self._mask0 = jnp.asarray(m)
+
+    def realize(self, us):
+        return []
+
+    def traced(self, planes, it, pend, ctx):
+        from ..ops.measure import _projection_rowcol_traced
+
+        cur = _marginal_table_traced(planes, self.n, self.qubits)
+        mass = jnp.sum(cur * self._mask0)
+        scale = jnp.where(mass > 0, 1.0 / jnp.sqrt(mass), 0.0)
+        re, im = planes
+        zeros = [jnp.int32(0)] * len(self.qubits)
+        rowvec, colvec = _projection_rowcol_traced(
+            zeros, self.qubits, self.n, scale, re.dtype)
+        pred = ctx.pred(self.path)
+        killed = mass <= 0
+        if pred is not None:
+            rowvec = jnp.where(pred, rowvec, jnp.ones_like(rowvec))
+            colvec = jnp.where(pred, colvec, jnp.ones_like(colvec))
+            killed = jnp.logical_and(pred, killed)
+        alive = jnp.logical_not(killed)
+        ctx.alive = alive if ctx.alive is None else (ctx.alive & alive)
+        r = rowvec.shape[0]
+        c = colvec.shape[0]
+        ind = rowvec[:, None] * colvec[None, :]
+        return ((re.reshape(r, c) * ind).reshape(re.shape),
+                (im.reshape(r, c) * ind).reshape(im.shape))
+
+
+def _row_layer_groups(qubits, n: int):
+    """Split row-layer qubits into passes obeying the kernel VMEM caps
+    (fusion.py's prepass invariants: <= _MAX_AXIS_SLOTS axis-mechanism
+    targets and <= _LAYER1Q_MAX sub-gates per _layer1q_fn call — a
+    4-axis window is 143 MB > the 128 MB chip VMEM)."""
+    from ..ops.fusion import _LAYER1Q_MAX, _MAX_AXIS_SLOTS
+
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    ax = 0
+    for q in qubits:
+        is_axis = kernels._mech(q, n)[0] == "axis"
+        if cur and (len(cur) >= _LAYER1Q_MAX
+                    or (is_axis and ax >= _MAX_AXIS_SLOTS)):
+            groups.append(cur)
+            cur, ax = [], 0
+        cur.append(q)
+        ax += is_axis
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 class _LayerStep:
-    """A run of disjoint 1q slots: row qubits via one _layer1q_fn pass,
-    lane qubits folded (traced kron) into one 128-wide lane matmul.
-    ``absorb`` (set by the planner) lists pending-Kraus qubits composed
-    into the matching slot's coefficients."""
+    """A run of disjoint 1q slots: row qubits via _layer1q_fn passes
+    (chunked to the kernel's VMEM caps — usually one), lane qubits
+    folded (traced kron) into one 128-wide lane matmul. ``absorb`` (set
+    by the planner) lists pending-Kraus qubits composed into the
+    matching slot's coefficients."""
 
     def __init__(self, slots, n, absorb=()):
         b = max(n - _apply._COL, 0)
@@ -433,8 +686,13 @@ class _LayerStep:
             (i, s.targets[0]) for i, s in enumerate(self.lane)
             if s.targets[0] in absorb)
         if self.row:
-            self._row_fn = kernels._layer1q_fn(
-                tuple(s.targets[0] for s in self.row), n, donate=False)
+            row_qs = [s.targets[0] for s in self.row]
+            self._row_groups = []              # (slice, fn) per pass
+            off = 0
+            for grp in _row_layer_groups(row_qs, n):
+                fn = kernels._layer1q_fn(tuple(grp), n, donate=False)
+                self._row_groups.append((slice(off, off + len(grp)), fn))
+                off += len(grp)
         if self.lane:
             self._lane_fn = kernels._lane_gate_fn(n, donate=False)
             self._lane_pos = tuple(s.targets[0] for s in self.lane)
@@ -452,14 +710,22 @@ class _LayerStep:
             out.append(np.stack([_stack2(m) for m in mats[nr:]]))
         return out
 
-    def traced(self, planes, it, pend):
+    def traced(self, planes, it, pend, ctx):
+        def conds(cs, slots):
+            for i, s in enumerate(slots):
+                pred = ctx.pred(s.cond_path)
+                if pred is not None:
+                    cs = cs.at[i].set(_sel_mat(pred, cs[i]))
+            return cs
+
         if self.row:
-            cs = next(it)
+            cs = conds(next(it), self.row)
             for i, q in self.absorb_row:
                 cs = cs.at[i].set(_mat2_compose(cs[i], pend.pop(q)))
-            planes = self._row_fn(planes, cs)
+            for sl, fn in self._row_groups:
+                planes = fn(planes, cs[sl])
         if self.lane:
-            cs = next(it)
+            cs = conds(next(it), self.lane)
             for i, q in self.absorb_lane:
                 cs = cs.at[i].set(_mat2_compose(cs[i], pend.pop(q)))
             mr, mi = _lane_matrix_traced(cs, self._lane_pos, self.n)
@@ -490,8 +756,11 @@ class _DenseStep:
     def realize(self, us):
         return [_stack2(self.slot.realize(us))]
 
-    def traced(self, planes, it, pend):
+    def traced(self, planes, it, pend, ctx):
         cs = next(it)
+        pred = ctx.pred(self.slot.cond_path)
+        if pred is not None:
+            cs = _sel_mat(pred, cs)
         k = len(self.slot.targets)
         for q in self.absorb:
             cs = _mat2_compose(cs, _expand_1q_traced(
@@ -514,17 +783,21 @@ class _FlushStep:
         self.row_qs = tuple(sorted(q for q in qubits if q < b))
         self.lane_qs = tuple(sorted(q for q in qubits if q >= b))
         if self.row_qs:
-            self._row_fn = kernels._layer1q_fn(self.row_qs, n, donate=False)
+            self._row_groups = [
+                (tuple(grp), kernels._layer1q_fn(tuple(grp), n,
+                                                 donate=False))
+                for grp in _row_layer_groups(list(self.row_qs), n)]
         if self.lane_qs:
             self._lane_fn = kernels._lane_gate_fn(n, donate=False)
 
     def realize(self, us):
         return []
 
-    def traced(self, planes, it, pend):
+    def traced(self, planes, it, pend, ctx):
         if self.row_qs:
-            cs = jnp.stack([pend.pop(q) for q in self.row_qs])
-            planes = self._row_fn(planes, cs)
+            for grp, fn in self._row_groups:
+                cs = jnp.stack([pend.pop(q) for q in grp])
+                planes = fn(planes, cs)
         if self.lane_qs:
             cs = jnp.stack([pend.pop(q) for q in self.lane_qs])
             mr, mi = _lane_matrix_traced(cs, self.lane_qs, self.n)
@@ -542,8 +815,9 @@ class _McwfApplyStep:
 
     n_sites = 1
 
-    def __init__(self, q, mcwf, n):
+    def __init__(self, q, mcwf, n, path=()):
         self.q, self.mc, self.n = q, mcwf, n
+        self.path = path
         b = max(n - _apply._COL, 0)
         self.lane = q >= b
         if self.lane:
@@ -554,7 +828,7 @@ class _McwfApplyStep:
     def realize(self, us):
         return [np.float32(us[0])]
 
-    def traced(self, planes, it, pend):
+    def traced(self, planes, it, pend, ctx):
         assert not pend      # planner flushed before this step
         u = next(it)
         w = _marginal_table_traced(planes, self.n, (self.q,))
@@ -565,7 +839,11 @@ class _McwfApplyStep:
                      0, probs.shape[0] - 1)
         inv = jax.lax.rsqrt(jnp.maximum(probs[j] / jnp.maximum(
             p0 + p1, jnp.float32(1e-30)), jnp.float32(1e-30)))
-        coefs = (jnp.stack([self.mc.kr[j], self.mc.ki[j]]) * inv)[None]
+        coefs = jnp.stack([self.mc.kr[j], self.mc.ki[j]]) * inv
+        pred = ctx.pred(self.path)
+        if pred is not None:
+            coefs = _sel_mat(pred, coefs)
+        coefs = coefs[None]
         if self.lane:
             mr, mi = _lane_matrix_traced(coefs, (self.q,), self.n)
             return self._fn(planes, mr, mi)
@@ -587,7 +865,7 @@ class _McwfGroupStep:
     ``pend`` instead of paying an apply pass."""
 
     def __init__(self, sites, tableqs, pend_qs, n):
-        self.sites = tuple(sites)              # ordered (q, _Mcwf)
+        self.sites = tuple(sites)              # ordered (q, _Mcwf, path)
         self.tableqs = tuple(tableqs)          # sorted
         self.pend_qs = tuple(pend_qs)
         self.n = n
@@ -617,7 +895,7 @@ class _McwfGroupStep:
         return (c0 * ((1.0 - r0) * w0 + r0 * sw0)
                 + c1 * (r1 * w1 + (1.0 - r1) * sw1))
 
-    def traced(self, planes, it, pend):
+    def traced(self, planes, it, pend, ctx):
         us = next(it)
         w = _marginal_table_traced(planes, self.n, self.tableqs)
         for q in self.pend_qs:
@@ -630,7 +908,7 @@ class _McwfGroupStep:
             r1 = (m[0, 1, 1] ** 2 + m[1, 1, 1] ** 2
                   > m[0, 0, 1] ** 2 + m[1, 0, 1] ** 2).astype(jnp.float32)
             w = self._remap(w, q, c0, c1, r0, r1)
-        for si, (q, mc) in enumerate(self.sites):
+        for si, (q, mc, path) in enumerate(self.sites):
             mask1 = self._mask1[q]
             tot = jnp.sum(w)
             p1 = jnp.sum(w * mask1)
@@ -643,12 +921,17 @@ class _McwfGroupStep:
             pj = jnp.maximum(probs[j], jnp.float32(1e-30))
             inv = jnp.sqrt(tot) * jax.lax.rsqrt(pj)
             coef = jnp.stack([mc.kr[j], mc.ki[j]]) * inv
+            wn = self._remap(w, q, mc.ab[j, 0], mc.ab[j, 1],
+                             mc.rmap[j, 0], mc.rmap[j, 1]) * (tot / pj)
+            pred = ctx.pred(path)
+            if pred is not None:
+                coef = _sel_mat(pred, coef)
+                wn = jnp.where(pred, wn, w)
             prev = pend.get(q)
             pend[q] = coef if prev is None else _mat2_compose(coef, prev)
             # keep w the weights of the TRUE (renormalized) state so the
             # next site's conditionals read straight off it
-            w = self._remap(w, q, mc.ab[j, 0], mc.ab[j, 1],
-                            mc.rmap[j, 0], mc.rmap[j, 1]) * (tot / pj)
+            w = wn
         return planes
 
 
@@ -662,6 +945,8 @@ class FusedTrajectories:
         if self.n < 2:
             raise FusedUnsupported("need >= 2 qubits")
         units, self.measures = _build_units(tprog)
+        #: any mid-circuit measurement step (cregs come back from the scan)
+        self.has_mid = False
 
         # greedy slot merging: compose consecutive gates (noise sites
         # kept in order) into <= _MAX_MERGE_TARGETS-qubit dense blocks —
@@ -714,20 +999,21 @@ class FusedTrajectories:
                     # interference within a basis sector: marginal tables
                     # cannot track it — apply per site on the true state
                     flush_pend()
-                    steps.append(_McwfApplyStep(unit[1], unit[2], self.n))
+                    steps.append(_McwfApplyStep(unit[1], unit[2], self.n,
+                                                unit[3]))
                     i += 1
                     continue
                 run = []
                 while (i < len(units) and units[i][0] == "mcwf"
                        and units[i][2].monomial):
-                    run.append((units[i][1], units[i][2]))
+                    run.append((units[i][1], units[i][2], units[i][3]))
                     i += 1
                 while run:
                     chunk: list = []
                     cq: set[int] = set()
                     while run and len(cq | {run[0][0]}) <= _MCWF_TABLE_MAX:
-                        q, mc = run.pop(0)
-                        chunk.append((q, mc))
+                        q, mc, path = run.pop(0)
+                        chunk.append((q, mc, path))
                         cq.add(q)
                     tqs = sorted(cq | set(pend_set))
                     if len(tqs) > _MCWF_TABLE_MAX:
@@ -735,9 +1021,29 @@ class FusedTrajectories:
                         tqs = sorted(cq)
                     steps.append(_McwfGroupStep(
                         chunk, tqs, tuple(pend_set), self.n))
-                    for q, _ in chunk:
+                    for q, _, _ in chunk:
                         if q not in pend_set:
                             pend_set.append(q)
+                continue
+            if unit[0] == "cond":
+                _, cid, creg, value, path = unit
+                steps.append(_CondEnterStep(
+                    cid, creg, value, path, tprog.creg_sizes[creg]))
+                i += 1
+                continue
+            if unit[0] == "measure":
+                flush_layer()
+                flush_pend()    # the marginal must see the true state
+                steps.append(_MidMeasureStep(unit[1], self.n, unit[2],
+                                             tprog.readout_p))
+                self.has_mid = True
+                i += 1
+                continue
+            if unit[0] == "reset":
+                flush_layer()
+                flush_pend()
+                steps.append(_ResetStep(unit[1], self.n, unit[2]))
+                i += 1
                 continue
             s = unit[1]
             i += 1
@@ -783,16 +1089,23 @@ class FusedTrajectories:
 
     def _traced_one(self, ops, key):
         """One trajectory, traced: |0..0> -> all steps -> one Born sample.
-        Returns (chunk, leaf) int32 sample parts (combined on the host —
-        a flat int32 index would overflow past n=31)."""
+        Returns ((chunk, leaf) int32 sample parts — combined on the host,
+        a flat int32 index would overflow past n=31 — and the mid-circuit
+        creg vectors in ``creg_names`` order)."""
         R, C = kernels.canon_shape(self.n)
         re = jnp.zeros((R, C), jnp.float32).at[0, 0].set(1.0)
         planes = (re, jnp.zeros((R, C), jnp.float32))
         it = iter(ops)
         pend: dict = {}
+        ctx = _TraceCtx({c: jnp.zeros(self.tprog.creg_sizes[c], jnp.int32)
+                         for c in self.tprog.creg_names})
         for st in self.steps:
-            planes = st.traced(planes, it, pend)
+            planes = st.traced(planes, it, pend, ctx)
         assert not pend, "planner left a Kraus pending past the last flush"
+        cregs = tuple(ctx.cregs[c] for c in self.tprog.creg_names)
+        if not self.measures:
+            z = jnp.int32(0)
+            return z, z, cregs
         if self._big_sample:
             # the 3-level gather sampler: one fused square+reduce over
             # canonical rows + tiny searches. The flat-cumsum sampler's
@@ -803,7 +1116,13 @@ class FusedTrajectories:
             c, lo = _sample_parts_big(planes, self.n, 1, key)
         else:
             c, lo = _sample_parts(planes, self.n, 1, key)
-        return c[0], lo[0]
+        c, lo = c[0], lo[0]
+        if ctx.alive is not None:
+            # an annihilated (zero) state measures as all-zero bits,
+            # matching collapse_traced's zero-vector convention
+            c = jnp.where(ctx.alive, c, 0)
+            lo = jnp.where(ctx.alive, lo, 0)
+        return c, lo, cregs
 
     def _batched_fn(self, T: int):
         fn = self._bfn_cache.get(T)
@@ -813,8 +1132,8 @@ class FusedTrajectories:
                     ops, key = xs
                     return 0, self._traced_one(list(ops), key)
 
-                _, (cs, los) = jax.lax.scan(body, 0, (stacked, keys))
-                return cs, los
+                _, (cs, los, cregs) = jax.lax.scan(body, 0, (stacked, keys))
+                return cs, los, cregs
 
             fn = self._bfn_cache[T] = jax.jit(run)
         return fn
@@ -854,7 +1173,7 @@ class FusedTrajectories:
                 # realization first, then one reporting flip per read
                 flips.append([rng.random() < tprog.readout_p
                               for _ in range(nbits)])
-        if not self.measures or ntraj == 0:
+        if ntraj == 0 or not (self.measures or self.has_mid):
             return out
 
         keys = jax.random.split(
@@ -880,10 +1199,16 @@ class FusedTrajectories:
             stacked = tuple(
                 jnp.asarray(np.stack([per_traj[t][i] for t in sel]))
                 for i in range(n_ops))
-            cs, los = jax.device_get(fn(stacked, keys[np.asarray(sel)]))
+            cs, los, crs = jax.device_get(fn(stacked, keys[np.asarray(sel)]))
             self.dispatch_count += 1
             idx[lo:hi] = ((np.asarray(cs[:cnt]).astype(np.int64) << r)
                           | np.asarray(los[:cnt]).astype(np.int64))
+            if self.has_mid:
+                # mid-circuit creg writes come back from the scan; the
+                # final-measure writes below overwrite them in program
+                # order (they are the trailing events)
+                for ci, c in enumerate(tprog.creg_names):
+                    out[c][lo:hi] = np.asarray(crs[ci][:cnt])
 
         for t in range(ntraj):
             k = 0

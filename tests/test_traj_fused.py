@@ -101,16 +101,27 @@ def test_engine_flag_and_fallbacks():
     tp_ad = TrajectoryProgram(parse(ghz_src(4)), noise="ad:0.1")
     out = tp_ad.run_vals(8, seed=0, engine="fused")
     assert out["c"].shape == (8, 4)
-    # feed-forward programs are vmap-only
+    # feed-forward programs ride the fused path too (predicate-selected
+    # operands): d must mirror c exactly in the noiseless case
     src = (f"qreg q[2]; creg c[1]; creg d[1];\n{H_GATE} q[0];\n"
            "measure q[0] -> c[0];\n"
            f"if (c == 1) {X_GATE} q[1];\n"
            "measure q[1] -> d[0];")
-    tp_ff = TrajectoryProgram(parse(src), noise="depolarizing:0.01")
-    with pytest.raises(FusedUnsupported):
-        tp_ff.run_vals(8, seed=0, engine="fused")
-    out = tp_ff.run_vals(8, seed=0, engine="auto")
-    assert out["d"].shape == (8, 1)
+    tp_ff = TrajectoryProgram(parse(src), noise=None)
+    out = tp_ff.run_vals(64, seed=0, engine="fused")
+    assert out["d"].shape == (64, 1)
+    assert (out["c"] == out["d"]).all()
+    assert 5 < out["c"].sum() < 59          # both branches exercised
+    # reference sqrt-Born sampling stays vmap-only (sequential per qubit)
+    from qubism_tpu.config import config as _cfg
+
+    tp_sq = TrajectoryProgram(parse(ghz_src(4)), noise="depolarizing:0.01")
+    _cfg.reference_sqrt_born = True
+    try:
+        with pytest.raises(FusedUnsupported):
+            FusedTrajectories(tp_sq)
+    finally:
+        _cfg.reference_sqrt_born = False
 
 
 def test_fused_seed_reproducible():
@@ -295,3 +306,113 @@ def test_mcwf_repeated_channel_same_qubit_composes_pending():
     got = bits[:, 0].mean()
     assert abs(got - want) < 5 * np.sqrt(want * (1 - want) / T), (got, want)
     assert (bits[:, 1] == 0).all()
+
+
+def _teleport_src():
+    h, x = H_GATE, X_GATE
+    z = "U(0, 0, 3.141592653589793)"
+    return (f"qreg q[3]; creg c0[1]; creg c1[1]; creg m[1];\n"
+            f"{h} q[0];\n"                       # teleport |+>
+            f"{h} q[1];\nCX q[1], q[2];\n"       # Bell pair
+            f"CX q[0], q[1];\n{h} q[0];\n"
+            "measure q[0] -> c0[0];\nmeasure q[1] -> c1[0];\n"
+            f"if (c1 == 1) {x} q[2];\n"
+            f"if (c0 == 1) {z} q[2];\n"
+            f"{h} q[2];\nmeasure q[2] -> m[0];\n")
+
+
+@pytest.mark.parametrize("noise", [None, "dep:0.02", "ad:0.05"])
+def test_feed_forward_teleportation_matches_vmap(noise):
+    """The fused engine's mid-circuit measurement + predicate-selected
+    operands, against the vmapped engine on noisy teleportation: the
+    teleported |+> must measure 0 in the X basis (up to noise), and the
+    mid-circuit registers must be fair coins."""
+    T = 6000
+    f = FusedTrajectories(
+        TrajectoryProgram(parse(_teleport_src()), noise=noise)).run_vals(
+            T, seed=3)
+    v = TrajectoryProgram(parse(_teleport_src()), noise=noise).run_vals(
+        T, seed=4, engine="vmap")
+    for reg in ("c0", "c1", "m"):
+        assert abs(f[reg].mean() - v[reg].mean()) < 0.035, (
+            reg, f[reg].mean(), v[reg].mean())
+    if noise is None:
+        assert f["m"].sum() == 0        # exact teleportation
+
+
+def test_fused_measure_reset_reuse_matches_vmap():
+    """measure -> reset -> measure: the second read must be 0 (fresh
+    |0>), the first a fair coin — the reset is the reference projection
+    + the zero-state annihilation convention of collapse_traced."""
+    src = (f"qreg q[2]; creg a[1]; creg b[1];\n{H_GATE} q[0];\n"
+           "CX q[0], q[1];\n"
+           "measure q[0] -> a[0];\nreset q[0];\nmeasure q[0] -> b[0];\n")
+    f = FusedTrajectories(
+        TrajectoryProgram(parse(src), noise="bf:0.03")).run_vals(
+            4000, seed=1)
+    assert abs(f["a"].mean() - 0.5) < 0.04
+    assert f["b"].mean() < 0.01
+
+
+def test_fused_annihilating_reset_reads_zero():
+    """Projection-reset of a certain-|1> qubit annihilates the state
+    (reference Simulation.hs:146-156 semantics as defined by
+    collapse_traced's zero-vector convention): every later read is 0,
+    matching the vmapped engine."""
+    src = (f"qreg q[2]; creg c[2];\n{X_GATE} q[0];\n"
+           "reset q[0];\nmeasure q -> c;\n")
+    f = FusedTrajectories(
+        TrajectoryProgram(parse(src), noise=None)).run_vals(32, seed=0)
+    v = TrajectoryProgram(parse(src), noise=None).run_vals(
+        32, seed=1, engine="vmap")
+    assert f["c"].sum() == 0
+    assert v["c"].sum() == 0
+
+
+def test_fused_mid_circuit_only_program_runs():
+    """A program whose ONLY outputs are mid-circuit (a gate after the
+    last measure) must still dispatch and return the scanned cregs."""
+    src = (f"qreg q[2]; creg c[1];\n{H_GATE} q[0];\n"
+           "measure q[0] -> c[0];\n"
+           f"{X_GATE} q[1];\n")
+    plan = FusedTrajectories(TrajectoryProgram(parse(src), noise=None))
+    assert plan.has_mid and not plan.measures
+    out = plan.run_vals(2000, seed=2)
+    assert abs(out["c"].mean() - 0.5) < 0.05
+
+
+def test_fused_nested_conditionals():
+    """Nested `if` ANDs its parent predicate: the inner X fires only
+    when both registers read 1 (noiseless: q2 mirrors c0 AND c1)."""
+    src = (f"qreg q[3]; creg a[1]; creg b[1]; creg m[1];\n"
+           f"{H_GATE} q[0];\n{H_GATE} q[1];\n"
+           "measure q[0] -> a[0];\nmeasure q[1] -> b[0];\n"
+           f"if (a == 1) if (b == 1) {X_GATE} q[2];\n"
+           "measure q[2] -> m[0];\n")
+    try:
+        ast = parse(src)
+    except Exception:
+        pytest.skip("grammar has no nested if")
+    out = FusedTrajectories(
+        TrajectoryProgram(ast, noise=None)).run_vals(2000, seed=7)
+    want = out["a"][:, 0] & out["b"][:, 0]
+    assert (out["m"][:, 0] == want).all()
+
+
+def test_fused_readout_error_mid_circuit():
+    """ro flips the REPORTED mid-circuit bit; the state collapses on the
+    true outcome — feed-forward then steers on the reported value
+    (noisy.py semantics). X q0 -> measure (true 1, reported flips w.p.
+    p) -> if(c==1) X q1: P(q1 unset) = p."""
+    p, T = 0.2, 6000
+    src = (f"qreg q[2]; creg c[1]; creg d[1];\n{X_GATE} q[0];\n"
+           "measure q[0] -> c[0];\n"
+           f"if (c == 1) {X_GATE} q[1];\n"
+           "measure q[1] -> d[0];\n")
+    out = FusedTrajectories(
+        TrajectoryProgram(parse(src), noise=f"ro:{p}")).run_vals(T, seed=8)
+    # c is the reported (flipped) bit; d mirrors the c-steered branch up
+    # to ITS own readout flip
+    assert abs(out["c"].mean() - (1 - p)) < 0.03
+    agree = (out["c"][:, 0] == out["d"][:, 0]).mean()
+    assert agree > (1 - p) * (1 - p) + p * p - 0.04
