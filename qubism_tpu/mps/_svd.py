@@ -59,7 +59,8 @@ def _sweeps_for(d: int) -> int:
     return 10 if d <= 128 else 12
 
 
-def jacobi_svd(mr, mi, sweeps: int | None = None):
+def jacobi_svd(mr, mi, sweeps: int | None = None,
+               early_exit: bool = True):
     """SVD of the complex matrix ``mr + i mi`` (shape (m, d), m >= 1).
 
     Returns ``(ur, ui, s, vr, vi)`` with ``M = U diag(s) V^H``, ``s``
@@ -139,8 +140,20 @@ def jacobi_svd(mr, mi, sweeps: int | None = None):
     # a fixed 10-sweep schedule made every MPS gate pay ~4x the rotations
     # it needed (measured: the r4 bench's 40q GHZ sample spent most of
     # its 2.4 s here). The fixed bound stays as the safety cap.
-    wr, wi, vr, vi, _, _ = lax.while_loop(
-        cond, body, (wr, wi, vr, vi, jnp.int32(0), jnp.int32(0)))
+    # ``early_exit=False`` keeps the fixed schedule: under vmap (the
+    # trajectory programs) a while_loop runs to the SLOWEST lane's trip
+    # count and its per-round convergence bookkeeping is pure overhead
+    # (measured 2x on the 100q noisy-trajectory bench).
+    if early_exit:
+        wr, wi, vr, vi, _, _ = lax.while_loop(
+            cond, body, (wr, wi, vr, vi, jnp.int32(0), jnp.int32(0)))
+    else:
+        def fbody(_, carry):
+            return body(carry)
+
+        wr, wi, vr, vi, _, _ = lax.fori_loop(
+            0, sweeps * rounds, fbody,
+            (wr, wi, vr, vi, jnp.int32(0), jnp.int32(0)))
 
     s = jnp.sqrt(jnp.sum(wr * wr + wi * wi, axis=0))
     order = jnp.argsort(-s)

@@ -97,7 +97,7 @@ def _apply_1q_body(re, im, ur, ui, q):
     return _put(re, im, q, or_, oi_)
 
 
-def _apply_2q_body(re, im, ur, ui, q):
+def _apply_2q_body(re, im, ur, ui, q, early_exit: bool = True):
     """Dense 4x4 on adjacent sites (q, q+1); truncating SVD back to chi.
     Returns (re, im, discarded_weight). Renormalizes the kept spectrum
     so the state norm is preserved under truncation. The SVD is the
@@ -111,7 +111,7 @@ def _apply_2q_body(re, im, ur, ui, q):
     thr, thi = _ce("pq,aqb->apb", ur, ui, thr, thi)
     mr = thr.reshape(chi * 2, 2 * chi)
     mi = thi.reshape(chi * 2, 2 * chi)
-    uur, uui, s, vvr, vvi = jacobi_svd(mr, mi)
+    uur, uui, s, vvr, vvi = jacobi_svd(mr, mi, early_exit=early_exit)
     s1 = s[:chi]
     kept = jnp.sum(s1 * s1)
     tot = jnp.sum(s * s)
@@ -128,13 +128,14 @@ def _apply_2q_body(re, im, ur, ui, q):
     return re, im, disc
 
 
-def _shift_right_body(re, im, c):
+def _shift_right_body(re, im, c, early_exit: bool = True):
     """Canonicalize site c as an isometry via SVD (A = U diag(s) V^H);
     absorb diag(s) V^H into site c+1 (center c -> c+1)."""
     chi = re.shape[1]
     ar, ai = _site(re, im, c, chi)
     uur, uui, s, vvr, vvi = jacobi_svd(ar.reshape(chi * 2, chi),
-                                       ai.reshape(chi * 2, chi))
+                                       ai.reshape(chi * 2, chi),
+                                       early_exit=early_exit)
     absr = s[:, None] * vvr.T           # diag(s) V^H
     absi = -(s[:, None] * vvi.T)
     br, bi = _site(re, im, c + 1, chi)
@@ -144,14 +145,15 @@ def _shift_right_body(re, im, c):
     return _put(re, im, c + 1, b2r, b2i)
 
 
-def _shift_left_body(re, im, c):
+def _shift_left_body(re, im, c, early_exit: bool = True):
     """Mirror of _shift_right_body: SVD of A^H gives A = V diag(s) U^H;
     site c becomes the row-isometry U^H, V diag(s) absorbs left."""
     chi = re.shape[1]
     ar, ai = _site(re, im, c, chi)
     # A is (chi, 2chi); Jacobi orthogonalizes columns, so run it on A^H.
     uur, uui, s, vvr, vvi = jacobi_svd(ar.reshape(chi, 2 * chi).T,
-                                       -(ai.reshape(chi, 2 * chi).T))
+                                       -(ai.reshape(chi, 2 * chi).T),
+                                       early_exit=early_exit)
     q2r = uur.T.reshape(chi, 2, chi)    # U^H
     q2i = -(uui.T.reshape(chi, 2, chi))
     lr = vvr * s[None, :]               # L = V diag(s)
@@ -204,8 +206,8 @@ def _scale_site_body(re, im, q, s):
     return _put(re, im, q, ar * s, ai * s)
 
 
-@jax.jit
-def _k_chain(re, im, codes, qs, urs, uis, us):
+@partial(jax.jit, static_argnames=("early_exit",))
+def _k_chain(re, im, codes, qs, urs, uis, us, early_exit: bool = True):
     """Replay an op tape: codes (L,) int32, qs (L,) int32, urs/uis
     (L, 4, 4) float32 (1q gates live in the top-left 2x2 block), us (L,)
     float32 uniforms (consumed only by _OP_K1Q rows; pass zeros for
@@ -216,14 +218,14 @@ def _k_chain(re, im, codes, qs, urs, uis, us):
         code, q, ur, ui, u = inp
 
         def do_2q(_):
-            return _apply_2q_body(re, im, ur, ui, q)
+            return _apply_2q_body(re, im, ur, ui, q, early_exit=early_exit)
 
         def do_shift_r(_):
-            r2, i2 = _shift_right_body(re, im, q)
+            r2, i2 = _shift_right_body(re, im, q, early_exit=early_exit)
             return r2, i2, jnp.float32(0)
 
         def do_shift_l(_):
-            r2, i2 = _shift_left_body(re, im, q)
+            r2, i2 = _shift_left_body(re, im, q, early_exit=early_exit)
             return r2, i2, jnp.float32(0)
 
         def do_1q(_):

@@ -235,8 +235,11 @@ class MPSTrajectoryProgram(TrajectoryProgram):
             uis = uis.at[rows2a, :2, :2].set(_PAULI_I[c2 >> 2])
             urs = urs.at[rows2b, :2, :2].set(_PAULI_R[c2 & 3])
             uis = uis.at[rows2b, :2, :2].set(_PAULI_I[c2 & 3])
+        # fixed-sweep SVDs here: the whole program is vmapped over
+        # trajectories, where the early-exit while_loop runs to the
+        # slowest lane anyway and its bookkeeping halved throughput
         re, im, d = _k_chain(re, im, jnp.asarray(codes), jnp.asarray(qs),
-                             urs, uis, us_k)
+                             urs, uis, us_k, early_exit=False)
         return re, im, disc + d
 
     def _renorm(self, re, im, q):
