@@ -804,6 +804,38 @@ def main():
             log(f"traj26 ad probe failed: {type(e).__name__}: {str(e)[:200]}")
             extra["traj26q_ad_256traj_s"] = None
         try:
+            # feed-forward + mid-circuit measurement through the FUSED
+            # engine (round-5: conditionals select realized operands, a
+            # measurement is one marginal sweep + one projection pass):
+            # GHZ-26, measure q0 mid-circuit, conditionally flip ALL
+            # qubits -> |0..0> deterministically; depolarizing noise on
+            # top. Pin: with p=0.002 per gate qubit, most trajectories
+            # read all-zeros, and the all-ones word (missed correction)
+            # must be rare
+            n_t, T_ff = 26, 256
+            x_g = "U(3.141592653589793, 0, 3.141592653589793)"
+            lines = [f"qreg q[{n_t}]; creg m[1]; creg c[{n_t}];",
+                     "U(1.5707963267948966, 0, 3.141592653589793) q[0];"]
+            lines += [f"CX q[{q}], q[{q + 1}];" for q in range(n_t - 1)]
+            lines += ["measure q[0] -> m[0];"]
+            lines += [f"if (m == 1) {x_g} q[{q}];" for q in range(n_t)]
+            lines += ["measure q -> c;"]
+            tff = TrajectoryProgram(
+                parse_openqasm("<bench>", "\n".join(lines)),
+                noise="dep:0.002")
+            tff.run_vals(T_ff, seed=0, engine="fused")   # warm
+            t0 = time.time()
+            bits = tff.run_vals(T_ff, seed=1, engine="fused")["c"]
+            dt = time.time() - t0
+            zero_frac = float((bits == 0).all(axis=1).mean())
+            ones = float((bits == 1).all(axis=1).mean())
+            extra["traj26q_ff_256traj_s"] = round(dt, 3)
+            extra["traj26q_ff_zero_frac"] = round(zero_frac, 4)
+            extra["traj26q_ff_ok"] = bool(zero_frac > 0.75 and ones < 0.02)
+        except Exception as e:
+            log(f"traj26 ff probe failed: {type(e).__name__}: {str(e)[:200]}")
+            extra["traj26q_ff_256traj_s"] = None
+        try:
             # mesh=1 Pallas adjoint (VERDICT r4 item 3): the sharded
             # sweep's program shapes on one real chip, pinned against the
             # single-chip engine's value+grad
