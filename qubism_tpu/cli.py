@@ -118,10 +118,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="trajectory executor for --noise on the statevector "
                         "backend: 'vmap' (default; bit-identical with "
                         "--mesh at a seed), 'fused' (batched-scan Pallas "
-                        "path: realized mixture noise + in-graph MCWF "
-                        "damping — ~50x fewer state sweeps at large n; "
-                        "errors on ineligible programs), 'auto' (fused "
-                        "when eligible)")
+                        "path: realized mixture noise, in-graph MCWF "
+                        "damping, mid-circuit measurement and feed-forward "
+                        "— ~50x fewer state sweeps at large n; errors on "
+                        "ineligible programs), 'auto' (fused when eligible)")
     p.add_argument("--verbose", action="store_true",
                    help="per-event timing + fusion statistics to stderr")
     return p
